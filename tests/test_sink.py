@@ -1,0 +1,193 @@
+"""SnapshotTable: MERGE semantics, exactly-once, schema evolution, LWW vs the
+oracle, lineage, compaction, time travel."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diffsync_spark import diff
+from diffsync_spark.fixtures import TRANSCRIPT_COLUMNS, evolve
+from diffsync_spark.model import TRANSCRIPT_MODEL
+from diffsync_spark.operators.diff import has_diffs
+from diffsync_spark.oracle import OracleStore
+from diffsync_spark.sinks.table import SnapshotTable
+from diffsync_spark.streaming.replay import replay_batches
+
+IDS = ["conv_id", "turn_idx"]
+PAYLOAD = ["role", "text", "tool", "ts"]
+
+
+def _bootstrap(spark, tmp_path, target_df, n_buckets=8) -> SnapshotTable:
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "table"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=n_buckets,
+    )
+    table.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+                checkpoint_id="bootstrap", batch_id=0)
+    return table
+
+
+def _state(table: SnapshotTable) -> pd.DataFrame:
+    return (
+        table.read()
+        .toPandas()
+        .sort_values(IDS)
+        .reset_index(drop=True)
+    )
+
+
+def test_bootstrap_roundtrip(spark, tmp_path, target_df, target_pdf):
+    table = _bootstrap(spark, tmp_path, target_df)
+    got = _state(table)
+    want = target_pdf.sort_values(IDS).reset_index(drop=True)
+    assert list(got.columns) == TRANSCRIPT_COLUMNS
+    pd.testing.assert_series_equal(got["text"], want["text"])
+    assert len(got) == len(want)
+
+
+def test_apply_diff_converges(spark, tmp_path, source_df, target_df):
+    """After sync, re-diff is empty — reference
+    tests/unit/test_diffsync.py:576-583 (sync convergence)."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    d = diff(source_df, table.read(), TRANSCRIPT_MODEL)
+    res = table.apply_diff(d, batch_id=1)
+    assert res["n_create"] > 0 and res["n_delete"] > 0 and res["n_update"] > 0
+    assert not has_diffs(diff(source_df, table.read(), TRANSCRIPT_MODEL))
+
+
+def test_exactly_once_reapply(spark, tmp_path, target_df, changelog_df):
+    table = _bootstrap(spark, tmp_path, target_df)
+    r1 = table.merge(changelog_df, checkpoint_id="ck", batch_id=1)
+    state1 = _state(table)
+    v1 = table.current_version()
+    # redelivery of the same batch id → skipped, no new snapshot
+    r2 = table.merge(changelog_df, checkpoint_id="ck", batch_id=1)
+    assert not r1["skipped"] and r2["skipped"]
+    assert table.current_version() == v1
+    pd.testing.assert_frame_equal(_state(table), state1)
+
+
+def test_lww_replay_matches_oracle(spark, tmp_path, target_df, target_pdf,
+                                   changelog_pdf, changelog_df):
+    """Full replay reproduces the oracle's final state with per-turn text
+    equality under stable (conv_id, turn_idx, ts) ordering — the BASELINE
+    correctness gate. Replay in 7 batches to also exercise batching."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    results = replay_batches(table, changelog_df, n_batches=7)
+    assert all(not r["skipped"] for r in results)
+
+    store = OracleStore.from_snapshot(target_pdf, IDS, PAYLOAD)
+    store.apply_changelog(changelog_pdf)
+    want = store.final_df().sort_values(IDS).reset_index(drop=True)
+    got = _state(table)
+    assert len(got) == len(want)
+    assert (got["conv_id"].values == want["conv_id"].values).all()
+    assert (got["turn_idx"].values == want["turn_idx"].values).all()
+    # per-turn text equality (None-aware)
+    gt = got["text"].where(got["text"].notna(), None)
+    wt = want["text"].where(want["text"].notna(), None)
+    assert list(gt) == list(wt)
+    assert list(got["ts"]) == list(want["ts"])
+
+
+def test_batching_invariance(spark, tmp_path, target_df, changelog_df):
+    """Any batch split converges to the same state (idempotence + LWW)."""
+    t1 = _bootstrap(spark, tmp_path / "a", target_df)
+    replay_batches(t1, changelog_df, n_batches=2, checkpoint_id="a")
+    t2 = _bootstrap(spark, tmp_path / "b", target_df)
+    replay_batches(t2, changelog_df, n_batches=13, checkpoint_id="b")
+    pd.testing.assert_frame_equal(_state(t1), _state(t2))
+
+
+def test_schema_evolution_merge(spark, tmp_path, source_pdf, source_df):
+    table = _bootstrap(spark, tmp_path, source_df)
+    evolved_pdf = evolve(source_pdf.head(20))
+    evolved_pdf["ts"] = evolved_pdf["ts"] + pd.Timedelta(hours=1)
+    batch = spark.createDataFrame(evolved_pdf).withColumn(
+        "op", F.lit("update")
+    ).withColumn("seq", F.lit(1).cast("long"))
+    res = table.merge(batch, checkpoint_id="evo", batch_id=1)
+    assert res["n_update"] == 20
+    got = table.read()
+    assert "tool_call_id" in got.columns          # column added
+    n_with = got.filter(F.col("tool_call_id").isNotNull()).count()
+    assert n_with == int(evolved_pdf["tool_call_id"].notna().sum())
+    # untouched rows read as null through the widened schema
+    assert got.count() == source_df.count()
+
+
+def test_quarantine(spark, tmp_path, target_df):
+    table = _bootstrap(spark, tmp_path, target_df)
+    bad = spark.createDataFrame(
+        [(None, 0, "user", "x", None, None, "update", 1),
+         ("conv_000001", 1, "user", "ok", None, None, "badop", 2)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    res = table.merge(bad, checkpoint_id="q", batch_id=1)
+    assert res["n_quarantined"] == 2
+    lin = table.lineage_df().filter("partition = -1").first()
+    assert lin.n_quarantined == 2
+
+
+def test_lineage_counts(spark, tmp_path, source_df, target_df):
+    table = _bootstrap(spark, tmp_path, target_df)
+    d = diff(source_df, table.read(), TRANSCRIPT_MODEL)
+    res = table.apply_diff(d, batch_id=1)
+    lin = table.lineage_df().filter("checkpoint_id = 'diff'").toPandas()
+    assert lin["n_create"].sum() == res["n_create"]
+    assert lin["n_delete"].sum() == res["n_delete"]
+    assert set(lin[lin.partition >= 0].partition) <= set(range(8))
+
+
+def test_delete_where_cascade(spark, tmp_path, target_df):
+    table = _bootstrap(spark, tmp_path, target_df)
+    victim = target_df.first().conv_id
+    table.delete_where(F.col("conv_id") == victim, batch_id=1)
+    assert table.read().filter(F.col("conv_id") == victim).count() == 0
+    # tombstones still present physically (late-data protection)
+    assert table.read_raw().filter(
+        (F.col("conv_id") == victim) & F.col("_deleted")
+    ).count() > 0
+
+
+def test_time_travel_and_compact(spark, tmp_path, target_df, changelog_df):
+    table = _bootstrap(spark, tmp_path, target_df)
+    v_before = table.current_version()
+    before = _state(table)
+    table.merge(changelog_df, checkpoint_id="tt", batch_id=1)
+    after = _state(table)
+    # time travel to the pre-merge snapshot
+    old = table.read(version=v_before).toPandas().sort_values(IDS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(old, before)
+    # compaction rewrites files but preserves state
+    table.compact()
+    pd.testing.assert_frame_equal(_state(table), after)
+
+
+def test_tombstone_blocks_late_update(spark, tmp_path, target_df):
+    """Delete then a LATE (older-ts) update for the same key → key stays
+    deleted. The tombstone keeps the LWW version."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    row = target_df.first()
+    late_ts = row.ts
+    del_batch = spark.createDataFrame(
+        [(row.conv_id, row.turn_idx, None, None, None,
+          late_ts + pd.Timedelta(hours=2).to_pytimedelta(), "delete", 10)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    table.merge(del_batch, checkpoint_id="t", batch_id=1)
+    late_upd = spark.createDataFrame(
+        [(row.conv_id, row.turn_idx, "user", "zombie", None,
+          late_ts + pd.Timedelta(hours=1).to_pytimedelta(), "update", 11)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    res = table.merge(late_upd, checkpoint_id="t", batch_id=2)
+    assert res["n_create"] == 0 and res["n_update"] == 0
+    assert table.read().filter(
+        (F.col("conv_id") == row.conv_id) & (F.col("turn_idx") == row.turn_idx)
+    ).count() == 0
