@@ -1,38 +1,520 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2 (or a
+training-data pipeline operator) through the real engine code in
+``diffsync_spark``; ``oracle_sql()`` holds the DuckDB twin the driver compares
+against at sf=0.01 (row-count + schema + order-insensitive value hash).
+
+Because the driver's tables are TPC-H-ish (no transcripts), the CDC queries
+derive a deterministic keyed snapshot pair + changelog from the ``events``
+table with arithmetic that is reproduced verbatim in the SQL oracles:
+
+- natural key           = (user_id, event_id)
+- source snapshot       = events where event_id % 17 != 3
+- target snapshot       = events where event_id % 13 != 5, with ``val``
+                          perturbed (+1) where event_id % 7 == 0  → updates
+- changelog             = every 3rd event: op = delete iff event_type='error',
+                          ts shifted +1h (or -2h when event_id % 11 == 0 →
+                          late events), seq = event_id
+
+Timestamps are emitted as ``unix_micros`` BIGINTs and doubles are rounded so
+value hashes are engine-portable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from diffsync_spark.flags import DiffFlags
+from diffsync_spark.functions.dedup import cosine_col, exact_dedup, normalized_text
+from diffsync_spark.functions.text import (
+    fingerprint_col,
+    fingerprint_sql,
+    lang_id,
+    quality_features,
+    token_count_col,
+    STOPWORDS,
+)
+from diffsync_spark.model import ModelSchema
+from diffsync_spark.operators.diff import diff, diff_summary
+from diffsync_spark.operators.lww import lww_dedup
+from diffsync_spark.operators.rollup import rollup_diff, stable_turn_order
+from diffsync_spark.plans.threeway import patch_snapshot
+
+EVENT_MODEL = ModelSchema(
+    name="event",
+    identifiers=("user_id", "event_id"),
+    attributes=("event_type", "val"),
+    parent_key=("user_id",),
+    version_cols=("ts",),
+)
+
+LWW_MODEL = ModelSchema(
+    name="event_bucket",
+    identifiers=("user_id", "k"),
+    attributes=("event_type", "val"),
+    version_cols=("ts",),
+)
 
 
+# ---------------------------------------------------------------- derivations
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _src(spark, sf_dir) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.filter(F.col("event_id") % 17 != 3).select(
+        "user_id", "event_id", "event_type", F.col("value").alias("val"), "ts"
+    )
+
+
+def _dst(spark, sf_dir) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return e.filter(F.col("event_id") % 13 != 5).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") + 1)
+        .otherwise(F.col("value"))
+        .alias("val"),
+        "ts",
+    )
+
+
+def _changelog(spark, sf_dir) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("event_id") % 3 == 0)
+    return e.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "delete").otherwise("update").alias("op"),
+        "user_id",
+        "event_id",
+        F.col("event_type"),
+        (F.col("value") * 2).alias("val"),
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.col("ts") - F.expr("INTERVAL 2 HOURS"),
+        )
+        .otherwise(F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .alias("ts"),
+    )
+
+
+_SQL_SRC = (
+    "SELECT user_id, event_id, event_type, value AS val, ts FROM events "
+    "WHERE event_id % 17 <> 3"
+)
+_SQL_DST = (
+    "SELECT user_id, event_id, event_type, "
+    "CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END AS val, ts "
+    "FROM events WHERE event_id % 13 <> 5"
+)
+_SQL_CHG = (
+    "SELECT event_id AS seq, "
+    "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op, "
+    "user_id, event_id, event_type, value * 2 AS val, "
+    "CASE WHEN event_id % 11 = 0 THEN ts - INTERVAL 2 HOUR "
+    "ELSE ts + INTERVAL 1 HOUR END AS ts "
+    "FROM events WHERE event_id % 3 = 0"
+)
+_SQL_DIFF = f"""
+WITH src AS ({_SQL_SRC}), dst AS ({_SQL_DST})
+SELECT COALESCE(s.user_id, d.user_id) AS user_id,
+       COALESCE(s.event_id, d.event_id) AS event_id,
+       CASE WHEN d.event_id IS NULL THEN 'create'
+            WHEN s.event_id IS NULL THEN 'delete'
+            WHEN (s.event_type IS DISTINCT FROM d.event_type)
+              OR (s.val IS DISTINCT FROM d.val) THEN 'update'
+            ELSE 'noop' END AS op,
+       CASE WHEN d.event_id IS NOT NULL AND s.event_id IS NOT NULL
+             AND ((s.event_type IS DISTINCT FROM d.event_type)
+               OR (s.val IS DISTINCT FROM d.val))
+            THEN concat_ws(',',
+              CASE WHEN s.event_type IS DISTINCT FROM d.event_type
+                   THEN 'event_type' END,
+              CASE WHEN s.val IS DISTINCT FROM d.val THEN 'val' END)
+       END AS changed_str,
+       s.val AS after_val, d.val AS before_val
+FROM src s FULL OUTER JOIN dst d
+  ON s.user_id = d.user_id AND s.event_id = d.event_id
+"""
+
+
+def _diff_classify(spark, sf_dir) -> DataFrame:
+    d = diff(_src(spark, sf_dir), _dst(spark, sf_dir), EVENT_MODEL)
+    return d.select(
+        "user_id",
+        "event_id",
+        "op",
+        F.array_join("changed_cols", ",").alias("changed_str"),
+        F.col("after.val").alias("after_val"),
+        F.col("before.val").alias("before_val"),
+    )
+
+
+def _norm_sql(expr: str) -> str:
+    return f"regexp_replace(lower(trim(coalesce({expr}, ''))), '\\s+', ' ', 'g')"
+
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'), t -> t != '')"
+)
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(list_transform({_SQL_TOKENS}, t -> lower(t)), "
+            f"t -> list_contains({words!r}, t)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    m = f"greatest({hits['en']}, {hits['es']}, {hits['de']}, {hits['fr']})"
+    # argmax with lexicographically-greatest tie-break (matches array_max on
+    # struct<hits,lang> in Spark): check fr, es, en, de in that order
+    return (
+        f"CASE WHEN {m} = 0 THEN 'unk' "
+        f"WHEN {hits['fr']} = {m} THEN 'fr' "
+        f"WHEN {hits['es']} = {m} THEN 'es' "
+        f"WHEN {hits['en']} = {m} THEN 'en' "
+        f"ELSE 'de' END"
+    )
+
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> "
+    "CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+
+def _sql_norm(side: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, 65), i -> "
+        f"CAST({side}.embedding[i] AS DOUBLE) * CAST({side}.embedding[i] AS DOUBLE))), "
+        f"(x, y) -> x + y))"
+    )
+
+
+_SQL_COSINE = f"round({_SQL_DOT} / greatest({_sql_norm('a')} * {_sql_norm('b')}, 1e-12), 4)"
+
+
+# ------------------------------------------------------------------- queries
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: keyed CDC diff classification over the derived snapshot pair
+    at sf0.001 (actionable rows only)."""
+    return _diff_classify(spark, "/root/testdata/sf0.001").filter("op <> 'noop'")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- the diff core (J1, A1-A3)
+    q["diff_classify"] = _diff_classify
+    q["diff_summary"] = lambda spark, sf: diff_summary(
+        diff(_src(spark, sf), _dst(spark, sf), EVENT_MODEL)
+    )
+    # flags J5/J6 as join modes
+    q["diff_skip_unmatched_src"] = lambda spark, sf: diff(
+        _src(spark, sf), _dst(spark, sf), EVENT_MODEL,
+        DiffFlags(skip_unmatched_src=True),
+    ).groupBy("op").agg(F.count("*").alias("n"))
+    q["diff_skip_unmatched_dst"] = lambda spark, sf: diff(
+        _src(spark, sf), _dst(spark, sf), EVENT_MODEL,
+        DiffFlags(skip_unmatched_dst=True),
+    ).groupBy("op").agg(F.count("*").alias("n"))
+
+    # --- LWW dedup (window) over a colliding key space
+    def lww(spark, sf):
+        e = _events(spark, sf).select(
+            "user_id",
+            (F.col("event_id") % 100).alias("k"),
+            "event_type",
+            F.col("value").alias("val"),
+            "ts",
+            F.col("event_id").alias("seq"),
+        )
+        w = lww_dedup(e, LWW_MODEL)
+        return w.select(
+            "user_id", "k", "event_type", "val", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "seq",
+        )
+
+    q["lww_dedup"] = lww
+
+    # --- three-way desired state (patch snapshot with changelog winners)
+    def patch(spark, sf):
+        p = patch_snapshot(_src(spark, sf), _changelog(spark, sf), EVENT_MODEL)
+        return p.select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"), F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["patch_snapshot"] = patch
+
+    # --- hierarchy rollup (J3/G1) by the parent key
+    def rollup(spark, sf):
+        d = diff(_src(spark, sf), _dst(spark, sf), EVENT_MODEL)
+        return rollup_diff(d, EVENT_MODEL)
+
+    q["rollup_parent"] = rollup
+
+    # --- ordering (O1): stable rank within parent
+    def order(spark, sf):
+        e = _events(spark, sf).select("user_id", "event_id", "ts")
+        m = ModelSchema(
+            name="e", identifiers=("user_id", "event_id"),
+            attributes=(), parent_key=("user_id",), version_cols=("ts",),
+        )
+        return stable_turn_order(e, m).select(
+            "user_id", "event_id", "turn_rank"
+        )
+
+    q["stable_order"] = order
+
+    # --- keyed lookups (P1, P4, P6, P8)
+    q["point_lookup"] = lambda spark, sf: _events(spark, sf).filter(
+        (F.col("user_id") == 7) & (F.col("event_id") % 50 == 0)
+    ).select("user_id", "event_id", "event_type", F.col("value").alias("val"))
+    q["count_all"] = lambda spark, sf: _events(spark, sf).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    q["uid_concat"] = lambda spark, sf: _events(spark, sf).select(
+        F.concat_ws(
+            "__", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+        ).alias("uid")
+    )
+
+    # --- training-data ops: documents
+    q["exact_dedup_groups"] = lambda spark, sf: _docs(spark, sf).groupBy(
+        normalized_text(F.col("text")).alias("norm")
+    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")).select(
+        "keep_id", "n_dups"
+    )
+    q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        token_count_col(F.coalesce(F.col("text"), F.lit(""))).alias("n_tokens"),
+    )
+    q["quality_score"] = lambda spark, sf: quality_features(
+        _docs(spark, sf).withColumn("text", F.coalesce("text", F.lit("")))
+    ).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+    q["lang_id"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", lang_id(F.coalesce(F.col("text"), F.lit(""))).alias("lang_guess")
+    )
+    q["fingerprint"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id", fingerprint_col(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
+    )
+
+    # --- training-data ops: embeddings
+    def topk(spark, sf):
+        emb = _emb(spark, sf)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        scored = emb.crossJoin(F.broadcast(queries_df)).select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "vec_id", "cosine", "rank")
+        )
+
+    q["cosine_topk"] = topk
+
+    def neardup(spark, sf):
+        emb = _emb(spark, sf).filter(F.col("vec_id") < 200)
+        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.35)
+        )
+
+    q["embedding_neardup"] = neardup
+
+    # --- the real sink: bootstrap + LWW merge, read back final state.
+    # The oracle is the same three-way LWW algebra in pure SQL — this puts the
+    # actual MERGE/tombstone/manifest machinery under the driver's check.
+    def merge_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="merge_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"), F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["merge_state"] = merge_state
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["diff_classify"] = _SQL_DIFF
+    o["diff_summary"] = f"""
+WITH d AS ({_SQL_DIFF})
+SELECT coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS n_create,
+       coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS n_update,
+       coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS n_delete,
+       coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS n_noop
+FROM d"""
+    o["diff_skip_unmatched_src"] = (
+        f"WITH d AS ({_SQL_DIFF}) SELECT op, count(*) AS n FROM d "
+        "WHERE op <> 'create' GROUP BY op"
+    )
+    o["diff_skip_unmatched_dst"] = (
+        f"WITH d AS ({_SQL_DIFF}) SELECT op, count(*) AS n FROM d "
+        "WHERE op <> 'delete' GROUP BY op"
+    )
+    o["lww_dedup"] = """
+WITH e AS (
+  SELECT user_id, event_id % 100 AS k, event_type, value AS val, ts,
+         event_id AS seq,
+         row_number() OVER (PARTITION BY user_id, event_id % 100
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, k, event_type, val, epoch_us(ts) AS ts_us, seq
+FROM e WHERE rn = 1"""
+    _patch_core = f"""
+WITH snap AS ({_SQL_SRC}),
+chg0 AS ({_SQL_CHG}),
+chg AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY user_id, event_id
+                                   ORDER BY ts DESC, seq DESC) AS rn
+    FROM chg0 c) WHERE rn = 1),
+j AS (
+  SELECT s.user_id AS s_uid, s.event_id AS s_eid, s.event_type AS s_et,
+         s.val AS s_val, s.ts AS s_ts,
+         c.user_id AS c_uid, c.event_id AS c_eid, c.event_type AS c_et,
+         c.val AS c_val, c.ts AS c_ts, c.op AS c_op,
+         (c.user_id IS NOT NULL AND (s.user_id IS NULL OR c.ts > s.ts
+            OR c.ts IS NULL OR (c.ts = s.ts))) AS ev_wins
+  FROM snap s FULL OUTER JOIN chg c
+    ON s.user_id = c.user_id AND s.event_id = c.event_id)
+SELECT coalesce(s_uid, c_uid) AS user_id,
+       coalesce(s_eid, c_eid) AS event_id,
+       CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+       round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
+       epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us
+FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
+    o["patch_snapshot"] = _patch_core
+    o["merge_state"] = _patch_core
+    o["rollup_parent"] = f"""
+WITH d AS ({_SQL_DIFF}),
+c AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS n_create,
+         coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS n_update,
+         coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS n_delete,
+         coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS n_noop
+  FROM d GROUP BY user_id)
+SELECT user_id,
+       CASE WHEN n_create = n_create + n_update + n_delete + n_noop THEN 'create'
+            WHEN n_delete = n_create + n_update + n_delete + n_noop THEN 'delete'
+            WHEN n_create + n_update + n_delete > 0 THEN 'update'
+            ELSE 'noop' END AS op,
+       n_create, n_update, n_delete, n_noop
+FROM c"""
+    o["stable_order"] = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id, ts)
+         AS turn_rank
+FROM events"""
+    o["point_lookup"] = (
+        "SELECT user_id, event_id, event_type, value AS val FROM events "
+        "WHERE user_id = 7 AND event_id % 50 = 0"
+    )
+    o["count_all"] = (
+        "SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users FROM events"
+    )
+    o["uid_concat"] = (
+        "SELECT CAST(user_id AS VARCHAR) || '__' || CAST(event_id AS VARCHAR) "
+        "AS uid FROM events"
+    )
+    o["exact_dedup_groups"] = (
+        f"SELECT min(doc_id) AS keep_id, count(*) AS n_dups FROM documents "
+        f"GROUP BY {_norm_sql('text')}"
+    )
+    o["token_count"] = (
+        f"SELECT doc_id, len({_SQL_TOKENS}) AS n_tokens FROM documents"
+    )
+    _sw = STOPWORDS["en"]
+    o["quality_score"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         length(coalesce(text, '')) AS n_chars,
+         len({_SQL_TOKENS}) AS n_tokens,
+         len(regexp_extract_all(coalesce(text, ''), '[^\\w\\s]')) AS n_punct,
+         len(list_filter(list_transform({_SQL_TOKENS}, x -> lower(x)),
+             x -> list_contains({_sw!r}, x))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens,
+       round(n_punct * 1.0 / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       round(
+         least(n_tokens / 64.0, 1.0) * 0.4
+         + least(round(n_stop * 1.0 / greatest(n_tokens, 1), 4) * 4.0, 1.0) * 0.4
+         + (1.0 - least(round(n_punct * 1.0 / greatest(n_chars, 1), 4) * 4.0, 1.0))
+           * 0.2,
+         4) AS quality_score
+FROM t"""
+    o["lang_id"] = f"SELECT doc_id, {_lang_sql()} AS lang_guess FROM documents"
+    fp_expr = fingerprint_sql("coalesce(text, '')")
+    o["fingerprint"] = f"SELECT doc_id, {fp_expr} AS fp FROM documents"
+    o["cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT b.query_id, a.vec_id, {_SQL_COSINE} AS cosine
+  FROM embeddings a CROSS JOIN q b),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
+    o["embedding_neardup"] = f"""
+WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COSINE} AS cosine
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id AND {_SQL_COSINE} >= 0.35"""
+    return o

@@ -1,0 +1,129 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline numbers:
+- ``queries``: wall seconds per headline operator at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1), forced to full materialization via the
+  noop writer (so column pruning can't skip the work).
+- ``events_per_sec``: sustained change-events/sec of the CDC replay — a
+  synthetic transcript changelog (seeded, deterministic) merged into a
+  SnapshotTable in micro-batches; this is the BASELINE.md primary metric.
+
+Config via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_EVENTS (default 200000), SPARK_GRAFT_BENCH_CONVS (2000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "8"))
+
+    from diffsync_spark import build_session, diff, lww_dedup
+    from diffsync_spark import fixtures
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.plans.threeway import patch_snapshot
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import replay_batches
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(
+        master=f"local[{cpus}]",
+        app_name="diffsync_spark_bench",
+        shuffle_partitions=cpus,
+    )
+
+    def noop_write(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- headline operators over the driver sf tables
+    timed("diff_classify", lambda: noop_write(entry_mod._diff_classify(spark, sf_dir)))
+    timed("lww_dedup", lambda: noop_write(entry_mod.queries()["lww_dedup"](spark, sf_dir)))
+    timed(
+        "patch_snapshot",
+        lambda: noop_write(
+            patch_snapshot(
+                entry_mod._src(spark, sf_dir),
+                entry_mod._changelog(spark, sf_dir),
+                entry_mod.EVENT_MODEL,
+            )
+        ),
+    )
+    timed("cosine_topk", lambda: noop_write(entry_mod.queries()["cosine_topk"](spark, sf_dir)))
+    timed(
+        "quality_score",
+        lambda: noop_write(entry_mod.queries()["quality_score"](spark, sf_dir)),
+    )
+    timed(
+        "fingerprint",
+        lambda: noop_write(entry_mod.queries()["fingerprint"](spark, sf_dir)),
+    )
+
+    # --- the CDC replay (primary metric): bootstrap + batched LWW merge
+    src_pdf = fixtures.gen_source(n_convs=n_convs, seed=42, max_len=2000)
+    chg_pdf = fixtures.gen_changelog(src_pdf, n_events=n_events, seed=44)
+    src_df = spark.createDataFrame(src_pdf)
+    chg_dir = tempfile.mkdtemp(prefix="bench_chg_")
+    spark.createDataFrame(chg_pdf).repartition(cpus).write.mode("overwrite").parquet(
+        chg_dir
+    )
+    chg_df = spark.read.parquet(chg_dir)
+    tbl_dir = tempfile.mkdtemp(prefix="bench_tbl_")
+    shutil.rmtree(tbl_dir)
+    # table layout fixed regardless of parallelism so the N-vs-4N scaling
+    # runs execute the identical job (only --master differs)
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
+    table = SnapshotTable.create(
+        spark, tbl_dir, TRANSCRIPT_MODEL, schema=src_df.schema, n_buckets=n_buckets
+    )
+    table.merge(
+        src_df.withColumn("op", F.lit("insert")), mode="force",
+        checkpoint_id="boot", batch_id=0,
+    )
+    total_events = chg_df.count()
+    t0 = time.perf_counter()
+    replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="bench")
+    replay_s = time.perf_counter() - t0
+    timings["replay"] = round(replay_s, 3)
+    events_per_sec = round(total_events / replay_s, 1)
+    final_rows = table.read().count()
+    shutil.rmtree(tbl_dir, ignore_errors=True)
+    shutil.rmtree(chg_dir, ignore_errors=True)
+
+    result = {
+        "metric": "cdc_replay_events_per_sec",
+        "value": events_per_sec,
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "replay_events": total_events,
+        "replay_batches": n_batches,
+        "final_rows": final_rows,
+        "cpus": cpus,
+        "total_sec": round(sum(timings.values()), 3),
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Large-scale training-data pipeline operators.
+
+Not part of the reference's surface (diffsync is a sync library); these are
+the first-class data-processing operators a 100 TB transcript/document lake
+needs alongside CDC ingest: dedup, similarity search, text analysis, and
+multimodal column plumbing. All built Spark-first: JVM expressions where
+possible, Arrow-batched pandas UDFs where bit-math demands it, never
+per-row Python.
+"""
+
+from diffsync_spark.functions.text import (
+    token_count_col,
+    quality_features,
+    lang_id,
+    fingerprint_col,
+)
+from diffsync_spark.functions.dedup import (
+    exact_dedup,
+    ngram_jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    embedding_neardup_pairs,
+)
+from diffsync_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "token_count_col",
+    "quality_features",
+    "lang_id",
+    "fingerprint_col",
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_neardup_pairs",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

@@ -1,0 +1,317 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Shape notes for 100 TB:
+
+- Exact dedup is one hash-groupBy — map-side partial agg, no row explosion.
+- MinHash/LSH never materializes the O(N²) pair space: signatures are row-
+  local expressions; banding explodes to B rows per doc; candidate pairs come
+  from an equi-join on (band, band_hash) — i.e. only within-bucket pairs
+  shuffle. Verification (true Jaccard) runs only on candidates.
+- SimHash uses one Arrow-batched pandas UDF (64-bit math over token hashes is
+  numpy territory); everything around it stays JVM-side.
+- Embedding near-dup reuses the LSH machinery with random-hyperplane sign
+  buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from diffsync_spark.functions.text import tokens_col
+
+BIG = 2_147_483_647  # 2^31 - 1
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group.
+    Hash-groupBy: one shuffle on the normalized text hash."""
+    w = Window.partitionBy(normalized_text(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (distinct)."""
+    toks = tokens_col(normalized_text(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join:
+    explode shingles, self-join on shingle, count common shingles per pair,
+    then Jaccard from per-doc shingle counts. Never a cross join — the join
+    key is the shingle, so only docs sharing a shingle ever meet. At 100 TB
+    add a df-frequency cap on shingles (drop stop-shingles) before the join;
+    kept simple here."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
+    """MinHash signature: per seed i, min over shingles of murmur3(shingle, i).
+    Row-local JVM expression — no shuffle, no Python."""
+    sh = shingles_col(text, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.pmod(F.hash(s, F.lit(i)), F.lit(BIG)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs via MinHash banding, verified with true
+    n-gram Jaccard. rows-per-band r = num_hashes/bands tunes the S-curve
+    (P(candidate) = 1-(1-s^r)^b)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "__text",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(
+                            *[F.element_at("sig", b * r + j + 1) for j in range(r)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "__text", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.__text").alias("ta"),
+            F.col("b.__text").alias("tb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa, sb = shingles_col(F.col("ta"), n), shingles_col(F.col("tb"), n)
+    jac = F.round(
+        F.size(F.array_intersect(sa, sb))
+        / F.greatest(F.size(F.array_union(sa, sb)), F.lit(1)),
+        6,
+    )
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _simhash64_batch(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens — Arrow-batched numpy bit math.
+    Deterministic: FNV-1a token hashes, no RNG."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        out[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(
+            np.uint64
+        )[0]
+    return pd.Series(out.view(np.int64))
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a 64-bit simhash column. Near-dup = small Hamming distance;
+    pair generation piggybacks on banding the hash bytes (split into 4
+    16-bit chunks → docs sharing any chunk are candidates).
+
+    The pandas_udf is created lazily (needs an active session to parse the
+    return type)."""
+    udf = pandas_udf(_simhash64_batch, "long")
+    return df.withColumn("simhash", udf(F.col(text_col)))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs sharing at least one of 4 16-bit simhash chunks
+    (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), verified by exact
+    Hamming distance via bit_count(xor)."""
+    s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+    chunks = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "simhash", "cc.chunk", "cc.ck")
+    pairs = (
+        chunks.alias("a")
+        .join(chunks.alias("b"), ["chunk", "ck"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicates: random-hyperplane LSH buckets (sign
+    signature over n_planes), exact cosine verification within buckets.
+    Hyperplanes are driver-generated literals (seeded, deterministic)."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first.d
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    sig = _plane_signature(F.col(vec_col), planes)
+    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                  sig.alias("bucket"))
+    pairs = (
+        s.alias("a")
+        .join(s.alias("b"), "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("cosine"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs
+
+
+def _plane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit p set iff dot(vec, plane_p) > 0. Built from
+    zip_with dot products — JVM expressions over literal plane arrays."""
+    bits = []
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Exact cosine similarity of two float arrays — one aggregate expression."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return F.round(dot / F.greatest(na * nb, F.lit(1e-12)), 6)

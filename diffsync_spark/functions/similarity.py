@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline. The
+  query set is broadcast (it's small by definition); the corpus streams
+  through one codegen'd projection + a per-query top-k window. Cost O(N·Q·d)
+  FLOPs but ZERO shuffle of the corpus (only k rows per query shuffle for
+  the final ranking).
+- ``lsh_cosine_topk``: the scale path — random-hyperplane buckets with
+  multi-probe (query probes its bucket plus single-bit flips), exact rerank
+  inside probed buckets. Recall tunable via n_planes/probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from diffsync_spark.functions.dedup import _plane_signature, cosine_col
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the queries, score every corpus row,
+    keep k per query. Output: (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", cosine_col(F.col("cv"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    probes: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: corpus rows hash once into sign buckets; each query
+    probes its own bucket plus the ``probes`` nearest single-bit-flip buckets,
+    reranking exactly within probed buckets. At 100 TB the bucketed corpus is
+    written once (partitioned by bucket) and each probe is a partition-pruned
+    scan; here both sides are computed inline."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first().d
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _plane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q0 = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _plane_signature(F.col(vec_col), planes).alias("qbucket"),
+    )
+    # multi-probe: original bucket + single-bit flips of the first `probes` bits
+    probe_buckets = F.array(
+        F.col("qbucket"),
+        *[
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p)).cast("long")
+            for p in range(min(probes, n_planes))
+        ],
+    )
+    q = q0.select(
+        "query_id", "qv", F.explode(probe_buckets).alias("bucket")
+    )
+    scored = (
+        c.join(q, "bucket")
+        .select(
+            "query_id", "vec_id", cosine_col(F.col("cv"), F.col("qv")).alias("cosine")
+        )
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -1,0 +1,116 @@
+"""Text analysis operators — language ID, quality scoring, token counting,
+document fingerprinting. Pure ``pyspark.sql.functions`` column expressions:
+whole-stage codegen end to end, no Python in the data path, and each has an
+ANSI-SQL twin for the DuckDB oracle (same arithmetic, same results).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_SPLIT = r"\s+"
+# BPE-ish word/number/punct segmentation (public GPT-2-style pattern family,
+# simplified to RE2-safe form: word runs, digit runs, single punct marks)
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "mit", "zu", "den"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
+}
+
+FP_MOD = 1_000_000_007
+FP_MUL = 31
+
+
+def tokens_col(text: Column, pattern: str = TOKEN_SPLIT) -> Column:
+    """Whitespace tokens; empty string → empty array (split('') yields [''])."""
+    return F.filter(F.split(F.trim(text), pattern), lambda t: t != "")
+
+
+def token_count_col(text: Column, mode: str = "whitespace") -> Column:
+    """Token count: 'whitespace' split or 'bpe' (BPE-ish regex segmentation
+    via regexp_count — still one JVM expression)."""
+    if mode == "whitespace":
+        return F.size(tokens_col(text))
+    if mode == "bpe":
+        return F.regexp_count(text, F.lit(BPE_ISH))
+    raise ValueError(f"unknown token mode {mode}")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document quality scoring: length, token stats, punctuation/uppercase
+    ratios, English stopword ratio, and a composite [0,1] quality score —
+    the standard pretraining-corpus heuristics, all as column arithmetic."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_chars = F.length(F.coalesce(t, F.lit("")))
+    n_tokens = F.size(toks)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    sw = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(sw)))
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    out = (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", F.round(n_chars / safe_tokens, 4))
+        .withColumn("punct_ratio", F.round(n_punct / safe_chars, 4))
+        .withColumn("upper_ratio", F.round(n_upper / safe_chars, 4))
+        .withColumn("stopword_ratio", F.round(n_stop / safe_tokens, 4))
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(F.col("punct_ratio") * F.lit(4.0), F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: per-language stopword hit-rate argmax over
+    {en, es, de, fr}, with 'unk' when nothing matches. A real system plugs a
+    model in via mapInPandas; this is the cheap JVM-side first pass used for
+    corpus partitioning."""
+    toks = F.transform(tokens_col(text), lambda x: F.lower(x))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda x: x.isin(words))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Deterministic document fingerprint: polynomial rolling hash over
+    whitespace tokens, mixing each token's length and first/last char codes.
+    Engine-portable arithmetic (same result in DuckDB via list_reduce), all
+    mod 1e9+7 so it never overflows BIGINT."""
+    toks = tokens_col(text)
+    tok_val = lambda x: (  # noqa: E731
+        F.length(x) * F.lit(131)
+        + F.ascii(x)
+        + F.ascii(F.substring(x, -1, 1)) * F.lit(7)
+    ).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_MUL + tok_val(x)) % FP_MOD,
+    )
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    """The DuckDB twin of :func:`fingerprint_col` (same arithmetic)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split_regex(trim({text_expr}), '\\s+'), "
+        f"t -> t != ''), "
+        f"t -> CAST(length(t) * 131 + ascii(t) + ascii(t[-1]) * 7 AS BIGINT))), "
+        f"(acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})"
+    )

@@ -218,8 +218,12 @@ class SnapshotTable:
             }
         ids = list(self.model.identifiers)
         version_col = self.model.version_cols[0] if self.model.version_cols else None
+        new_version = man["version"] + 1
+        n_buckets = man["n_buckets"]
+        bucket_src = self.model.parent_key or self.model.identifiers
 
-        # ---- quarantine invalid rows (CONTINUE_ON_FAILURE as a split, M7)
+        # ---- one stats pass: quarantine count + touched buckets (a single
+        # aggregate job instead of separate count()/distinct().collect())
         valid = F.lit(True)
         for k in ids:
             valid = valid & F.col(k).isNotNull()
@@ -228,14 +232,22 @@ class SnapshotTable:
             valid = valid & (
                 F.col(version_col).isNotNull() | (F.lower(F.col("op")) == DELETE_OP)
             )
-        new_version = man["version"] + 1
-        bad = batch.filter(~valid)
-        n_quarantined = bad.count()
+        staged = batch.withColumn("__valid", valid).withColumn(
+            BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
+        )
+        staged.persist()
+        batch = staged
+        stats = batch.agg(
+            F.coalesce(F.sum(F.when(~F.col("__valid"), 1)), F.lit(0)).alias("n_bad"),
+            F.collect_set(F.when(F.col("__valid"), F.col(BUCKET))).alias("buckets"),
+        ).first()
+        n_quarantined = stats.n_bad
+        touched = sorted(stats.buckets)
         if n_quarantined:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(self.path, "quarantine", f"v{new_version}")
-            )
-        batch = batch.filter(valid)
+            batch.filter(~F.col("__valid")).drop("__valid", BUCKET).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(self.path, "quarantine", f"v{new_version}"))
+        batch = batch.filter(F.col("__valid")).drop("__valid")
 
         # ---- LWW dedup: MERGE requires unique source keys
         batch = lww_dedup(batch, self.model)
@@ -243,7 +255,7 @@ class SnapshotTable:
         # ---- schema evolution: widen the stored schema with new batch cols
         public = T.StructType.fromJson(json.loads(man["schema"]))
         known = {f.name for f in public.fields}
-        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET}
+        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid"}
         new_fields = [
             f for f in batch.schema.fields
             if f.name not in known and f.name not in reserved
@@ -252,13 +264,6 @@ class SnapshotTable:
         payload_fields = [f for f in evolved.fields if f.name not in ids]
         payload_cols = [f.name for f in payload_fields]
 
-        n_buckets = man["n_buckets"]
-        bucket_src = self.model.parent_key or self.model.identifiers
-        batch = batch.withColumn(
-            BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
-        )
-        touched = sorted(r[BUCKET] for r in batch.select(BUCKET).distinct().collect())
-
         # ---- current rows of touched buckets only (manifest file pruning),
         # read through the widened schema (old files → nulls for new cols)
         cur_files: list[str] = []
@@ -266,6 +271,7 @@ class SnapshotTable:
             if int(b) in touched:
                 cur_files.extend(fl)
         full = self._full_schema(evolved)
+        empty_target = not cur_files
         if cur_files:
             cur = self.spark.read.schema(full).parquet(*cur_files)
         else:
@@ -282,11 +288,33 @@ class SnapshotTable:
         )
         b_sel.append((F.lower(F.col("op")) == DELETE_OP).alias("__is_delete"))
         b = batch.select(*b_sel).withColumn("__b_present", F.lit(True)).alias("b")
+
+        if empty_target:
+            # bootstrap fast path: nothing to join against — the deduped
+            # batch IS the table (skips the join and the cur-side shuffle)
+            merged = b.select(
+                *ids,
+                *payload_cols,
+                F.col(META_SEQ),
+                F.col("__is_delete").alias(META_DELETED),
+                F.when(~F.col("__is_delete"), F.lit("create"))
+                .otherwise(F.lit("noop"))
+                .alias("__op_class"),
+            ).withColumn(
+                BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
+            )
+            return self._write_commit(
+                merged, man, new_version, touched, n_quarantined, checkpoint_id,
+                batch_id, evolved, staged,
+            )
         c = cur.withColumn("__c_present", F.lit(True)).alias("c")
 
+        # plain equality (quarantine guarantees non-null keys): the join's
+        # hash partitioning then matches the LWW window's, so Catalyst reuses
+        # that exchange instead of shuffling the batch a second time
         cond = None
         for k in ids:
-            e = F.col(f"b.{k}").eqNullSafe(F.col(f"c.{k}"))
+            e = F.col(f"b.{k}") == F.col(f"c.{k}")
             cond = e if cond is None else cond & e
         joined = b.join(c, cond, "full_outer")
 
@@ -330,6 +358,25 @@ class SnapshotTable:
         merged = joined.select(*out_cols).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
+        return self._write_commit(
+            merged, man, new_version, touched, n_quarantined, checkpoint_id,
+            batch_id, evolved, staged,
+        )
+
+    def _write_commit(
+        self,
+        merged: DataFrame,
+        man: dict,
+        new_version: int,
+        touched: list[int],
+        n_quarantined: int,
+        checkpoint_id: str,
+        batch_id: int | None,
+        evolved: T.StructType,
+        staged: DataFrame,
+    ) -> dict[str, Any]:
+        """Materialize the merged frame once (persist), derive per-bucket
+        lineage counts, write the touched buckets, and commit the manifest."""
         merged.persist()
         try:
             per_bucket = {
@@ -348,6 +395,7 @@ class SnapshotTable:
             )
         finally:
             merged.unpersist()
+            staged.unpersist()
 
         # ---- build the new manifest: touched buckets point at new files,
         # untouched buckets keep their old references (copy-on-write)
@@ -402,7 +450,7 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "schema": evolved.json(),
-            "n_buckets": n_buckets,
+            "n_buckets": man["n_buckets"],
             "files": files,
             "checkpoints": checkpoints,
             "lineage": lineage_rows,

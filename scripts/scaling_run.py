@@ -1,0 +1,106 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol).
+
+Runs the identical CDC replay at local[N] and local[4N] on the same
+pre-generated input, reports events/sec at both plus scaling efficiency
+(T_4N / T_N) / 4. Each run is a fresh subprocess (fresh JVM) so no warm
+caches leak between configurations.
+
+Usage: python scripts/scaling_run.py [--events 8000000] [--n 8]
+Writes results JSON to stdout; BENCH/BASELINE.md is updated by hand/driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+RUNNER = r"""
+import json, sys, time, shutil, tempfile
+from pyspark.sql import functions as F
+from diffsync_spark import build_session
+from diffsync_spark.model import TRANSCRIPT_MODEL
+from diffsync_spark.sinks.table import SnapshotTable
+from diffsync_spark.streaming.replay import replay_batches
+
+cpus, src_path, chg_path, n_batches, n_buckets = (
+    int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
+)
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                      app_name=f"scaling_{cpus}")
+src_df = spark.read.parquet(src_path)
+chg_df = spark.read.parquet(chg_path)
+tbl = tempfile.mkdtemp(prefix=f"scale_{cpus}_"); shutil.rmtree(tbl)
+table = SnapshotTable.create(spark, tbl, TRANSCRIPT_MODEL,
+                             schema=src_df.schema, n_buckets=n_buckets)
+table.merge(src_df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+n_events = chg_df.count()
+t0 = time.perf_counter()
+replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="scale")
+dt = time.perf_counter() - t0
+rows = table.read().count()
+shutil.rmtree(tbl, ignore_errors=True)
+print("RESULT " + json.dumps({"cpus": cpus, "events": n_events,
+      "seconds": round(dt, 2), "events_per_sec": round(n_events / dt, 1),
+      "final_rows": rows}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=8_000_000)
+    ap.add_argument("--convs", type=int, default=8000)
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism (4N = big)")
+    args = ap.parse_args()
+
+    work = tempfile.mkdtemp(prefix="scaling_input_")
+    gen = f"""
+import sys
+from diffsync_spark import build_session, fixtures
+spark = build_session(master="local[32]", shuffle_partitions=32, app_name="gen")
+src = fixtures.gen_source(n_convs={args.convs}, seed=42, max_len=2000)
+chg = fixtures.gen_changelog(src, n_events={args.events}, seed=44)
+spark.createDataFrame(src).repartition(32).write.mode("overwrite").parquet("{work}/src")
+spark.createDataFrame(chg).repartition(64).write.mode("overwrite").parquet("{work}/chg")
+spark.stop()
+"""
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
+    subprocess.run([sys.executable, "-c", gen], check=True, env=env,
+                   stderr=subprocess.DEVNULL)
+
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        out = subprocess.run(
+            [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src", f"{work}/chg",
+             str(args.batches), str(args.buckets)],
+            check=True, env=env, capture_output=True, text=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results[cpus] = json.loads(line[len("RESULT "):])
+
+    t_n = results[args.n]["events_per_sec"]
+    t_4n = results[args.n * 4]["events_per_sec"]
+    eff = round((t_4n / t_n) / 4, 3)
+    summary = {
+        "n_cores": args.n,
+        "4n_cores": args.n * 4,
+        "events": results[args.n]["events"],
+        "throughput_n": t_n,
+        "throughput_4n": t_4n,
+        "scaling_efficiency": eff,
+        "runs": results,
+    }
+    print(json.dumps(summary, indent=2))
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
