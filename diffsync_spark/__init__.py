@@ -26,14 +26,18 @@ touches data only through vectorized Arrow batches (never per-row).
 
 from diffsync_spark.model import ModelSchema, TRANSCRIPT_MODEL
 from diffsync_spark.flags import DiffFlags
+from diffsync_spark.engine import Engine
 from diffsync_spark.operators.diff import diff, diff_summary
 from diffsync_spark.operators.lww import lww_dedup
 from diffsync_spark.session import build_session
+from diffsync_spark.sinks.table import SnapshotTable
 
 __all__ = [
     "ModelSchema",
     "TRANSCRIPT_MODEL",
     "DiffFlags",
+    "Engine",
+    "SnapshotTable",
     "diff",
     "diff_summary",
     "lww_dedup",

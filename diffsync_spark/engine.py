@@ -1,0 +1,192 @@
+"""Engine facade — the reference's ``Adapter`` API surface, Spark-native.
+
+A user of networktocode/diffsync drives everything through an ``Adapter``:
+``load / dict / str / diff_from / diff_to / sync_from / sync_to /
+sync_complete / get / get_all / get_by_uids / get_or_none / add / update /
+remove / count`` (``/root/reference/diffsync/__init__.py:431-913``). This
+class exposes the same verbs over a DataFrame source and a SnapshotTable
+destination, so a reference user can port call-site by call-site; each verb
+delegates to the set-based operator documented in SURVEY.md §2.
+
+Per-record mutation verbs (add/update/remove) exist for API parity but are
+driver-side conveniences over one-row MERGEs — the scale path is always a
+batched ``sync_from``/``merge``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from diffsync_spark.errors import ObjectAlreadyExists
+from diffsync_spark.flags import DiffFlags
+from diffsync_spark.model import ModelSchema
+from diffsync_spark.operators import store_ops
+from diffsync_spark.operators.diff import diff, diff_summary, has_diffs
+from diffsync_spark.sinks.table import SnapshotTable
+from diffsync_spark.sources.io import diff_str, to_nested_dict
+
+
+class Engine:
+    """Keyed compare-and-sync over a SnapshotTable destination."""
+
+    def __init__(self, spark: SparkSession, model: ModelSchema, table: SnapshotTable):
+        self.spark = spark
+        self.model = model
+        self.table = table
+
+    # ------------------------------------------------------------ adapters
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        model: ModelSchema,
+        schema,
+        n_buckets: int = 64,
+    ) -> "Engine":
+        return cls(spark, model, SnapshotTable.create(spark, path, model, schema,
+                                                      n_buckets))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, model: ModelSchema) -> "Engine":
+        """Reference ``Adapter.load`` (``__init__.py:532-534``) — attach to an
+        existing destination table."""
+        return cls(spark, model, SnapshotTable.load(spark, path, model))
+
+    # --------------------------------------------------------------- reads
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    def get(self, key: Sequence[Any]) -> dict:
+        return store_ops.get(self.read(), self.model, key)
+
+    def get_or_none(self, key: Sequence[Any]) -> dict | None:
+        return store_ops.get_or_none(self.read(), self.model, key)
+
+    def get_all(self) -> DataFrame:
+        return store_ops.get_all(self.read(), self.model)
+
+    def get_by_uids(self, keys: Sequence[Sequence[Any]]) -> DataFrame:
+        return store_ops.get_by_uids(self.read(), self.model, keys)
+
+    def count(self) -> int:
+        return store_ops.count(self.read())
+
+    def __len__(self) -> int:
+        return self.count()
+
+    def dict(self, max_rows: int = 100_000) -> dict:
+        return to_nested_dict(self.read(), self.model, max_rows)
+
+    # ---------------------------------------------------------------- diff
+    def diff_from(self, source: DataFrame, flags: DiffFlags = DiffFlags(),
+                  ignore: Column | None = None) -> DataFrame:
+        """Ops that would bring THIS table to the source's state
+        (reference ``diff_from``, ``__init__.py:673-696``)."""
+        return diff(source, self.read(), self.model, flags, ignore)
+
+    def diff_to(self, target: DataFrame, flags: DiffFlags = DiffFlags(),
+                ignore: Column | None = None) -> DataFrame:
+        """Mirror image (reference ``diff_to``, ``__init__.py:698-720``)."""
+        return diff(self.read(), target, self.model, flags, ignore)
+
+    def diff_summary(self, source: DataFrame,
+                     flags: DiffFlags = DiffFlags()) -> dict:
+        row = diff_summary(self.diff_from(source, flags)).first()
+        return row.asDict()
+
+    # ---------------------------------------------------------------- sync
+    def sync_from(
+        self,
+        source: DataFrame,
+        flags: DiffFlags = DiffFlags(),
+        diff_df: DataFrame | None = None,
+        batch_id: int | None = None,
+        checkpoint_id: str = "sync",
+    ) -> dict:
+        """Compute (or take a precomputed) diff and apply it — reference
+        ``sync_from`` incl. the ``diff=`` reuse parameter
+        (``__init__.py:577-644``). Fires :meth:`sync_complete` when anything
+        changed (``__init__.py:616-618``)."""
+        d = diff_df if diff_df is not None else self.diff_from(source, flags)
+        result = self.table.apply_diff(d, checkpoint_id=checkpoint_id,
+                                       batch_id=batch_id)
+        if not result.get("skipped") and (
+            result.get("n_create", 0) + result.get("n_update", 0)
+            + result.get("n_delete", 0) > 0
+        ):
+            self.sync_complete(result)
+        return result
+
+    def sync_complete(self, result: dict) -> None:
+        """Post-commit hook (reference ``sync_complete``,
+        ``__init__.py:647-667``). Default: no-op; subclass to export metrics,
+        notify, etc."""
+
+    def converged(self, source: DataFrame) -> bool:
+        """True when re-diff after sync is empty (the reference's convergence
+        test property, tests/unit/test_diffsync.py:576-583)."""
+        return not has_diffs(self.diff_from(source))
+
+    def str(self, source: DataFrame, limit: int = 50) -> str:
+        return diff_str(self.diff_from(source), self.model, limit)
+
+    # ------------------------------------- per-record verbs (parity only)
+    def add(self, record: dict[str, Any], strict: bool = True) -> dict:
+        """Insert one record; with ``strict``, raise ObjectAlreadyExists when
+        a DIFFERENT record already holds the key, and no-op when the identical
+        record does (reference ``store.add``, ``store/local.py:91-113``)."""
+        key = [record[k] for k in self.model.identifiers]
+        if strict:
+            existing = self.get_or_none(key)
+            if existing is not None:
+                same = all(existing.get(k) == v for k, v in record.items())
+                if same:
+                    return {"skipped": True, "reason": "identical record"}
+                raise ObjectAlreadyExists(
+                    f"{self.model.name} {tuple(key)!r} already exists"
+                )
+        return self._one_row_merge(record, "insert")
+
+    def update(self, record: dict[str, Any]) -> dict:
+        """Unconditional single-record upsert (reference ``store.update``,
+        ``store/local.py:115-128``)."""
+        return self._one_row_merge(record, "upsert")
+
+    def remove(self, key: Sequence[Any], remove_children: bool = False) -> dict:
+        """Delete by key; optionally cascade to child rows sharing the parent
+        key (reference ``store.remove``, ``store/__init__.py:84-116``)."""
+        rec = self.get_or_none(key)
+        if rec is None:
+            return {"skipped": True, "reason": "not found"}
+        if remove_children and self.model.parent_key:
+            cond = F.lit(True)
+            for c in self.model.parent_key:
+                cond = cond & (F.col(c) == F.lit(rec[c]))
+            return self.table.delete_where(cond)
+        return self._one_row_merge(rec, "delete")
+
+    def get_or_instantiate(self, record: dict[str, Any]) -> tuple[dict, bool]:
+        """Reference ``get_or_instantiate`` (``store/__init__.py:141-183``):
+        returns (record, created)."""
+        key = [record[k] for k in self.model.identifiers]
+        existing = self.get_or_none(key)
+        if existing is not None:
+            return existing, False
+        self._one_row_merge(record, "insert")
+        return record, True
+
+    def update_or_instantiate(self, record: dict[str, Any]) -> tuple[dict, bool]:
+        """Reference ``update_or_instantiate`` (``store/__init__.py:185-239``)."""
+        key = [record[k] for k in self.model.identifiers]
+        existing = self.get_or_none(key)
+        self._one_row_merge(record, "upsert")
+        return record, existing is None
+
+    def _one_row_merge(self, record: dict[str, Any], op: str) -> dict:
+        public = self.table.schema()
+        row = {f.name: record.get(f.name) for f in public.fields}
+        df = self.spark.createDataFrame([row], public).withColumn("op", F.lit(op))
+        return self.table.merge(df, checkpoint_id="record_verbs", mode="force")

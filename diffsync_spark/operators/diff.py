@@ -91,9 +91,14 @@ def diff(
     s = source.select(*ids, *src_payload).withColumn(_SRC_MARK, F.lit(True)).alias("s")
     d = target.select(*ids, *dst_payload).withColumn(_DST_MARK, F.lit(True)).alias("d")
 
+    # plain equality on the natural key: identifiers are non-null by contract
+    # (the reference's uid is built from them, __init__.py:319-325; our merge
+    # path quarantines null-key rows). eqNullSafe would compile to
+    # coalesce/isnull composite shuffle keys, defeating exchange reuse when
+    # the diff is chained after a window or another join on the same key.
     cond = None
     for k in ids:
-        c = F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}"))
+        c = F.col(f"s.{k}") == F.col(f"d.{k}")
         cond = c if cond is None else cond & c
     joined = s.join(d, cond, flags.join_how)
 

@@ -46,9 +46,12 @@ def patch_snapshot(
 
     s = source.withColumn("__s_here", F.lit(True)).alias("s")
     e = latest.withColumn("__e_here", F.lit(True)).alias("e")
+    # plain equality: non-null keys by contract (see operators/diff.py); the
+    # LWW window and this join then share one hash partitioning, so the
+    # changelog side shuffles once, not twice
     cond = None
     for k in ids:
-        eq = F.col(f"s.{k}").eqNullSafe(F.col(f"e.{k}"))
+        eq = F.col(f"s.{k}") == F.col(f"e.{k}")
         cond = eq if cond is None else cond & eq
     j = s.join(e, cond, "full_outer")
 

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from diffsync_spark.engine import Engine
+from diffsync_spark.errors import ObjectAlreadyExists
+from diffsync_spark.model import TRANSCRIPT_MODEL
+
+
+@pytest.fixture()
+def engine(spark, tmp_path, target_df):
+    e = Engine.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=8,
+    )
+    e.table.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+                  checkpoint_id="boot", batch_id=0)
+    return e
+
+
+def test_sync_from_and_convergence(engine, source_df):
+    assert not engine.converged(source_df)
+    res = engine.sync_from(source_df, batch_id=1)
+    assert res["n_create"] > 0
+    assert engine.converged(source_df)
+    # reference symmetry: diff_to(source) after convergence is also empty
+    assert engine.diff_to(source_df).filter("op <> 'noop'").count() == 0
+
+
+def test_sync_complete_hook(engine, source_df):
+    calls = []
+
+    class E2(Engine):
+        def sync_complete(self, result):
+            calls.append(result)
+
+    e2 = E2(engine.spark, engine.model, engine.table)
+    e2.sync_from(source_df, batch_id=7)
+    assert len(calls) == 1 and calls[0]["n_create"] > 0
+    # converged now → second sync applies nothing → hook NOT fired
+    e2.sync_from(source_df, batch_id=8)
+    assert len(calls) == 1
+
+
+def test_record_verbs(engine):
+    rec = {"conv_id": "conv_zz", "turn_idx": 0, "role": "user",
+           "text": "hi", "tool": None,
+           "ts": __import__("datetime").datetime(2024, 6, 1)}
+    engine.add(rec)
+    assert engine.get(("conv_zz", 0))["text"] == "hi"
+    # idempotent same-record add → no-op; different record → raises
+    assert engine.add(rec)["skipped"]
+    with pytest.raises(ObjectAlreadyExists):
+        engine.add({**rec, "text": "other"})
+    engine.update({**rec, "text": "edited"})
+    assert engine.get(("conv_zz", 0))["text"] == "edited"
+    got, created = engine.get_or_instantiate(rec)
+    assert not created and got["text"] == "edited"
+    engine.remove(("conv_zz", 0))
+    assert engine.get_or_none(("conv_zz", 0)) is None
+
+
+def test_remove_cascade(engine, target_df):
+    victim = target_df.first()
+    n_turns = engine.read().filter(F.col("conv_id") == victim.conv_id).count()
+    assert n_turns > 1
+    engine.remove((victim.conv_id, victim.turn_idx), remove_children=True)
+    assert engine.read().filter(F.col("conv_id") == victim.conv_id).count() == 0
