@@ -152,9 +152,10 @@ def gen_changelog(
     ts = np.where(tie & (seq > 0), np.roll(ts, 1), ts)
 
     role = ROLES[rng.integers(0, 3, n_events)].astype(object)
-    text = np.array(
-        [f"{c}-t{t}-e{s}" for c, t, s in zip(conv_id, turn_idx, seq)], dtype=object
-    )
+    text = np.char.add(
+        np.char.add(conv_id.astype("U16"), np.char.add("-t", turn_idx.astype("U10"))),
+        np.char.add("-e", seq.astype("U12")),
+    ).astype(object)
     tool = np.where(rng.random(n_events) < 0.1,
                     TOOLS[rng.integers(0, len(TOOLS), n_events)], None)
     deletes = op == "delete"
@@ -192,3 +193,93 @@ def evolve(df: pd.DataFrame, seed: int = 45) -> pd.DataFrame:
     ids = np.array([f"call_{i:08d}" for i in range(len(out))], dtype=object)
     out["tool_call_id"] = np.where(has_tool, ids, None)
     return out
+
+
+# --------------------------------------------------------------------------
+# Spark-side distributed generators (bench scale). The pandas generators
+# above stay the differential-test fixtures; these produce arbitrarily large
+# deterministic inputs without ever materializing rows on the driver —
+# everything is column expressions over spark.range(), so a 10^8-event
+# changelog generates in parallel across executors.
+# --------------------------------------------------------------------------
+
+def gen_source_spark(spark, n_convs: int = 100_000, turns_per_conv: int = 20,
+                     text_bytes: int = 256):
+    """Deterministic snapshot: n_convs × turns_per_conv keyed rows with
+    realistic transcript-sized text payloads."""
+    from pyspark.sql import functions as F
+
+    n = n_convs * turns_per_conv
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    reps = max(1, text_bytes // len(filler))
+    df = spark.range(n).select(
+        F.concat(
+            F.lit("conv_"),
+            F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 8, "0"),
+        ).alias("conv_id"),
+        F.pmod(F.col("id"), F.lit(turns_per_conv)).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"),
+        ).alias("role"),
+        F.concat(
+            F.lit("v0-"), F.col("id").cast("string"), F.lit("-"),
+            F.lit(filler * reps),
+        ).alias("text"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(5)) == 0, F.lit("search"))
+        .alias("tool"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(secs=(F.col("id") / turns_per_conv).cast("long")
+                              * 3600 + F.pmod(F.col("id"), F.lit(turns_per_conv))
+                              * 60)
+        ).alias("ts"),
+    )
+    return df
+
+
+def gen_changelog_spark(spark, n_events: int, n_convs: int = 100_000,
+                        turns_per_conv: int = 20, text_bytes: int = 256,
+                        hot_fraction: float = 0.3, seed: int = 7):
+    """Deterministic CDC stream over the gen_source_spark keyspace: ~10%
+    deletes, duplicate keys, late events, and a hot-key skew (hot_fraction of
+    events target 5 conversations) — all as column expressions."""
+    from pyspark.sql import functions as F
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    reps = max(1, text_bytes // len(filler))
+    h = lambda k: F.pmod(F.xxhash64(F.col("id"), F.lit(seed + k)), F.lit(1_000_000))  # noqa: E731
+    is_hot = h(0) < int(hot_fraction * 1_000_000)
+    conv_idx = F.when(is_hot, F.pmod(h(1), F.lit(5))).otherwise(
+        F.pmod(h(2), F.lit(n_convs))
+    )
+    turn_idx = F.pmod(h(3), F.lit(turns_per_conv + 5))  # some brand-new keys
+    is_delete = h(4) < 100_000  # 10%
+    is_late = h(5) < 100_000
+    df = spark.range(n_events).select(
+        F.col("id").alias("seq"),
+        F.when(is_delete, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.concat(F.lit("conv_"), F.lpad(conv_idx.cast("string"), 8, "0")).alias(
+            "conv_id"
+        ),
+        turn_idx.cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+            (F.pmod(h(6), F.lit(3)) + 1).cast("int"),
+        ).alias("role"),
+        F.when(
+            ~is_delete,
+            F.concat(F.lit("e"), F.col("id").cast("string"), F.lit("-"),
+                     F.lit(filler * reps)),
+        ).alias("text"),
+        F.when(F.pmod(h(7), F.lit(10)) == 0, F.lit("python")).alias("tool"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(
+                secs=conv_idx * 3600
+                + F.when(is_late, -(F.pmod(h(8), F.lit(5000)) + 1))
+                .otherwise(F.pmod(h(9), F.lit(100_000)) + 61)
+            )
+        ).alias("ts"),
+    )
+    return df

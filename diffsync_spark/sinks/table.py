@@ -232,17 +232,20 @@ class SnapshotTable:
             valid = valid & (
                 F.col(version_col).isNotNull() | (F.lower(F.col("op")) == DELETE_OP)
             )
-        staged = batch.withColumn("__valid", valid).withColumn(
+        # no persist: the batch is scanned twice (stats agg + the MERGE write)
+        # but both are cheap columnar reads — caching would pay the in-memory
+        # columnar RLE encode/decode, which profiling showed dominating CPU
+        # for wide text payloads (and evicting under pressure → recompute)
+        batch = batch.withColumn("__valid", valid).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
-        staged.persist()
-        batch = staged
-        stats = batch.agg(
+        stats = batch.groupBy(BUCKET).agg(
             F.coalesce(F.sum(F.when(~F.col("__valid"), 1)), F.lit(0)).alias("n_bad"),
-            F.collect_set(F.when(F.col("__valid"), F.col(BUCKET))).alias("buckets"),
-        ).first()
-        n_quarantined = stats.n_bad
-        touched = sorted(stats.buckets)
+            F.coalesce(F.sum(F.when(F.col("__valid"), 1)), F.lit(0)).alias("n_ok"),
+        ).collect()
+        n_quarantined = sum(r.n_bad for r in stats)
+        touched = sorted(r[BUCKET] for r in stats if r.n_ok > 0)
+        batch_rows = {r[BUCKET]: r.n_ok for r in stats if r.n_ok > 0}
         if n_quarantined:
             batch.filter(~F.col("__valid")).drop("__valid", BUCKET).write.mode(
                 "overwrite"
@@ -305,7 +308,7 @@ class SnapshotTable:
             )
             return self._write_commit(
                 merged, man, new_version, touched, n_quarantined, checkpoint_id,
-                batch_id, evolved, staged,
+                batch_id, evolved, batch_rows,
             )
         c = cur.withColumn("__c_present", F.lit(True)).alias("c")
 
@@ -360,7 +363,7 @@ class SnapshotTable:
         )
         return self._write_commit(
             merged, man, new_version, touched, n_quarantined, checkpoint_id,
-            batch_id, evolved, staged,
+            batch_id, evolved, batch_rows,
         )
 
     def _write_commit(
@@ -373,29 +376,61 @@ class SnapshotTable:
         checkpoint_id: str,
         batch_id: int | None,
         evolved: T.StructType,
-        staged: DataFrame,
+        batch_rows: dict[int, int] | None = None,
     ) -> dict[str, Any]:
-        """Materialize the merged frame once (persist), derive per-bucket
-        lineage counts, write the touched buckets, and commit the manifest."""
-        merged.persist()
-        try:
-            per_bucket = {
-                (r[BUCKET], r["__op_class"]): r["n"]
-                for r in merged.groupBy(BUCKET, "__op_class").agg(
-                    F.count("*").alias("n")
-                ).collect()
-            }
-            data_dir = os.path.join(self.path, "data", f"v{new_version}")
-            (
-                merged.drop("__op_class")
-                .repartition(max(len(touched), 1), BUCKET)
-                .write.mode("overwrite")
-                .partitionBy(BUCKET)
-                .parquet(data_dir)
+        """Single-pass commit: write the merged frame (op classification rides
+        along as a tiny extra column the readers' explicit schema ignores),
+        then derive per-bucket lineage counts from the WRITTEN files — a
+        columnar scan of two small columns. No persist: caching the wide
+        merged frame paid the in-memory columnar RLE encode/decode (dominant
+        CPU in profiles) and recomputed the join on eviction.
+
+        Salted write partitioning (the north rule's "salted key-partitioned
+        MERGE"): one-writer-per-bucket straggles when a hot conversation's
+        bucket holds a large share of the batch. Each bucket gets
+        ``splits[b] = ceil(estimated_rows / target)`` writer slots; rows are
+        hashed to slot ``offset[b] + xxhash64(natural key) % splits[b]``, so
+        hot buckets fan out over several tasks (a few files each, bounded)
+        while cold buckets stay single-file. Estimates = this batch's
+        per-bucket row counts + the previous snapshot's stored per-bucket
+        sizes (``bucket_rows`` in the manifest)."""
+        data_dir = os.path.join(self.path, "data", f"v{new_version}")
+        cur_rows = {int(b): n for b, n in man.get("bucket_rows", {}).items()}
+        est = {
+            b: (batch_rows or {}).get(b, 0) + cur_rows.get(b, 0) for b in touched
+        }
+        total_est = sum(est.values()) or 1
+        parallelism = self.spark.sparkContext.defaultParallelism
+        target = max(total_est // max(parallelism * 2, 1), 25_000)
+        splits = {b: max(1, min(-(-n // target), 64)) for b, n in est.items()}
+        offsets, acc = {}, 0
+        for b in touched:
+            offsets[b] = acc
+            acc += splits[b]
+        if touched and max(splits.values()) > 1:
+            off_map = F.create_map(
+                *[x for b in touched for x in (F.lit(b), F.lit(offsets[b]))]
             )
-        finally:
-            merged.unpersist()
-            staged.unpersist()
+            split_map = F.create_map(
+                *[x for b in touched for x in (F.lit(b), F.lit(splits[b]))]
+            )
+            slot = (
+                off_map[F.col(BUCKET)]
+                + F.pmod(
+                    F.xxhash64(*self.model.identifiers), split_map[F.col(BUCKET)]
+                )
+            ).cast("int")
+            out = merged.repartition(max(acc, 1), slot)
+        else:
+            out = merged.repartition(max(len(touched), 1), BUCKET)
+        out.write.mode("overwrite").partitionBy(BUCKET).parquet(data_dir)
+        per_bucket: dict[tuple[int, str], int] = {}
+        if touched:
+            written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
+            for r in (
+                written.groupBy(BUCKET, "__op_class").agg(F.count("*").alias("n"))
+            ).collect():
+                per_bucket[(r[BUCKET], r["__op_class"])] = r["n"]
 
         # ---- build the new manifest: touched buckets point at new files,
         # untouched buckets keep their old references (copy-on-write)
@@ -445,6 +480,15 @@ class SnapshotTable:
         checkpoints = dict(man["checkpoints"])
         if batch_id is not None:
             checkpoints[checkpoint_id] = batch_id
+        bucket_rows = {
+            b: n for b, n in man.get("bucket_rows", {}).items()
+            if int(b) not in touched
+        }
+        for bk in touched:
+            bucket_rows[str(bk)] = sum(
+                per_bucket.get((bk, o), 0)
+                for o in ("create", "update", "delete", "noop")
+            )
         manifest = {
             "version": new_version,
             "snapshot_id": snapshot_id,
@@ -454,6 +498,7 @@ class SnapshotTable:
             "files": files,
             "checkpoints": checkpoints,
             "lineage": lineage_rows,
+            "bucket_rows": bucket_rows,
         }
         self._commit(manifest)
         totals = {

@@ -20,7 +20,7 @@ import sys
 import tempfile
 
 RUNNER = r"""
-import json, sys, time, shutil, tempfile
+import json, os, sys, time, shutil, tempfile
 from pyspark.sql import functions as F
 from diffsync_spark import build_session
 from diffsync_spark.model import TRANSCRIPT_MODEL
@@ -30,8 +30,11 @@ from diffsync_spark.streaming.replay import replay_batches
 cpus, src_path, chg_path, n_batches, n_buckets = (
     int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
 )
+work = os.path.dirname(src_path)
+tempfile.tempdir = work  # table + shuffle co-located with the input (tmpfs)
 spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus,
-                      app_name=f"scaling_{cpus}")
+                      app_name=f"scaling_{cpus}",
+                      extra_conf={"spark.local.dir": f"{work}/sparktmp_{cpus}"})
 src_df = spark.read.parquet(src_path)
 chg_df = spark.read.parquet(chg_path)
 tbl = tempfile.mkdtemp(prefix=f"scale_{cpus}_"); shutil.rmtree(tbl)
@@ -59,44 +62,56 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--n", type=int, default=8, help="small parallelism (4N = big)")
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--text-bytes", type=int, default=256, dest="text_bytes")
     args = ap.parse_args()
 
-    work = tempfile.mkdtemp(prefix="scaling_input_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="scaling_input_", dir=base)
     gen = f"""
 import sys
 from diffsync_spark import build_session, fixtures
 spark = build_session(master="local[32]", shuffle_partitions=32, app_name="gen")
-src = fixtures.gen_source(n_convs={args.convs}, seed=42, max_len=2000)
-chg = fixtures.gen_changelog(src, n_events={args.events}, seed=44)
-spark.createDataFrame(src).repartition(32).write.mode("overwrite").parquet("{work}/src")
-spark.createDataFrame(chg).repartition(64).write.mode("overwrite").parquet("{work}/chg")
+src = fixtures.gen_source_spark(spark, n_convs={args.convs},
+                                turns_per_conv=20, text_bytes={args.text_bytes})
+chg = fixtures.gen_changelog_spark(spark, {args.events}, n_convs={args.convs},
+                                   turns_per_conv=20, text_bytes={args.text_bytes})
+src.repartition(32).write.mode("overwrite").parquet("{work}/src")
+chg.repartition(64).write.mode("overwrite").parquet("{work}/chg")
 spark.stop()
 """
     env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__)))}
     subprocess.run([sys.executable, "-c", gen], check=True, env=env,
                    stderr=subprocess.DEVNULL)
 
-    results = {}
-    for cpus in (args.n, args.n * 4):
-        out = subprocess.run(
-            [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src", f"{work}/chg",
-             str(args.batches), str(args.buckets)],
-            check=True, env=env, capture_output=True, text=True,
-        )
-        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
-        results[cpus] = json.loads(line[len("RESULT "):])
+    # interleaved repeats (N, 4N, N, 4N, ...) with best-of per config: local
+    # benchmarking is noisy (page cache, JIT, background activity); the best
+    # run is the least-contended measurement of the same deterministic job
+    all_runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
+    for _ in range(args.repeats):
+        for cpus in (args.n, args.n * 4):
+            out = subprocess.run(
+                [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src",
+                 f"{work}/chg", str(args.batches), str(args.buckets)],
+                check=True, env=env, capture_output=True, text=True,
+            )
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("RESULT ")][-1]
+            all_runs[cpus].append(json.loads(line[len("RESULT "):]))
 
-    t_n = results[args.n]["events_per_sec"]
-    t_4n = results[args.n * 4]["events_per_sec"]
+    best = {c: max(rs, key=lambda r: r["events_per_sec"])
+            for c, rs in all_runs.items()}
+    t_n = best[args.n]["events_per_sec"]
+    t_4n = best[args.n * 4]["events_per_sec"]
     eff = round((t_4n / t_n) / 4, 3)
     summary = {
         "n_cores": args.n,
         "4n_cores": args.n * 4,
-        "events": results[args.n]["events"],
+        "events": best[args.n]["events"],
         "throughput_n": t_n,
         "throughput_4n": t_4n,
         "scaling_efficiency": eff,
-        "runs": results,
+        "all_runs": all_runs,
     }
     print(json.dumps(summary, indent=2))
     shutil.rmtree(work, ignore_errors=True)
