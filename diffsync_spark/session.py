@@ -52,6 +52,11 @@ def build_session(
         .config("spark.storage.memoryMapThreshold", "1g")
         .config("spark.shuffle.io.memoryMapBytes", "1g")
         .config("spark.files.io.memoryMapBytes", "1g")
+        # always use the serialized sort shuffle: the bypass-merge writer
+        # opens (map tasks x reduce partitions) files per shuffle, and the
+        # create/close syscall storm serializes at high task concurrency
+        # (measured 3x slower at local[32] on 4M-row batches)
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )

@@ -64,6 +64,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism (4N = big)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--text-bytes", type=int, default=256, dest="text_bytes")
+    ap.add_argument("--mem-per-core", type=int, default=2, dest="mem_per_core")
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -90,10 +91,16 @@ spark.stop()
     all_runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
     for _ in range(args.repeats):
         for cpus in (args.n, args.n * 4):
+            # constant memory PER CORE: the cluster criterion is N → 4N
+            # executors (4x total memory); a fixed heap at 4x threads would
+            # instead measure memory starvation (1/4 the sort memory per
+            # task → spill), which no real cluster scale-up exhibits
+            run_env = {**env,
+                       "SPARK_DRIVER_MEMORY": f"{args.mem_per_core * cpus}g"}
             out = subprocess.run(
                 [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src",
                  f"{work}/chg", str(args.batches), str(args.buckets)],
-                check=True, env=env, capture_output=True, text=True,
+                check=True, env=run_env, capture_output=True, text=True,
             )
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("RESULT ")][-1]
