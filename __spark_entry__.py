@@ -393,10 +393,10 @@ def oracle_sql() -> dict[str, str]:
     o["diff_classify"] = _SQL_DIFF
     o["diff_summary"] = f"""
 WITH d AS ({_SQL_DIFF})
-SELECT coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS n_create,
-       coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS n_update,
-       coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS n_delete,
-       coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS n_noop
+SELECT CAST(coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS BIGINT) AS n_create,
+       CAST(coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS BIGINT) AS n_update,
+       CAST(coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS BIGINT) AS n_delete,
+       CAST(coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS BIGINT) AS n_noop
 FROM d"""
     o["diff_skip_unmatched_src"] = (
         f"WITH d AS ({_SQL_DIFF}) SELECT op, count(*) AS n FROM d "
@@ -444,10 +444,10 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
 WITH d AS ({_SQL_DIFF}),
 c AS (
   SELECT user_id,
-         coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS n_create,
-         coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS n_update,
-         coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS n_delete,
-         coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS n_noop
+         CAST(coalesce(sum(CASE WHEN op = 'create' THEN 1 END), 0) AS BIGINT) AS n_create,
+         CAST(coalesce(sum(CASE WHEN op = 'update' THEN 1 END), 0) AS BIGINT) AS n_update,
+         CAST(coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS BIGINT) AS n_delete,
+         CAST(coalesce(sum(CASE WHEN op = 'noop' THEN 1 END), 0) AS BIGINT) AS n_noop
   FROM d GROUP BY user_id)
 SELECT user_id,
        CASE WHEN n_create = n_create + n_update + n_delete + n_noop THEN 'create'

@@ -42,8 +42,15 @@ def lww_dedup(
             order_cols = order_cols + ("seq",)
     if not order_cols:
         raise ValueError("lww_dedup needs version/order columns")
+    # desc_nulls_FIRST: a null version only occurs on deletes (merge()
+    # quarantines null-version upserts), and the cross-batch rule
+    # (SnapshotTable.merge / patch_snapshot) treats a null-ts delete as
+    # always-newest ("explicit admin delete"). The in-batch tie rule must
+    # match, or a null-ts delete + update for the same key converges to a
+    # different state depending on whether they share a batch — violating
+    # batching invariance (tested: test_batching_invariance_null_ts_delete).
     w = Window.partitionBy(*model.identifiers).orderBy(
-        *[F.col(c).desc_nulls_last() for c in order_cols]
+        *[F.col(c).desc_nulls_first() for c in order_cols]
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -103,7 +103,12 @@ class OracleStore:
 
     def apply_event(self, row: dict[str, Any]) -> None:
         key = tuple(row[c] for c in self.id_cols)
-        version = (row["ts"], row["seq"])
+        ts = row["ts"]
+        if row["op"] == "delete" and _is_na(ts):
+            # null-ts delete = always-newest permanent tombstone, matching
+            # SnapshotTable.merge and lww_dedup (desc_nulls_first)
+            ts = pd.Timestamp.max
+        version = (ts, row["seq"])
         if key in self.versions and version <= self.versions[key]:
             return  # older writer (or exact duplicate) loses
         self.versions[key] = version

@@ -232,6 +232,10 @@ class SnapshotTable:
             valid = valid & (
                 F.col(version_col).isNotNull() | (F.lower(F.col("op")) == DELETE_OP)
             )
+        # NULL op makes the predicate NULL, which filter() treats as false on
+        # BOTH sides (neither applied nor quarantined) — coalesce so a NULL-op
+        # row is firmly invalid and lands in quarantine, not the void.
+        valid = F.coalesce(valid, F.lit(False))
         # no persist: the batch is scanned twice (stats agg + the MERGE write)
         # but both are cheap columnar reads — caching would pay the in-memory
         # columnar RLE encode/decode, which profiling showed dominating CPU

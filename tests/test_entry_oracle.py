@@ -59,6 +59,14 @@ def test_query_matches_oracle(spark, duck, name):
     )
     assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
     for c in got.columns:
+        # the driver's value hash is dtype-aware: an int-vs-float/HUGEINT
+        # mismatch fails its gate even when values are equal (round-1
+        # diff_summary/rollup_parent lesson) — astype(str) below would hide it
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        assert gk == wk or {gk, wk} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {gk!r} != oracle {wk!r}"
+        )
+    for c in got.columns:
         a, b = got[c], want[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa = pd.to_numeric(a, errors="coerce")

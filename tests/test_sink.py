@@ -3,6 +3,8 @@ oracle, lineage, compaction, time travel."""
 
 from __future__ import annotations
 
+import datetime
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -99,6 +101,46 @@ def test_batching_invariance(spark, tmp_path, target_df, changelog_df):
     t2 = _bootstrap(spark, tmp_path / "b", target_df)
     replay_batches(t2, changelog_df, n_batches=13, checkpoint_id="b")
     pd.testing.assert_frame_equal(_state(t1), _state(t2))
+
+
+def test_batching_invariance_null_ts_delete(spark, tmp_path, target_df):
+    """A null-ts delete + a later-seq update for the same key must converge
+    to the same state whether they share a batch or not: the null-ts delete
+    is always-newest (cross-batch rule in merge(); in-batch rule is
+    lww_dedup's desc_nulls_first). Regression for the round-1 advice."""
+    first = target_df.first()
+    key = (first.conv_id, first.turn_idx)
+    events = spark.createDataFrame(
+        [(key[0], key[1], None, None, None, None, "delete", 10),
+         (key[0], key[1], "user", "late-update", None,
+          datetime.datetime(2030, 1, 1), "update", 11)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    t1 = _bootstrap(spark, tmp_path / "one", target_df)
+    t1.merge(events, checkpoint_id="x", batch_id=1)          # same batch
+    t2 = _bootstrap(spark, tmp_path / "two", target_df)
+    t2.merge(events.filter("op = 'delete'"), checkpoint_id="x", batch_id=1)
+    t2.merge(events.filter("op = 'update'"), checkpoint_id="x", batch_id=2)
+    s1, s2 = _state(t1), _state(t2)
+    pd.testing.assert_frame_equal(s1, s2)
+    # and the delete won in both: the key is gone
+    assert not ((s1.conv_id == key[0]) & (s1.turn_idx == key[1])).any()
+
+
+def test_null_op_quarantined(spark, tmp_path, target_df):
+    """A NULL op must land in quarantine, not vanish (NULL predicate is
+    excluded by both filter(p) and filter(~p)). Regression for round-1 advice."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    batch = spark.createDataFrame(
+        [("conv_000001", 1, "user", "no-op-col", None,
+          datetime.datetime(2030, 1, 1), None, 1)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    res = table.merge(batch, checkpoint_id="nullop", batch_id=1)
+    assert res["n_quarantined"] == 1
+    assert res.get("n_update", 0) == 0 and res.get("n_create", 0) == 0
 
 
 def test_schema_evolution_merge(spark, tmp_path, source_pdf, source_df):
