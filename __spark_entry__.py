@@ -28,7 +28,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from diffsync_spark.flags import DiffFlags
-from diffsync_spark.functions.dedup import cosine_col, exact_dedup, normalized_text
+from diffsync_spark.functions.dedup import (
+    content_key,
+    cosine_col,
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalized_text,
+    simhash_neardup_pairs,
+)
+from diffsync_spark.functions.similarity import cosine_topk, lsh_cosine_topk
 from diffsync_spark.functions.text import (
     fingerprint_col,
     fingerprint_sql,
@@ -209,6 +219,142 @@ def _sql_norm(side: str) -> str:
 
 
 _SQL_COSINE = f"round({_SQL_DOT} / greatest({_sql_norm('a')} * {_sql_norm('b')}, 1e-12), 4)"
+# round-6 twin: the library's cosine_col rounds to 6 (ranking happens on this
+# value); entries emit round(·, 4) on top for hash robustness
+_SQL_COSINE6 = f"round({_SQL_DOT} / greatest({_sql_norm('a')} * {_sql_norm('b')}, 1e-12), 6)"
+
+
+# --- DuckDB twins of the near-dup machinery ---------------------------------
+# word-3-gram shingles over normalized text, matching functions/dedup.py
+# shingles_col exactly (distinct; whole-text fallback when < n tokens)
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(
+             regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ', 'g'),
+             '\\s+'), t -> t != '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+             list_distinct(list_transform(range(1, len(tk) - 1),
+                                          i -> array_to_string(tk[i:i+2], ' ')))
+         ELSE [array_to_string(tk, ' ')] END AS sh
+  FROM toks)"""
+
+# brute-force exact-Jaccard pair set via an inverted-index join (never a cross
+# join). Serves as the oracle for BOTH ngram_jaccard_pairs (df-cap inactive at
+# 500 docs) and minhash_lsh_pairs: at the fixture's pair distribution (min true
+# jaccard 0.90) banding recall is 1 - (1 - 0.9^4)^16 ≈ 1 - 4e-8, and Spark's
+# murmur3 is deterministic, so equality locally == equality in the driver.
+_SQL_JACCARD_PAIRS = f"""
+WITH {_SQL_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM inv a JOIN inv b USING (g) WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(len(list_intersect(sa.sh, sb.sh)) * 1.0
+               / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1),
+               6) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7"""
+
+# 64-bit FNV-1a per token in HUGEINT modular arithmetic (xor folded through
+# the low byte since per-byte xor only touches 8 bits), then the SimHash
+# majority vote with the same bit layout as functions/dedup.py
+# _simhash64_batch (output bit k = sign of token-hash bit 63-k) — verified
+# bit-for-bit against the Spark pandas UDF on sf0.001 and sf0.01.
+_SQL_FNV = (
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
+    "list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)), "
+    "(h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) "
+    "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+)
+_SQL_P2 = "[" + ", ".join(str(1 << (63 - j)) for j in range(64)) + "]::HUGEINT[]"
+_SQL_SIMHASH_PAIRS = f"""
+WITH th AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                               '\\s+'), t -> t != '')) AS t
+  FROM documents),
+fh AS (SELECT doc_id, {_SQL_FNV} AS h FROM th),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(CASE WHEN (h // ({_SQL_P2})[64 - j]) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN ({_SQL_P2})[j + 1] ELSE 0::HUGEINT END AS contrib
+  FROM fh, range(64) r(j) GROUP BY doc_id, j),
+sh0 AS (SELECT doc_id, sum(contrib) AS s FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id,
+         coalesce(CAST(CASE WHEN s.s >= 9223372036854775808::HUGEINT
+                            THEN s.s - 18446744073709551616::HUGEINT
+                            ELSE s.s END AS BIGINT), 0) AS simhash
+  FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
+
+
+def _plane_sql(side: str, planes) -> str:
+    """DuckDB twin of dedup._plane_signature: same seeded plane literals
+    (embedded at full double precision), same sequential fold order, same
+    strict > 0 sign test — so bucket ids match Spark's bit-for-bit."""
+    terms = []
+    for p, plane in enumerate(planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+        dot = (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
+            f"i -> CAST({side}.embedding[i] AS DOUBLE) * ({arr})[i])), "
+            f"(x, y) -> x + y)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+def _lsh_topk_sql(k: int = 5, n_planes: int = 12, probes: int = 4, seed: int = 42) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, 64))
+    probe_list = "[qbucket, " + ", ".join(
+        f"xor(qbucket, {1 << p})" for p in range(min(probes, n_planes))
+    ) + "]"
+    return f"""
+WITH c AS (SELECT vec_id, embedding, {_plane_sql('embeddings', planes)} AS bucket
+           FROM embeddings),
+q0 AS (SELECT vec_id AS query_id, embedding,
+              {_plane_sql('embeddings', planes)} AS qbucket
+       FROM embeddings WHERE vec_id < 3),
+q AS (SELECT query_id, embedding, unnest({probe_list}) AS bucket FROM q0),
+scored AS (
+  SELECT DISTINCT b.query_id, a.vec_id, {_SQL_COSINE6} AS cosine
+  FROM c a JOIN q b USING (bucket)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= {k}"""
+
+
+def _emb_neardup_sql(threshold: float = 0.9, n_planes: int = 16, seed: int = 42) -> str:
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, 64))
+    return f"""
+WITH e AS (SELECT vec_id, embedding, {_plane_sql('embeddings', planes)} AS bucket
+           FROM embeddings)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COSINE6} AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+WHERE cosine >= {threshold}"""
 
 
 # ------------------------------------------------------------------- queries
@@ -299,11 +445,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- training-data ops: documents
-    q["exact_dedup_groups"] = lambda spark, sf: _docs(spark, sf).groupBy(
-        normalized_text(F.col("text")).alias("norm")
-    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")).select(
-        "keep_id", "n_dups"
-    )
+    # groups on the 128-bit content key (two xxhash64 of the normalized
+    # text), NOT the raw text — the shuffle key is 16 bytes, not the document
+    def _exact_dedup_groups(spark, sf):
+        docs = _docs(spark, sf)
+        h1, h2 = content_key(F.col("text"))
+        return docs.groupBy(h1.alias("h1"), h2.alias("h2")).agg(
+            F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+        ).select("keep_id", "n_dups")
+
+    q["exact_dedup_groups"] = _exact_dedup_groups
     q["token_count"] = lambda spark, sf: _docs(spark, sf).select(
         "doc_id",
         token_count_col(F.coalesce(F.col("text"), F.lit(""))).alias("n_tokens"),
@@ -320,46 +471,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_id", fingerprint_col(F.coalesce(F.col("text"), F.lit(""))).alias("fp")
     )
 
+    # --- training-data ops: near-dup / similarity — each entry calls the
+    # LIBRARY function (round-1 verdict: inline re-implementations certify
+    # the math, not the shipped code)
+    q["ngram_jaccard_pairs"] = lambda spark, sf: ngram_jaccard_pairs(
+        _docs(spark, sf), threshold=0.7
+    )
+    q["minhash_lsh_pairs"] = lambda spark, sf: minhash_lsh_pairs(
+        _docs(spark, sf), threshold=0.7
+    )
+    q["simhash_neardup_pairs"] = lambda spark, sf: simhash_neardup_pairs(
+        _docs(spark, sf), max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
     # --- training-data ops: embeddings
     def topk(spark, sf):
         emb = _emb(spark, sf)
         queries_df = emb.filter(F.col("vec_id") < 3).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            F.col("vec_id").alias("query_id"), "embedding"
         )
-        scored = emb.crossJoin(F.broadcast(queries_df)).select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_col(F.col("embedding"), F.col("qv")), 4).alias("cosine"),
-        )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("cosine").desc(), F.col("vec_id").asc()
-        )
-        return (
-            scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 5)
-            .select("query_id", "vec_id", "cosine", "rank")
+        out = cosine_topk(emb, queries_df, k=5)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
         )
 
     q["cosine_topk"] = topk
 
-    def neardup(spark, sf):
-        emb = _emb(spark, sf).filter(F.col("vec_id") < 200)
-        a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-        b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-        return (
-            a.crossJoin(b)
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                F.round(cosine_col(F.col("va"), F.col("vb")), 4).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= 0.35)
+    def ann_topk(spark, sf):
+        emb = _emb(spark, sf)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = lsh_cosine_topk(emb, queries_df, k=5, n_planes=12, probes=4, seed=42)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
         )
 
-    q["embedding_neardup"] = neardup
+    q["lsh_cosine_topk"] = ann_topk
+
+    q["embedding_neardup"] = lambda spark, sf: embedding_neardup_pairs(
+        _emb(spark, sf), threshold=0.3, n_planes=8, seed=42
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
     # --- the real sink: bootstrap + LWW merge, read back final state.
     # The oracle is the same three-way LWW algebra in pure SQL — this puts the
@@ -502,19 +654,22 @@ FROM t"""
     o["lang_id"] = f"SELECT doc_id, {_lang_sql()} AS lang_guess FROM documents"
     fp_expr = fingerprint_sql("coalesce(text, '')")
     o["fingerprint"] = f"SELECT doc_id, {fp_expr} AS fp FROM documents"
+    # library cosine_col rounds to 6 and the rank is computed on that value;
+    # the emitted cosine is re-rounded to 4 (matching the entry)
     o["cosine_topk"] = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3),
 scored AS (
-  SELECT b.query_id, a.vec_id, {_SQL_COSINE} AS cosine
+  SELECT b.query_id, a.vec_id, {_SQL_COSINE6} AS cosine
   FROM embeddings a CROSS JOIN q b),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id ASC) AS rank
   FROM scored)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5"""
-    o["embedding_neardup"] = f"""
-WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_SQL_COSINE} AS cosine
-FROM e a CROSS JOIN e b
-WHERE a.vec_id < b.vec_id AND {_SQL_COSINE} >= 0.35"""
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5"""
+    o["lsh_cosine_topk"] = _lsh_topk_sql(k=5, n_planes=12, probes=4, seed=42)
+    o["embedding_neardup"] = _emb_neardup_sql(threshold=0.3, n_planes=8, seed=42)
+    o["ngram_jaccard_pairs"] = _SQL_JACCARD_PAIRS
+    o["minhash_lsh_pairs"] = _SQL_JACCARD_PAIRS
+    o["simhash_neardup_pairs"] = _SQL_SIMHASH_PAIRS
     return o

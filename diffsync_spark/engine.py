@@ -19,8 +19,9 @@ from typing import Any, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from diffsync_spark.errors import ObjectAlreadyExists
+from diffsync_spark.errors import DiffClassMismatch, ObjectAlreadyExists
 from diffsync_spark.flags import DiffFlags
+from diffsync_spark.metrics import ProgressCallback, log_merge, observe_diff, report_progress
 from diffsync_spark.model import ModelSchema
 from diffsync_spark.operators import store_ops
 from diffsync_spark.operators.diff import diff, diff_summary, has_diffs
@@ -98,6 +99,20 @@ class Engine:
         return row.asDict()
 
     # ---------------------------------------------------------------- sync
+    def _validate_diff_frame(self, diff_df: DataFrame) -> None:
+        """Raise :class:`DiffClassMismatch` when a precomputed diff frame was
+        not built by :func:`diff` for THIS model — the reference's
+        ``diff_class`` guard (``__init__.py:598-604``) re-expressed as a
+        schema contract (a DataFrame's "class" is its schema)."""
+        expected = set(self.model.identifiers) | {"op", "changed_cols", "before", "after"}
+        missing = expected - set(diff_df.columns)
+        if missing:
+            raise DiffClassMismatch(
+                f"precomputed diff frame is missing {sorted(missing)} — "
+                f"expected a diff over model {self.model.name!r} with "
+                f"identifiers {self.model.identifiers}"
+            )
+
     def sync_from(
         self,
         source: DataFrame,
@@ -105,20 +120,50 @@ class Engine:
         diff_df: DataFrame | None = None,
         batch_id: int | None = None,
         checkpoint_id: str = "sync",
+        callback: ProgressCallback | None = None,
     ) -> dict:
         """Compute (or take a precomputed) diff and apply it — reference
-        ``sync_from`` incl. the ``diff=`` reuse parameter
-        (``__init__.py:577-644``). Fires :meth:`sync_complete` when anything
-        changed (``__init__.py:616-618``)."""
-        d = diff_df if diff_df is not None else self.diff_from(source, flags)
+        ``sync_from`` incl. the ``diff=`` reuse parameter and the progress
+        ``callback`` (``__init__.py:577-644``, ``helpers.py:62-67``). Raises
+        :class:`DiffClassMismatch` for a foreign precomputed diff. Fires
+        :meth:`sync_complete` when anything changed (``__init__.py:616-618``)."""
+        if diff_df is not None:
+            self._validate_diff_frame(diff_df)
+            d = diff_df
+        else:
+            d = self.diff_from(source, flags)
+        obs = None
+        if callback is not None:
+            d, obs = observe_diff(d)
         result = self.table.apply_diff(d, checkpoint_id=checkpoint_id,
                                        batch_id=batch_id)
+        log_merge(result, self.table.path)
+        if obs is not None and not result.get("skipped"):
+            report_progress(callback, obs.get)
         if not result.get("skipped") and (
             result.get("n_create", 0) + result.get("n_update", 0)
             + result.get("n_delete", 0) > 0
         ):
             self.sync_complete(result)
         return result
+
+    def sync_to(
+        self,
+        target: "Engine | SnapshotTable",
+        flags: DiffFlags = DiffFlags(),
+        diff_df: DataFrame | None = None,
+        batch_id: int | None = None,
+        checkpoint_id: str = "sync",
+        callback: ProgressCallback | None = None,
+    ) -> dict:
+        """Push THIS table's state into ``target`` — the reference's
+        symmetric pair ``sync_to(target) == target.sync_from(self)``
+        (``__init__.py:622-644``)."""
+        if isinstance(target, SnapshotTable):
+            target = Engine(self.spark, self.model, target)
+        return target.sync_from(self.read(), flags=flags, diff_df=diff_df,
+                                batch_id=batch_id, checkpoint_id=checkpoint_id,
+                                callback=callback)
 
     def sync_complete(self, result: dict) -> None:
         """Post-commit hook (reference ``sync_complete``,

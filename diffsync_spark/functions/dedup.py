@@ -31,10 +31,23 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def content_key(text: Column) -> tuple[Column, Column]:
+    """128-bit content key: two independent xxhash64 of the normalized text.
+    At 10^10 docs a single 64-bit key expects a handful of birthday
+    collisions; two independent 64-bit keys push that below 1e-18. The
+    point (round-1 advice): shuffle/sort 16 bytes per row, never the
+    document itself."""
+    norm = normalized_text(text)
+    return F.xxhash64(norm), F.xxhash64(norm, F.lit(0x9E3779B9))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text group.
-    Hash-groupBy: one shuffle on the normalized text hash."""
-    w = Window.partitionBy(normalized_text(F.col(text_col))).orderBy(F.col(id_col))
+    The window partitions on the 128-bit content key, NOT the raw text —
+    the exchange and sort move 16-byte keys; the document rides along as
+    payload only."""
+    h1, h2 = content_key(F.col(text_col))
+    w = Window.partitionBy(h1, h2).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -54,46 +67,71 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def _verify_jaccard(
+    cand: DataFrame,
+    texts: DataFrame,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Join texts back onto deduped candidate id-pairs and keep pairs whose
+    exact shingle Jaccard clears the threshold. ``cand``: (id_a, id_b);
+    ``texts``: (id, __text). Texts travel the shuffle once per side, and only
+    for candidates — never through the banding/index explosion."""
+    out = (
+        cand.join(texts.withColumnsRenamed({"id": "id_a", "__text": "ta"}), "id_a")
+        .join(texts.withColumnsRenamed({"id": "id_b", "__text": "tb"}), "id_b")
+    )
+    sa, sb = shingles_col(F.col("ta"), n), shingles_col(F.col("tb"), n)
+    jac = F.round(
+        F.size(F.array_intersect(sa, sb))
+        / F.greatest(F.size(F.array_union(sa, sb)), F.lit(1)),
+        6,
+    )
+    return (
+        out.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.7,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join:
-    explode shingles, self-join on shingle, count common shingles per pair,
-    then Jaccard from per-doc shingle counts. Never a cross join — the join
-    key is the shingle, so only docs sharing a shingle ever meet. At 100 TB
-    add a df-frequency cap on shingles (drop stop-shingles) before the join;
-    kept simple here."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(F.col(text_col), n).alias("sh")
-    )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("g"))
-    pairs = (
+    """All-pairs n-gram Jaccard ≥ threshold via an inverted-index join.
+
+    Candidate generation: explode shingles, drop shingles appearing in more
+    than ``max_doc_freq`` docs (stop-shingles — without this cap a single
+    common shingle makes the self-join quadratic at scale), hash each
+    surviving shingle to a 64-bit key, and self-join on that key. Only ids
+    and 8-byte shingle hashes shuffle. Verification then recomputes the
+    EXACT Jaccard over the FULL shingle sets (the df-cap only prunes
+    candidate discovery, never the similarity value), so emitted scores are
+    exact; the only possible loss is a pair whose every shared shingle is a
+    stop-shingle — at threshold≥0.5 such pairs are near-impossible unless
+    the docs are themselves stop-text.
+    """
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    inv = texts.select(
+        "id", F.explode(shingles_col(F.col("__text"), n)).alias("g")
+    ).select("id", F.xxhash64("g").alias("gh"))
+    if max_doc_freq is not None:
+        w = Window.partitionBy("gh")
+        inv = inv.withColumn("__df", F.count("*").over(w)).filter(
+            F.col("__df") <= max_doc_freq
+        ).drop("__df")
+    cand = (
         inv.alias("a")
-        .join(inv.alias("b"), "g")
+        .join(inv.alias("b"), "gh")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
     )
-    out = (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return out
+    return _verify_jaccard(cand, texts, n, threshold)
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
@@ -118,20 +156,24 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Near-dup candidate pairs via MinHash banding, verified with true
     n-gram Jaccard. rows-per-band r = num_hashes/bands tunes the S-curve
     (P(candidate) = 1-(1-s^r)^b)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
     sig = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("__text"),
         minhash_signature(F.col(text_col), num_hashes, n).alias("sig"),
     )
+    # band on (id, band, bh) ONLY — round-1 advice: carrying the text here
+    # shuffles every document B=bands times through the explode and twice
+    # more through the self-join; ids + 4-byte band hashes shuffle instead,
+    # and texts are joined back once, post-candidate-dedup, for verification.
     banded = sig.select(
         "id",
-        "__text",
         F.explode(
             F.array(
                 *[
@@ -145,30 +187,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "__text", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh")
+    if max_bucket_size is not None:
+        # degenerate buckets (e.g. empty/boilerplate docs all sharing one
+        # signature) would blow the self-join quadratically; cap them. The
+        # count window shares the (band, bh) exchange with the join below.
+        wb = Window.partitionBy("band", "bh")
+        banded = banded.withColumn("__bsz", F.count("*").over(wb)).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.__text").alias("ta"),
-            F.col("b.__text").alias("tb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sa, sb = shingles_col(F.col("ta"), n), shingles_col(F.col("tb"), n)
-    jac = F.round(
-        F.size(F.array_intersect(sa, sb))
-        / F.greatest(F.size(F.array_union(sa, sb)), F.lit(1)),
-        6,
-    )
-    return (
-        cand.withColumn("jaccard", jac)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard(cand, texts, n, threshold)
 
 
 def _simhash64_batch(texts: pd.Series) -> pd.Series:

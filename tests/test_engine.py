@@ -61,6 +61,59 @@ def test_record_verbs(engine):
     assert engine.get_or_none(("conv_zz", 0)) is None
 
 
+def test_sync_to_symmetric_convergence(engine, spark, tmp_path, source_df):
+    """sync_to(target) == target.sync_from(self) — reference
+    tests/unit/test_diffsync.py:576-618 analog for the symmetric verb."""
+    engine.sync_from(source_df, batch_id=1)
+    target = Engine.create(spark, str(tmp_path / "tbl2"), TRANSCRIPT_MODEL,
+                           schema=source_df.schema, n_buckets=8)
+    res = engine.sync_to(target, batch_id=1)
+    assert res["n_create"] > 0
+    # target now mirrors the engine's state exactly
+    assert target.diff_from(engine.read()).filter("op <> 'noop'").count() == 0
+    # and the push is idempotent
+    res2 = engine.sync_to(target, batch_id=2)
+    assert res2.get("n_create", 0) == 0 and res2.get("n_update", 0) == 0
+
+
+def test_diff_class_mismatch(engine, source_df):
+    """A precomputed frame that is not a diff over this model raises —
+    reference DiffClassMismatch (__init__.py:598-604)."""
+    from diffsync_spark.errors import DiffClassMismatch
+
+    with pytest.raises(DiffClassMismatch):
+        engine.sync_from(source_df, diff_df=source_df)  # raw rows, not a diff
+    # the real diff frame passes validation and applies
+    d = engine.diff_from(source_df)
+    res = engine.sync_from(source_df, diff_df=d, batch_id=1)
+    assert res["n_create"] > 0
+
+
+def test_progress_callback_and_metrics(engine, source_df, caplog):
+    """callback(stage, current, total) fires with exact observed counts equal
+    to diff_summary, and each merge emits a JSON metrics line (reference
+    helpers.py:62-67 callback + logging.py structlog analog)."""
+    import json
+    import logging
+
+    want = engine.diff_summary(source_df)
+    calls = []
+    with caplog.at_level(logging.INFO, logger="diffsync_spark.metrics"):
+        engine.sync_from(source_df, batch_id=1,
+                         callback=lambda s, cur, tot: calls.append((s, cur, tot)))
+    stages = dict((s, (c, t)) for s, c, t in calls)
+    n_changed = want["n_create"] + want["n_update"] + want["n_delete"]
+    n_total = n_changed + want["n_noop"]
+    assert stages["diff"] == (n_total, n_total)
+    assert stages["sync"] == (n_changed, n_changed)
+    lines = [json.loads(r.message) for r in caplog.records
+             if r.name == "diffsync_spark.metrics"]
+    assert any(
+        l["event"] == "merge_commit" and l.get("n_create") == want["n_create"]
+        for l in lines
+    )
+
+
 def test_remove_cascade(engine, target_df):
     victim = target_df.first()
     n_turns = engine.read().filter(F.col("conv_id") == victim.conv_id).count()
