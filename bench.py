@@ -27,9 +27,12 @@ from pyspark.sql import functions as F
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "200000"))
-    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "2000"))
-    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "8"))
+    # replay defaults sized for the SUSTAINED regime: at 200k events/8
+    # batches the number was ~95% per-batch fixed cost (round-1 verdict);
+    # 4M events/2 batches tracks the same figure scaling_run measures
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
 
     from diffsync_spark import build_session, diff, lww_dedup
     from diffsync_spark import fixtures
@@ -78,15 +81,19 @@ def main() -> None:
         lambda: noop_write(entry_mod.queries()["fingerprint"](spark, sf_dir)),
     )
 
-    # --- the CDC replay (primary metric): bootstrap + batched LWW merge
-    src_pdf = fixtures.gen_source(n_convs=n_convs, seed=42, max_len=2000)
-    chg_pdf = fixtures.gen_changelog(src_pdf, n_events=n_events, seed=44)
-    src_df = spark.createDataFrame(src_pdf)
-    chg_dir = tempfile.mkdtemp(prefix="bench_chg_")
-    spark.createDataFrame(chg_pdf).repartition(cpus).write.mode("overwrite").parquet(
-        chg_dir
-    )
-    chg_df = spark.read.parquet(chg_dir)
+    # --- the CDC replay (primary metric): bootstrap + batched LWW merge.
+    # Inputs are generated DISTRIBUTED (spark-side fixtures) and staged to
+    # parquet first, so generation never pollutes the replay timing.
+    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    src_raw = fixtures.gen_source_spark(spark, n_convs=n_convs,
+                                        turns_per_conv=20, text_bytes=256)
+    chg_raw = fixtures.gen_changelog_spark(spark, n_events, n_convs=n_convs,
+                                           turns_per_conv=20, text_bytes=256)
+    src_raw.repartition(cpus).write.mode("overwrite").parquet(f"{work}/src")
+    chg_raw.repartition(max(cpus, 64)).write.mode("overwrite").parquet(f"{work}/chg")
+    src_df = spark.read.parquet(f"{work}/src")
+    chg_df = spark.read.parquet(f"{work}/chg")
+    chg_dir = work
     tbl_dir = tempfile.mkdtemp(prefix="bench_tbl_")
     shutil.rmtree(tbl_dir)
     # table layout fixed regardless of parallelism so the N-vs-4N scaling

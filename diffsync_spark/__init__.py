@@ -28,8 +28,10 @@ from diffsync_spark.model import ModelSchema, TRANSCRIPT_MODEL
 from diffsync_spark.flags import DiffFlags
 from diffsync_spark.engine import Engine
 from diffsync_spark.operators.diff import diff, diff_summary
+from diffsync_spark.operators.hierarchy import HierarchySync
 from diffsync_spark.operators.lww import lww_dedup
 from diffsync_spark.session import build_session
+from diffsync_spark.sinks.fsio import LocalCommitIO
 from diffsync_spark.sinks.table import SnapshotTable
 
 __all__ = [
@@ -37,6 +39,8 @@ __all__ = [
     "TRANSCRIPT_MODEL",
     "DiffFlags",
     "Engine",
+    "HierarchySync",
+    "LocalCommitIO",
     "SnapshotTable",
     "diff",
     "diff_summary",

@@ -58,7 +58,19 @@ def build_session(
         # (measured 3x slower at local[32] on 4M-row batches)
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
         .config("spark.ui.enabled", "false")
+        # moderate heap + capped GC threads: profiled at local[32], a 64g G1
+        # heap spent 927s in GC on a 4M-event merge (task threads + ~23 GC
+        # threads oversubscribe the VM); 16g + 8 GC threads cut the same
+        # replay 249s → 12.6s. On a real cluster each executor JVM is small
+        # and G1 defaults are fine — this tuning is for fat local JVMs.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JAVA_OPTS",
+                "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,102 @@
+"""Commit-metadata I/O seam for :class:`SnapshotTable`.
+
+Everything the sink does OUTSIDE Spark — manifest read/write, the atomic
+current-version pointer, data-file listing for lineage/compaction — goes
+through this interface, so a 100 TB deployment swaps one object for:
+
+- **S3/GCS**: ``write_exclusive`` → conditional PUT (``If-None-Match: *``;
+  native on GCS and on S3 since 2024), ``write_atomic`` → a catalog/metastore
+  pointer swap (e.g. DynamoDB conditional update or the Glue/Nessie catalog),
+  ``list_files`` → a prefix listing.
+- **Real Iceberg**: this whole layer *is* the catalog commit — the sink's
+  manifest chain maps 1:1 onto Iceberg snapshots + metadata.json, with
+  ``write_exclusive`` playing optimistic-concurrency commit.
+
+The default :class:`LocalCommitIO` is the sandbox/posix implementation.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+class LocalCommitIO:
+    """POSIX implementation — also the interface contract (duck-typed).
+
+    Methods raise the same exceptions the sink's commit protocol relies on:
+    ``write_exclusive`` raises ``FileExistsError`` on a concurrent commit of
+    the same version; ``read_text`` raises ``FileNotFoundError`` for a
+    missing pointer/manifest.
+    """
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        """Create-if-absent, fail-if-present — the commit conflict detector."""
+        with open(path, "x") as f:
+            f.write(text)
+
+    def write_atomic(self, path: str, text: str) -> None:
+        """Atomically replace the pointer file (readers never see a torn
+        write). Object-store analog: catalog CAS, not a file at all."""
+        import uuid
+
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def list_dirs(self, path: str) -> list[str]:
+        """Immediate subdirectory names ([] when absent)."""
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))
+        )
+
+    def list_files(self, path: str) -> list[str]:
+        """Immediate file names ([] when absent)."""
+        if not os.path.isdir(path):
+            return []
+        return sorted(
+            f for f in os.listdir(path) if os.path.isfile(os.path.join(path, f))
+        )
+
+
+class InMemoryManifestIO(LocalCommitIO):
+    """Commit metadata in memory, data-file listing still on the local FS —
+    proves the seam: the sink runs with NO manifest/pointer disk I/O (the
+    shape of an object-store catalog backend). Used by tests."""
+
+    def __init__(self) -> None:
+        self.blobs: dict[str, str] = {}
+        self.dirs: set[str] = set()
+
+    def read_text(self, path: str) -> str:
+        if path not in self.blobs:
+            raise FileNotFoundError(path)
+        return self.blobs[path]
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        if path in self.blobs:
+            raise FileExistsError(path)
+        self.blobs[path] = text
+
+    def write_atomic(self, path: str, text: str) -> None:
+        self.blobs[path] = text
+
+    def makedirs(self, path: str, exist_ok: bool = True) -> None:
+        if not exist_ok and path in self.dirs:
+            raise FileExistsError(path)
+        self.dirs.add(path)
+
+    def exists(self, path: str) -> bool:
+        return path in self.blobs or path in self.dirs or os.path.exists(path)

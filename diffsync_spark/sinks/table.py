@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from diffsync_spark.errors import CommitConflict, DiffSyncSparkError
 from diffsync_spark.model import ModelSchema
 from diffsync_spark.operators.lww import lww_dedup
+from diffsync_spark.sinks.fsio import LocalCommitIO
 
 META_SEQ = "_seq"
 META_DELETED = "_deleted"
@@ -66,10 +67,14 @@ DELETE_OP = "delete"
 class SnapshotTable:
     """A keyed, versioned, bucketed parquet table with MERGE semantics."""
 
-    def __init__(self, spark: SparkSession, path: str, model: ModelSchema):
+    def __init__(self, spark: SparkSession, path: str, model: ModelSchema,
+                 io: LocalCommitIO | None = None):
         self.spark = spark
         self.path = path.rstrip("/")
         self.model = model
+        # all non-Spark I/O (manifests, pointer, file listing) goes through
+        # this seam — swap for an object-store/catalog backend (fsio.py)
+        self.io = io or LocalCommitIO()
 
     # ------------------------------------------------------------- manifest
     @property
@@ -81,14 +86,14 @@ class SnapshotTable:
         return os.path.join(self.path, "_current")
 
     def current_version(self) -> int:
-        with open(self._current_path) as f:
-            return int(f.read().strip())
+        return int(self.io.read_text(self._current_path).strip())
 
     def _manifest(self, version: int | None = None) -> dict:
         if version is None:
             version = self.current_version()
-        with open(os.path.join(self._manifest_dir, f"v{version}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self.io.read_text(os.path.join(self._manifest_dir, f"v{version}.json"))
+        )
 
     def _commit(self, manifest: dict) -> None:
         """Write the manifest with exclusive-create (conflict detection), then
@@ -97,16 +102,12 @@ class SnapshotTable:
         version = manifest["version"]
         target = os.path.join(self._manifest_dir, f"v{version}.json")
         try:
-            with open(target, "x") as f:
-                json.dump(manifest, f, default=str)
+            self.io.write_exclusive(target, json.dumps(manifest, default=str))
         except FileExistsError as e:
             raise CommitConflict(
                 f"snapshot v{version} already committed by a concurrent writer"
             ) from e
-        tmp = self._current_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(version))
-        os.replace(tmp, self._current_path)
+        self.io.write_atomic(self._current_path, str(version))
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._manifest(version)["schema"]))
@@ -120,12 +121,13 @@ class SnapshotTable:
         model: ModelSchema,
         schema: T.StructType,
         n_buckets: int = 64,
+        io: LocalCommitIO | None = None,
     ) -> "SnapshotTable":
         """Initialize an empty table. ``schema`` is the PUBLIC schema (payload
         only); meta columns are managed internally."""
-        table = cls(spark, path, model)
-        os.makedirs(table._manifest_dir, exist_ok=False)
-        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        table = cls(spark, path, model, io=io)
+        table.io.makedirs(table._manifest_dir, exist_ok=False)
+        table.io.makedirs(os.path.join(path, "data"), exist_ok=True)
         manifest = {
             "version": 1,
             "snapshot_id": uuid.uuid4().hex,
@@ -140,9 +142,10 @@ class SnapshotTable:
         return table
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, model: ModelSchema) -> "SnapshotTable":
-        table = cls(spark, path, model)
-        if not os.path.exists(table._current_path):
+    def load(cls, spark: SparkSession, path: str, model: ModelSchema,
+             io: LocalCommitIO | None = None) -> "SnapshotTable":
+        table = cls(spark, path, model, io=io)
+        if not table.io.exists(table._current_path):
             raise DiffSyncSparkError(f"no SnapshotTable at {path}")
         return table
 
@@ -256,8 +259,13 @@ class SnapshotTable:
             ).parquet(os.path.join(self.path, "quarantine", f"v{new_version}"))
         batch = batch.filter(F.col("__valid")).drop("__valid")
 
-        # ---- LWW dedup: MERGE requires unique source keys
-        batch = lww_dedup(batch, self.model)
+        # ---- LWW dedup: MERGE requires unique source keys. A versionless
+        # model (e.g. a parent bookkeeping table) has no writer order — any
+        # one row per key is the row (diff-built batches are unique already).
+        if self.model.version_cols or "seq" in batch.columns:
+            batch = lww_dedup(batch, self.model)
+        else:
+            batch = batch.dropDuplicates(list(ids))
 
         # ---- schema evolution: widen the stored schema with new batch cols
         public = T.StructType.fromJson(json.loads(man["schema"]))
@@ -427,9 +435,30 @@ class SnapshotTable:
             out = merged.repartition(max(acc, 1), slot)
         else:
             out = merged.repartition(max(len(touched), 1), BUCKET)
+        # per-bucket lineage counts ride the WRITE job as observed metrics
+        # (conditional count_ifs are branch-cheap inside codegen) — this
+        # replaces a whole post-write job that re-read the written files.
+        # Very wide tables (>512 metric exprs) fall back to the re-read.
+        _OPS = ("create", "update", "delete", "noop")
+        obs = None
+        if touched and len(touched) * len(_OPS) <= 512:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge_v{new_version}")
+            out = out.observe(obs, *[
+                F.count_if(
+                    (F.col(BUCKET) == b) & (F.col("__op_class") == oc)
+                ).alias(f"b{b}_{oc}")
+                for b in touched for oc in _OPS
+            ])
         out.write.mode("overwrite").partitionBy(BUCKET).parquet(data_dir)
         per_bucket: dict[tuple[int, str], int] = {}
-        if touched:
+        if obs is not None:
+            m = obs.get
+            per_bucket = {
+                (b, oc): m[f"b{b}_{oc}"] for b in touched for oc in _OPS
+            }
+        elif touched:
             written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
             for r in (
                 written.groupBy(BUCKET, "__op_class").agg(F.count("*").alias("n"))
@@ -441,12 +470,12 @@ class SnapshotTable:
         files = {b: fl for b, fl in man["files"].items() if int(b) not in touched}
         for bk in touched:
             bdir = os.path.join(data_dir, f"{BUCKET}={bk}")
-            if os.path.isdir(bdir):
-                files[str(bk)] = sorted(
-                    os.path.join(bdir, fn)
-                    for fn in os.listdir(bdir)
+            listed = self.io.list_files(bdir)
+            if listed:
+                files[str(bk)] = [
+                    os.path.join(bdir, fn) for fn in listed
                     if fn.endswith(".parquet")
-                )
+                ]
         snapshot_id = uuid.uuid4().hex
         lineage_rows = []
         for bk in touched:
@@ -585,15 +614,15 @@ class SnapshotTable:
             BUCKET
         ).parquet(data_dir)
         files = {}
-        for entry in os.listdir(data_dir):
+        for entry in self.io.list_dirs(data_dir):
             if entry.startswith(f"{BUCKET}="):
                 bk = entry.split("=", 1)[1]
                 bdir = os.path.join(data_dir, entry)
-                files[bk] = sorted(
+                files[bk] = [
                     os.path.join(bdir, fn)
-                    for fn in os.listdir(bdir)
+                    for fn in self.io.list_files(bdir)
                     if fn.endswith(".parquet")
-                )
+                ]
         manifest = {
             **man,
             "version": new_version,

@@ -115,3 +115,74 @@ def diff_str(diff_df: DataFrame, model: ModelSchema, limit: int = 50) -> str:
             if c in before and r.op != "create":
                 lines.append(f"    - {c}: {before.get(c)!r}")
     return "\n".join(lines)
+
+
+# --------------------------------------------------------- debug renders
+_TEE, _LAST, _BRANCH, _SPACE = "├── ", "└── ", "│   ", "    "
+
+
+def _tree_lines(data: dict, prefix: str = ""):
+    """Box-drawing tree walk — the reference's `_tree` generator shape
+    (``diffsync/utils.py:59-73``) over a plain nested dict."""
+    pointers = [_TEE] * (len(data) - 1) + [_LAST]
+    for pointer, key in zip(pointers, data):
+        yield prefix + pointer + str(key)
+        if isinstance(data[key], dict) and data[key]:
+            ext = _BRANCH if pointer == _TEE else _SPACE
+            yield from _tree_lines(data[key], prefix + ext)
+
+
+def tree_string(data: dict, root: str) -> str:
+    """Render a nested dict as a box-drawing tree (reference
+    ``utils.tree_string``, ``diffsync/utils.py:75-77``)."""
+    return "\n".join([root, *_tree_lines(data)])
+
+
+def get_tree_traversal(
+    parent: ModelSchema, child: ModelSchema, as_dict: bool = False
+):
+    """Model-hierarchy traversal description (reference
+    ``Adapter.get_tree_traversal``, ``__init__.py:794-818``). Two-level by
+    construction: children live in their own FK'd table."""
+    out = {parent.name: {child.name: {}}}
+    if as_dict:
+        return out
+    return tree_string(out, "hierarchy")
+
+
+def record_str(row, model: ModelSchema, indent: int = 0) -> str:
+    """One-record detail render (reference ``DiffSyncModel.str``,
+    ``__init__.py:183-201``): ``type: uid: {attrs}``. ``row`` is a Row or
+    dict from a collect() — driver-side, for eyeballs."""
+    d = row.asDict() if hasattr(row, "asDict") else dict(row)
+    uid = "__".join(str(d.get(k)) for k in model.identifiers)
+    attrs = {a: d.get(a) for a in model.attributes if a in d}
+    return f"{' ' * indent}{model.name}: {uid}: {attrs}"
+
+
+def store_tree_string(
+    df: DataFrame, model: ModelSchema, limit: int = 30
+) -> str:
+    """Render the store grouped parent → children (reference ``Adapter.str``
+    with ``_children`` walk, ``__init__.py:820-837``). Collects at most
+    ``limit`` parent groups — a debug view, never a pipeline step."""
+    if not model.parent_key:
+        rows = df.limit(limit).collect()
+        return "\n".join(record_str(r, model) for r in rows)
+    parents = [
+        tuple(r.asDict()[k] for k in model.parent_key)
+        for r in df.select(*model.parent_key).distinct().orderBy(
+            *model.parent_key
+        ).limit(limit).collect()
+    ]
+    cond = None
+    for i, k in enumerate(model.parent_key):
+        c = F.col(k).isin([p[i] for p in parents])
+        cond = c if cond is None else cond & c
+    rows = df.filter(cond).orderBy(*model.identifiers).collect()
+    tree: dict = {}
+    for r in rows:
+        d = r.asDict()
+        pkey = "/".join(str(d[k]) for k in model.parent_key)
+        tree.setdefault(pkey, {})[record_str(r, model).strip()] = {}
+    return tree_string(tree, model.name)

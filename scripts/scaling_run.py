@@ -64,7 +64,7 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=8, help="small parallelism (4N = big)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--text-bytes", type=int, default=256, dest="text_bytes")
-    ap.add_argument("--mem-per-core", type=int, default=2, dest="mem_per_core")
+    ap.add_argument("--heap", default="16g")
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -91,12 +91,15 @@ spark.stop()
     all_runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
     for _ in range(args.repeats):
         for cpus in (args.n, args.n * 4):
-            # constant memory PER CORE: the cluster criterion is N → 4N
-            # executors (4x total memory); a fixed heap at 4x threads would
-            # instead measure memory starvation (1/4 the sort memory per
-            # task → spill), which no real cluster scale-up exhibits
-            run_env = {**env,
-                       "SPARK_DRIVER_MEMORY": f"{args.mem_per_core * cpus}g"}
+            # constant HEAP at both parallelism levels: on a real cluster,
+            # N → 4N executors means 4x JVMs of the SAME size, never one 4x
+            # heap. Scaling the single local JVM's heap with threads puts G1
+            # into a pathological regime (measured: 64g heap → 927s GC on a
+            # 4M-event merge vs 15s at 16g) that no multi-JVM cluster
+            # exhibits. 16g fits both configs with headroom (peak execution
+            # memory ≈ 6.5g); build_session caps GC threads for the same
+            # fat-local-JVM reason.
+            run_env = {**env, "SPARK_DRIVER_MEMORY": args.heap}
             out = subprocess.run(
                 [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src",
                  f"{work}/chg", str(args.batches), str(args.buckets)],

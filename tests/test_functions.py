@@ -202,22 +202,79 @@ def test_embedding_neardup_self(emb):
     assert {(i, i + 10_000) for i in range(4)} <= got
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_codecs(spark):
+    """WAV/PPM payloads decode with the built-in pure-Python parsers; the
+    recovered metadata must equal the metadata the fixture encoded with.
+    Video (no codec in this container) is a per-row decode_ok=False, not a
+    crash."""
     assets = fake_assets(spark, n=60)
-    feats = decode_assets(assets, feat_dim=8)
-    pdf = feats.toPandas()
+    pdf = (
+        decode_assets(assets, feat_dim=8)
+        .join(assets.select("asset_id", F.col("width").alias("want_w"),
+                            F.col("height").alias("want_h"),
+                            F.col("duration_ms").alias("want_ms")), "asset_id")
+        .toPandas()
+    )
+    assert len(pdf) == 60
+    img, aud, vid = (pdf[pdf.kind == k] for k in ("image", "audio", "video"))
+    assert img["decode_ok"].all() and aud["decode_ok"].all()
+    assert not vid["decode_ok"].any()
+    # decoded dimensions/duration match what was encoded
+    assert (img["width"] == img["want_w"]).all()
+    assert (img["height"] == img["want_h"]).all()
+    assert (aud["duration_ms"] == aud["want_ms"]).all()
+    ok = pdf[pdf.decode_ok]
+    assert ok["feat"].map(len).eq(8).all()
+    # energies/intensities are real signal statistics, all in (0, 1]
+    assert ok["feat"].map(lambda f: all(0 <= x <= 1 for x in f)).all()
+
+
+def test_multimodal_plumbing_fake(spark):
+    """fake=True exercises the Arrow/mapInPandas plumbing with zero codec
+    cost — every payload yields the deterministic hash-derived feature."""
+    assets = fake_assets(spark, n=60)
+    pdf = decode_assets(assets, feat_dim=8, fake=True).toPandas()
     assert len(pdf) == 60
     assert pdf["decode_ok"].all()
     assert pdf["feat"].map(len).eq(8).all()
     assert pdf["sha256"].nunique() == 60  # payload-derived, deterministic
-    # real-decoder path is stubbed explicitly
-    import diffsync_spark.functions.multimodal as mm
-
-    if not mm._HAS_CODECS:
-        with pytest.raises(NotImplementedError):
-            decode_assets(assets, fake=False).collect()
     plan = frame_sample_plan(assets, every_ms=5000)
     p = plan.toPandas()
     n_videos = assets.filter("kind = 'video'").count()
     assert p["asset_id"].nunique() == n_videos
     assert (p["frame_ts_ms"] % 5000 == 0).all()
+
+
+def test_lsh_candidate_plan_carries_no_text(spark, docs):
+    """Round-1 verdict item: the MinHash banding explode and candidate
+    self-join must shuffle only ids + band hashes — the document text joins
+    back post-candidate. Assert on the optimized plan: no Generate (explode)
+    node outputs the text column."""
+    import contextlib
+    import io
+
+    df = minhash_lsh_pairs(docs, threshold=0.7)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    sections = plan.split("\n\n")
+    gen_sections = [s for s in sections if s.lstrip().startswith("(")
+                    and "Generate" in s.splitlines()[0]]
+    assert gen_sections, "expected an explode (Generate) node in the plan"
+    for s in gen_sections:
+        assert "__text" not in s, f"text column rides the banding explode:\n{s}"
+    # and the exact-dedup window partitions on hashes, not the raw text
+    dd = exact_dedup(docs)
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        dd.explain("formatted")
+    plan2 = buf2.getvalue()
+    assert "xxhash64" in plan2  # the content key is computed
+    # every Exchange partitions on the projected hash columns, never the text
+    exch_args = [
+        line for s in plan2.split("\n\n")
+        if s.lstrip().startswith("(") and "Exchange" in s.splitlines()[0]
+        for line in s.splitlines() if line.startswith("Arguments: hashpartitioning")
+    ]
+    assert exch_args and all("text#" not in a for a in exch_args)

@@ -50,3 +50,29 @@ def test_exports(spark, source_df):
     assert '"op":"create"' in j.json and '"+"' in j.json
     s = diff_str(diff_df, TRANSCRIPT_MODEL, limit=5)
     assert "create" in s and s.startswith("turn")
+
+
+def test_debug_renders(spark, source_df):
+    """tree/record renders — reference Adapter.str / Model.str /
+    get_tree_traversal (O5/R4/R5)."""
+    from diffsync_spark.model import CONVERSATION_MODEL
+    from diffsync_spark.sources.io import (
+        get_tree_traversal,
+        record_str,
+        store_tree_string,
+        tree_string,
+    )
+
+    t = get_tree_traversal(CONVERSATION_MODEL, TRANSCRIPT_MODEL, as_dict=True)
+    assert t == {"conversation": {"turn": {}}}
+    rendered = get_tree_traversal(CONVERSATION_MODEL, TRANSCRIPT_MODEL)
+    assert "└── turn" in rendered and rendered.startswith("hierarchy")
+
+    row = source_df.first()
+    line = record_str(row, TRANSCRIPT_MODEL)
+    assert line.startswith(f"turn: {row.conv_id}__{row.turn_idx}:")
+    assert "'role'" in line
+
+    s = store_tree_string(source_df, TRANSCRIPT_MODEL, limit=2)
+    assert s.startswith("turn") and "├── " in s or "└── " in s
+    assert tree_string({"a": {"b": {}}}, "r") == "r\n└── a\n    └── b"
