@@ -42,10 +42,15 @@ def main() -> None:
     from diffsync_spark.streaming.replay import replay_batches
     import __spark_entry__ as entry_mod
 
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=base)
     spark = build_session(
         master=f"local[{cpus}]",
         app_name="diffsync_spark_bench",
         shuffle_partitions=cpus,
+        # shuffle/spill co-located with the staged input (tmpfs when present)
+        # — same methodology as scripts/scaling_run.py
+        extra_conf={"spark.local.dir": f"{work}/sparktmp"},
     )
 
     def noop_write(df) -> None:
@@ -84,7 +89,6 @@ def main() -> None:
     # --- the CDC replay (primary metric): bootstrap + batched LWW merge.
     # Inputs are generated DISTRIBUTED (spark-side fixtures) and staged to
     # parquet first, so generation never pollutes the replay timing.
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
     src_raw = fixtures.gen_source_spark(spark, n_convs=n_convs,
                                         turns_per_conv=20, text_bytes=256)
     chg_raw = fixtures.gen_changelog_spark(spark, n_events, n_convs=n_convs,

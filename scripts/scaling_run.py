@@ -30,9 +30,10 @@ from diffsync_spark.streaming.replay import replay_batches
 cpus, src_path, chg_path, n_batches, n_buckets = (
     int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
 )
+shuffle_mult = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 work = os.path.dirname(src_path)
 tempfile.tempdir = work  # table + shuffle co-located with the input (tmpfs)
-spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus,
+spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus * shuffle_mult,
                       app_name=f"scaling_{cpus}",
                       extra_conf={"spark.local.dir": f"{work}/sparktmp_{cpus}"})
 src_df = spark.read.parquet(src_path)
@@ -65,6 +66,11 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--text-bytes", type=int, default=256, dest="text_bytes")
     ap.add_argument("--heap", default="16g")
+    # >1 shrinks per-task sort/shuffle working sets: on a host whose memory
+    # subsystem saturates before its cores, 4x-partitions keeps concurrent
+    # allocation bounded as parallelism grows (real clusters size partitions
+    # to total cores too)
+    ap.add_argument("--shuffle-mult", type=int, default=1, dest="shuffle_mult")
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -102,7 +108,8 @@ spark.stop()
             run_env = {**env, "SPARK_DRIVER_MEMORY": args.heap}
             out = subprocess.run(
                 [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src",
-                 f"{work}/chg", str(args.batches), str(args.buckets)],
+                 f"{work}/chg", str(args.batches), str(args.buckets),
+                 str(args.shuffle_mult)],
                 check=True, env=run_env, capture_output=True, text=True,
             )
             line = [l for l in out.stdout.splitlines()

@@ -93,3 +93,48 @@ def test_stream_resume_from_checkpoint(spark, tmp_path, table, target_pdf,
     lin = table.lineage_df().filter("checkpoint_id like 'stream_%'").toPandas()
     pairs = lin[["checkpoint_id", "batch_id", "snapshot_id"]].drop_duplicates()
     assert not pairs.duplicated(["checkpoint_id", "batch_id"]).any()
+
+
+def test_stateful_lww_filter(spark, tmp_path, changelog_pdf):
+    """applyInPandasWithState pre-filter: per key, each micro-batch forwards
+    at most one winner and only when it beats the key's high-water mark —
+    later micro-batches re-delivering older events emit nothing."""
+    from diffsync_spark.streaming.stateful import stateful_lww_filter
+
+    chg_dir = str(tmp_path / "chg")
+    _write_changelog_files(spark, changelog_pdf, chg_dir, n_files=4)
+    stream = (
+        spark.readStream.schema(CHANGELOG_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chg_dir)
+    )
+    filtered = stateful_lww_filter(stream, TRANSCRIPT_MODEL)
+    q = (
+        filtered.writeStream.format("memory")
+        .queryName("lww_filtered")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from lww_filtered").toPandas()
+
+    # survivors are unique-ish per key per batch; the LAST emission per key
+    # must be that key's true LWW winner over the whole changelog
+    last = (
+        got.sort_values("seq").groupby(IDS, dropna=False).tail(1)
+        .set_index(IDS)
+    )
+    want = (
+        changelog_pdf.sort_values(["ts", "seq"])
+        .groupby(IDS, dropna=False).tail(1).set_index(IDS)
+    )
+    assert set(last.index) <= set(want.index)
+    joined = last.join(want, rsuffix="_want", how="inner")
+    newer_or_equal = (
+        (joined["ts"] >= joined["ts_want"]) | joined["ts"].isna()
+    )
+    assert newer_or_equal.all()
+    # and strictly fewer rows reach the sink than raw events
+    assert len(got) < len(changelog_pdf)
