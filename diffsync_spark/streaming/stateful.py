@@ -39,6 +39,17 @@ _STATE_SCHEMA = T.StructType([
 
 _MAX_US = 2**62  # null-ts delete sentinel: beats any real timestamp
 
+_UNIT_MS = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000}
+
+
+def _duration_ms(ttl: "str | int") -> int:
+    """'30 minutes' / '1 millisecond' / plain int ms → milliseconds."""
+    if isinstance(ttl, int):
+        return ttl
+    n, unit = ttl.split()
+    return int(n) * _UNIT_MS[unit.rstrip("s")]
+
 
 def _version_us(pdf: pd.DataFrame, version_col: str) -> pd.Series:
     """Microsecond int64 versions; null ts on a delete → the +inf sentinel,
@@ -54,18 +65,29 @@ def _version_us(pdf: pd.DataFrame, version_col: str) -> pd.Series:
 def stateful_lww_filter(
     stream: DataFrame,
     model: ModelSchema,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Apply the stateful LWW pre-filter to a streaming changelog frame.
 
     Output schema == input schema; at most one row per key per micro-batch
     survives, and only if it beats the per-key high-water mark. Use between
     ``readStream`` and the foreachBatch merge.
+
+    ``state_ttl`` (e.g. ``"30 minutes"``) bounds state at 10^10-key scale:
+    keys idle longer than the TTL are EVICTED (processing-time timeout).
+    Eviction is always safe — a later duplicate for an evicted key simply
+    flows through and loses the LWW comparison at the sink; the filter is an
+    optimization, never the correctness anchor.
     """
     version_col = model.version_cols[0]
     out_schema = stream.schema
     cols = list(stream.columns)
+    ttl_ms = _duration_ms(state_ttl) if state_ttl else None
 
     def dedup(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()  # idle key: free the slot, nothing to emit
+            return
         hi = tuple(state.get) if state.exists else (-(_MAX_US + 1), -1)
         best = None
         best_v = hi
@@ -78,6 +100,9 @@ def stateful_lww_filter(
                 best = work.loc[[i], cols]  # one-row frame, dtypes intact
         if best is not None:
             state.update(best_v)
+        if ttl_ms and state.exists:
+            state.setTimeoutDuration(ttl_ms)
+        if best is not None:
             yield best
 
     return (
@@ -87,6 +112,7 @@ def stateful_lww_filter(
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                         if state_ttl else GroupStateTimeout.NoTimeout),
         )
     )

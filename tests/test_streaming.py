@@ -138,3 +138,40 @@ def test_stateful_lww_filter(spark, tmp_path, changelog_pdf):
     assert newer_or_equal.all()
     # and strictly fewer rows reach the sink than raw events
     assert len(got) < len(changelog_pdf)
+
+
+def test_stateful_filter_ttl_eviction_is_safe(spark, tmp_path, target_df,
+                                              changelog_pdf):
+    """With an aggressive state TTL, evictions may let duplicates through —
+    but the merged final state must be IDENTICAL to a plain replay (the
+    filter is an optimization; the sink is the correctness anchor)."""
+    from diffsync_spark.streaming.replay import replay_batches
+    from diffsync_spark.streaming.stateful import stateful_lww_filter
+
+    chg_dir = str(tmp_path / "chg")
+    _write_changelog_files(spark, changelog_pdf, chg_dir, n_files=4)
+
+    ta = SnapshotTable.create(spark, str(tmp_path / "a"), TRANSCRIPT_MODEL,
+                              schema=target_df.schema, n_buckets=4)
+    ta.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="b", batch_id=0)
+    stream = (spark.readStream.schema(CHANGELOG_DDL)
+              .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+    filtered = stateful_lww_filter(stream, TRANSCRIPT_MODEL,
+                                   state_ttl="1 millisecond")
+    q = (filtered.writeStream.foreachBatch(
+            lambda df, bid: ta.merge(df, checkpoint_id="s", batch_id=bid,
+                                     mode="lww"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    tb = SnapshotTable.create(spark, str(tmp_path / "b"), TRANSCRIPT_MODEL,
+                              schema=target_df.schema, n_buckets=4)
+    tb.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="b", batch_id=0)
+    replay_batches(tb, spark.read.parquet(chg_dir), n_batches=4,
+                   checkpoint_id="r")
+    a = ta.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    b = tb.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
