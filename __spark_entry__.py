@@ -537,6 +537,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["merge_state"] = merge_state
+
+    # --- two-table hierarchy sync end-to-end: parent (per-user bookkeeping)
+    # + child (events) engines bootstrapped from the TARGET derivation, then
+    # HierarchySync'd to the SOURCE derivation with natural deletion order +
+    # cascade. The returned frame joins both final states (child rows with
+    # the parent's n_events), so the oracle certifies parent counts, child
+    # payloads, AND FK consistency after the ordered applies.
+    def hierarchy_sync_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.engine import Engine
+        from diffsync_spark.operators.hierarchy import HierarchySync
+
+        parent_model = ModelSchema(
+            name="user", identifiers=("user_id",), attributes=("n_events",),
+        )
+        tmp = tempfile.mkdtemp(prefix="hier_state_")
+        child_src, child_dst = _src(spark, sf), _dst(spark, sf)
+        p_of = lambda df: df.groupBy("user_id").agg(  # noqa: E731
+            F.count("*").alias("n_events")
+        )
+        child = Engine.create(spark, f"{tmp}/child", EVENT_MODEL,
+                              schema=child_dst.schema, n_buckets=8)
+        child.table.merge(child_dst.withColumn("op", F.lit("insert")),
+                          mode="force", checkpoint_id="boot", batch_id=0)
+        parent = Engine.create(spark, f"{tmp}/parent", parent_model,
+                               schema=p_of(child_dst).schema, n_buckets=8)
+        parent.table.merge(p_of(child_dst).withColumn("op", F.lit("insert")),
+                           mode="force", checkpoint_id="boot", batch_id=0)
+        hs = HierarchySync(parent, child,
+                           DiffFlags(natural_deletion_order=True))
+        hs.sync_from(p_of(child_src), child_src, batch_id=1)
+        return child.read().join(parent.read(), "user_id").select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "n_events",
+        )
+
+    q["hierarchy_sync_state"] = hierarchy_sync_state
+
+    # --- multimodal decode (rows-only driver check: WAV/PPM parsing is not
+    # SQL-expressible; pytest covers value-level correctness)
+    def multimodal_decode(spark, sf):
+        from diffsync_spark.functions.multimodal import decode_assets, fake_assets
+
+        feats = decode_assets(fake_assets(spark, n=120), feat_dim=8)
+        return feats.select(
+            "asset_id", "kind", "n_bytes", "sha256", "width", "height",
+            "duration_ms", "decode_ok",
+        )
+
+    q["multimodal_decode"] = multimodal_decode
     return q
 
 
@@ -672,4 +725,14 @@ FROM ranked WHERE rank <= 5"""
     o["ngram_jaccard_pairs"] = _SQL_JACCARD_PAIRS
     o["minhash_lsh_pairs"] = _SQL_JACCARD_PAIRS
     o["simhash_neardup_pairs"] = _SQL_SIMHASH_PAIRS
+    # hierarchy sync converges both tables to the source derivation, so the
+    # oracle is the source itself joined with its per-user counts
+    o["hierarchy_sync_state"] = f"""
+WITH src AS ({_SQL_SRC}),
+p AS (SELECT user_id, count(*) AS n_events FROM src GROUP BY user_id)
+SELECT s.user_id, s.event_id, s.event_type, round(s.val, 6) AS val,
+       epoch_us(s.ts) AS ts_us, p.n_events
+FROM src s JOIN p USING (user_id)"""
+    # multimodal_decode intentionally has NO oracle entry → driver records
+    # the weaker rows-only check (codec parsing is not SQL-expressible)
     return o
