@@ -44,6 +44,8 @@ from diffsync_spark.functions.text import (
     fingerprint_sql,
     lang_id,
     quality_features,
+    scrub_sql,
+    scrub_text,
     token_count_col,
     STOPWORDS,
 )
@@ -590,6 +592,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["multimodal_decode"] = multimodal_decode
+
+    # --- PII/URL scrubbing over synthesized-dirty text (the fixture docs are
+    # clean, so both sides append the same deterministic URL/email/phone tail
+    # before scrubbing — the oracle certifies the regexp semantics match)
+    q["scrub_text"] = lambda spark, sf: _docs(spark, sf).select(
+        "doc_id",
+        scrub_text(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" see https://ex.io/p?q=1 or mail "),
+                F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                         F.lit("@ex.io or call +1 415-555-01")),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("clean"),
+    )
     return q
 
 
@@ -735,4 +753,10 @@ SELECT s.user_id, s.event_id, s.event_type, round(s.val, 6) AS val,
 FROM src s JOIN p USING (user_id)"""
     # multimodal_decode intentionally has NO oracle entry → driver records
     # the weaker rows-only check (codec parsing is not SQL-expressible)
+    dirty = ("coalesce(text, '') || ' see https://ex.io/p?q=1 or mail ' || "
+             "'u' || CAST(doc_id AS VARCHAR) || '@ex.io or call +1 415-555-01' "
+             "|| CAST(doc_id AS VARCHAR)")
+    o["scrub_text"] = (
+        f"SELECT doc_id, {scrub_sql(dirty)} AS clean FROM documents"
+    )
     return o

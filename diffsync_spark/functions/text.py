@@ -114,3 +114,37 @@ def fingerprint_sql(text_expr: str) -> str:
         f"t -> CAST(length(t) * 131 + ascii(t) + ascii(t[-1]) * 7 AS BIGINT))), "
         f"(acc, x) -> (acc * {FP_MUL} + x) % {FP_MOD})"
     )
+
+
+# PII/URL scrubbing — a standard pre-training text-cleaning stage. Pure
+# column expressions (JVM regexp, no Python); patterns are deliberately
+# conservative (high precision) because over-scrubbing destroys training
+# signal. Each class is replaced by a stable placeholder token so document
+# structure (and token counts) stay comparable before/after.
+_SCRUB_RULES: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<|url|>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<|email|>"),
+    # international-ish phone numbers: +CC then 8+ digits with separators
+    ("phone", r"\+\d[\d\-\s()]{7,}\d", "<|phone|>"),
+    # 13-16 digit card-like runs (with optional space/dash groups)
+    ("card", r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,4}\b", "<|card|>"),
+)
+
+
+def scrub_text(text: Column) -> Column:
+    """Replace URLs, emails, phone numbers and card-like digit runs with
+    placeholder tokens. Deterministic, order-sensitive (URLs first so an
+    email inside a URL is not double-matched)."""
+    out = text
+    for _, pattern, token in _SCRUB_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def scrub_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`scrub_text` (same rules, same order) for the
+    driver oracle."""
+    out = text_expr
+    for _, pattern, token in _SCRUB_RULES:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out

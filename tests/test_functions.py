@@ -278,3 +278,23 @@ def test_lsh_candidate_plan_carries_no_text(spark, docs):
         for line in s.splitlines() if line.startswith("Arguments: hashpartitioning")
     ]
     assert exch_args and all("text#" not in a for a in exch_args)
+
+
+def test_scrub_text(spark):
+    from diffsync_spark.functions.text import scrub_text
+
+    df = spark.createDataFrame(
+        [("visit https://a.io/x?y=1 now",),
+         ("mail bob.smith+x@corp.example.org ok",),
+         ("call +1 415-555-0199 or 4111 1111 1111 1111",),
+         ("clean text stays clean",),
+         (None,)],
+        "text string",
+    )
+    got = [r.c for r in df.select(
+        scrub_text(F.col("text")).alias("c")).collect()]
+    assert got[0] == "visit <|url|> now"
+    assert got[1] == "mail <|email|> ok"
+    assert "<|phone|>" in got[2] and "<|card|>" in got[2]
+    assert got[3] == "clean text stays clean"
+    assert got[4] is None
