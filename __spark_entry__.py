@@ -608,6 +608,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ).alias("clean"),
     )
+
+    # --- watermarked windowed change-rate (ST3): same code path the stream
+    # runs (withWatermark is a no-op on a batch frame, so the batch twin
+    # certifies the aggregation semantics; the watermark behavior itself is
+    # covered by tests/test_streaming.py::test_windowed_change_rate_watermark)
+    def windowed_rate(spark, sf):
+        from diffsync_spark.streaming.windowed import windowed_change_rate
+
+        chg = _changelog(spark, sf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        agg = windowed_change_rate(
+            chg, window="1 minute", watermark="2 minutes",
+            ts_col="ts", key_cols=("user_id",),
+        )
+        return agg.select(
+            "user_id",
+            F.unix_micros(F.col("window_start").cast("timestamp")).alias("ws_us"),
+            F.unix_micros(F.col("window_end").cast("timestamp")).alias("we_us"),
+            "n_changes",
+            "n_deletes",
+        )
+
+    q["windowed_change_rate"] = windowed_rate
+
+    # --- DiffElement total ordering (O3): (type, name) rank over the diff,
+    # reference DiffElement.__lt__ (diff.py:199-204); export-scale global sort
+    def element_order(spark, sf):
+        from diffsync_spark.operators.rollup import order_elements
+
+        d = diff(_src(spark, sf), _dst(spark, sf), EVENT_MODEL)
+        return order_elements(d, EVENT_MODEL).select(
+            "user_id", "event_id", "op", "element_rank"
+        )
+
+    q["diff_element_order"] = element_order
+
+    # --- deterministic sampling family (hash-derived membership, stable
+    # under repartitioning; md5-hex compare makes the oracle bit-exact)
+    def sample(spark, sf):
+        from diffsync_spark.functions.sampling import hash_sample
+
+        return hash_sample(
+            _docs(spark, sf), 0.2, ["doc_id"], salt="r2"
+        ).select("doc_id", "lang", "source")
+
+    q["hash_sample"] = sample
+
+    def strat(spark, sf):
+        from diffsync_spark.functions.sampling import stratified_sample
+
+        return stratified_sample(
+            _docs(spark, sf), ["lang", "source"], 5, ["doc_id"], salt="r2"
+        ).select("lang", "source", "doc_id")
+
+    q["stratified_sample"] = strat
+
+    def split(spark, sf):
+        from diffsync_spark.functions.sampling import split_column
+
+        return _docs(spark, sf).select(
+            "doc_id",
+            split_column(
+                ["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1},
+                salt="r2",
+            ),
+        )
+
+    q["train_split"] = split
+
+    # --- gap-based sessionization of the event stream
+    def sessions(spark, sf):
+        from diffsync_spark.functions.sessions import sessionize
+
+        e = _events(spark, sf).select(
+            "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        s = sessionize(
+            e, ("user_id",), "ts", 600, tiebreak_cols=("event_id",)
+        )
+        return s.select(
+            "user_id", "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "is_session_start", "session_idx",
+        )
+
+    q["sessionize"] = sessions
     return q
 
 
@@ -758,5 +845,53 @@ FROM src s JOIN p USING (user_id)"""
              "|| CAST(doc_id AS VARCHAR)")
     o["scrub_text"] = (
         f"SELECT doc_id, {scrub_sql(dirty)} AS clean FROM documents"
+    )
+    o["windowed_change_rate"] = f"""
+WITH chg AS ({_SQL_CHG})
+SELECT user_id,
+       epoch_us(date_trunc('minute', ts)) AS ws_us,
+       epoch_us(date_trunc('minute', ts) + INTERVAL 1 MINUTE) AS we_us,
+       count(*) AS n_changes,
+       CAST(coalesce(sum(CASE WHEN op = 'delete' THEN 1 END), 0) AS BIGINT)
+         AS n_deletes
+FROM chg GROUP BY user_id, date_trunc('minute', ts)"""
+    o["diff_element_order"] = f"""
+WITH d AS ({_SQL_DIFF})
+SELECT user_id, event_id, op,
+       row_number() OVER (ORDER BY CAST(user_id AS VARCHAR) || '__' ||
+                          CAST(event_id AS VARCHAR)) AS element_rank
+FROM d"""
+    from diffsync_spark.functions.sampling import (
+        _key_hash_sql,
+        sample_sql,
+        split_sql,
+    )
+    from diffsync_spark.functions.sessions import sessionize_sql
+
+    o["hash_sample"] = (
+        "SELECT doc_id, lang, source FROM documents WHERE "
+        + sample_sql(0.2, ["doc_id"], salt="r2")
+    )
+    o["stratified_sample"] = f"""
+WITH r AS (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY {_key_hash_sql(["doc_id"], "r2")}) AS rn
+  FROM documents)
+SELECT lang, source, doc_id FROM r WHERE rn <= 5"""
+    o["train_split"] = (
+        "SELECT doc_id, "
+        + split_sql(["doc_id"], {"train": 0.8, "valid": 0.1, "test": 0.1},
+                    salt="r2")
+        + " AS split FROM documents"
+    )
+    inner = sessionize_sql(
+        "SELECT user_id, event_id, ts FROM events",
+        ("user_id",), "ts", 600,
+        tiebreak_cols=("event_id",), payload_cols=("event_id",),
+    )
+    o["sessionize"] = (
+        "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
+        f"is_session_start, session_idx FROM ({inner})"
     )
     return o

@@ -94,6 +94,10 @@ def main() -> None:
         "fingerprint",
         lambda: noop_write(entry_mod.queries()["fingerprint"](spark, sf_dir)),
     )
+    timed(
+        "sessionize",
+        lambda: noop_write(entry_mod.queries()["sessionize"](spark, sf_dir)),
+    )
 
     # --- the CDC replay (primary metric): bootstrap + batched LWW merge.
     # Inputs are generated DISTRIBUTED (spark-side fixtures) and staged to

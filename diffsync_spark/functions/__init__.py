@@ -22,8 +22,18 @@ from diffsync_spark.functions.dedup import (
     embedding_neardup_pairs,
 )
 from diffsync_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+from diffsync_spark.functions.sampling import (
+    hash_sample,
+    split_column,
+    stratified_sample,
+)
+from diffsync_spark.functions.sessions import sessionize
 
 __all__ = [
+    "hash_sample",
+    "split_column",
+    "stratified_sample",
+    "sessionize",
     "token_count_col",
     "quality_features",
     "lang_id",

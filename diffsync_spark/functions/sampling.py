@@ -1,0 +1,161 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never trained on whole: pipelines downsample by source /
+language / quality stratum, carve held-out splits, and need all of it to be
+REPRODUCIBLE — rerunning the job (or re-reading a partition after a task
+retry) must select the same rows. Spark's ``df.sample`` is seeded per
+partition-split and changes membership when the partitioning changes, so
+every operator here derives membership from a content hash of the row's key
+instead: pure column expressions, no state, no RNG, stable under
+repartitioning, task retries, and cluster-size changes.
+
+Engine-portable by construction: membership is decided by comparing a
+lowercase-hex ``md5`` prefix (identical bytes → identical hex in every
+engine), so the DuckDB oracle can reproduce bit-exact membership —
+unlike ``xxhash64``/``F.hash``, which are Spark-private.
+
+Scale notes:
+- ``hash_sample`` is a pure filter — pushes past shuffles, costs one md5
+  per row, no exchange at all.
+- ``stratified_sample`` is one shuffle on the strata columns + a window
+  rank; the order key is the key hash, so quota selection is unbiased and
+  deterministic. Hot strata are bounded by the quota itself (the window
+  emits at most n rows per stratum after rank pruning — Spark's
+  WindowExec still sorts the stratum, so a pathological mega-stratum is
+  sort-bound; cap it upstream with ``hash_sample`` first).
+- ``split_column`` adds a label, no shuffle; splits are disjoint and
+  exhaustive by interval partition of the hash space.
+
+Reference analog: none (the reference has no sampling surface); this is the
+training-data-pipeline family mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 16^8 — the md5-prefix space: 8 hex chars = 32 bits, plenty of resolution
+# for sampling fractions down to ~2e-10.
+_SPACE = 16 ** 8
+
+
+def _key_hash(key_cols: list[str], salt: str) -> Column:
+    """Lowercase md5 hex of the salted, ``|``-joined key columns."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols]
+    return F.md5(F.concat_ws("|", F.lit(salt), *parts))
+
+
+def _hex_threshold(fraction: float) -> str:
+    """8-hex-char cutoff such that P(md5_prefix < cutoff) == fraction
+    (to within 1/2^32). Hex-string comparison of equal-length lowercase
+    hex is monotone in the underlying integer, so the filter is a plain
+    string ``<`` — no hex→int conversion needed on either engine."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return "g" * 8  # sorts above every hex char → keep-all sentinel
+    return format(int(fraction * _SPACE), "08x")
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    ``md5(salt|key) prefix < fraction`` of the hash space.
+
+    Membership depends only on (key, salt) — stable across reruns,
+    repartitioning, and engines. Different salts give independent samples
+    over the same keys (e.g. one per ablation).
+    """
+    cutoff = _hex_threshold(fraction)
+    return df.filter(F.substring(_key_hash(key_cols, salt), 1, 8) < cutoff)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Exact per-stratum quota: the ``n_per_stratum`` rows of each stratum
+    with the smallest key hashes (a deterministic uniform draw without
+    replacement). Ties are impossible at md5 width for distinct keys.
+
+    One shuffle (strata columns) + window rank; prune with ``hash_sample``
+    first if a stratum can exceed executor sort budgets.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata_cols).orderBy(_key_hash(key_cols, salt))
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_per_stratum)
+        .drop("__r")
+    )
+
+
+def split_column(
+    key_cols: list[str],
+    weights: dict[str, float],
+    salt: str = "",
+) -> Column:
+    """Label column assigning each row to a named split (train/valid/test…)
+    by interval partition of the hash space: disjoint, exhaustive,
+    deterministic. ``weights`` must sum to 1 (±1e-9); iteration order of
+    the dict defines the intervals."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = F.substring(_key_hash(key_cols, salt), 1, 8)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cutoff = format(min(int(acc * _SPACE), _SPACE - 1), "08x")
+        expr = (F.when(h < cutoff, name) if expr is None
+                else expr.when(h < cutoff, name))
+    return (F.lit(names[0]) if expr is None else expr.otherwise(names[-1])).alias(
+        "split"
+    )
+
+
+def _key_hash_sql(key_cols: list[str], salt: str) -> str:
+    """DuckDB twin of ``_key_hash`` — the FULL 32-hex md5 (order twin)."""
+    parts = " , ".join(
+        f"coalesce(CAST({c} AS VARCHAR), chr(0))" for c in key_cols
+    )
+    return f"md5(concat_ws('|', '{salt}', {parts}))"
+
+
+def sample_sql(
+    fraction: float, key_cols: list[str], salt: str = ""
+) -> str:
+    """DuckDB predicate twin of ``hash_sample`` (bit-exact membership)."""
+    return (
+        f"substr({_key_hash_sql(key_cols, salt)}, 1, 8)"
+        f" < '{_hex_threshold(fraction)}'"
+    )
+
+
+def split_sql(
+    key_cols: list[str], weights: dict[str, float], salt: str = ""
+) -> str:
+    """DuckDB expression twin of ``split_column`` (bit-exact labels)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    h = f"substr({_key_hash_sql(key_cols, salt)}, 1, 8)"
+    names = list(weights)
+    if len(names) == 1:
+        return f"'{names[0]}'"
+    clauses, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        cutoff = format(min(int(acc * _SPACE), _SPACE - 1), "08x")
+        clauses.append(f"WHEN {h} < '{cutoff}' THEN '{name}'")
+    return f"CASE {' '.join(clauses)} ELSE '{names[-1]}' END"

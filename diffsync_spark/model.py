@@ -23,8 +23,14 @@ class ModelSchema:
     name:        model type tag (reference ``_modelname``, ``__init__.py:74-78``).
     identifiers: natural-key columns (``_identifiers``, ``__init__.py:80-84``).
     attributes:  compared payload columns (``_attributes``, ``__init__.py:93-102``).
-                 Columns not listed in either grouping are ignored by the diff,
-                 exactly like undeclared pydantic fields in the reference.
+                 Only declared attributes are compared, exactly like the
+                 reference where the diff walks the model class's
+                 ``_attributes`` tuple; undeclared non-key/non-version columns
+                 ride along in the diff payload (``after``) so apply can
+                 propagate them, but never produce an update on their own.
+                 Set ``compare_undeclared=True`` to opt in to comparing
+                 evolved columns that appear on BOTH sides (bookkeeping
+                 columns like ``seq`` usually should not be compared).
     shortname:   optional display-key columns (``_shortname``, ``__init__.py:86-91``).
     parent_key:  identifier columns that foreign-key a parent model — the
                  Spark rendering of ``_children`` uid-lists
@@ -41,6 +47,7 @@ class ModelSchema:
     shortname: tuple[str, ...] = ()
     parent_key: tuple[str, ...] = ()
     version_cols: tuple[str, ...] = ()
+    compare_undeclared: bool = False
 
     def __post_init__(self) -> None:
         # Mirrors the mutual-exclusivity check at reference __init__.py:150-159.
@@ -81,21 +88,32 @@ class ModelSchema:
             )
 
     def attrs_in(self, df: DataFrame) -> list[str]:
-        """This side's effective attributes: declared attributes present in
-        ``df`` (declaration order) plus any undeclared non-key, non-version
-        columns (frame order) — evolved columns.
+        """This side's COMPARED attributes: declared attributes present in
+        ``df`` (declaration order).
 
-        Faithful to the reference, where each adapter's model class carries
-        its own ``_attributes`` tuple and the diff compares the intersection
-        (``diffsync/diff.py:266-279``): a column that exists on one side only
-        is carried in that side's payload but never compared; a column added
-        to both sides is compared like any other attribute.
+        Faithful to the reference, where the diff walks only the model
+        class's ``_attributes`` tuple (``diffsync/diff.py:266-279``) — an
+        undeclared pydantic field is never compared. With
+        ``compare_undeclared=True``, undeclared non-key/non-version columns
+        are appended (frame order) and compared like declared attributes.
         """
         present = set(df.columns)
         declared = [c for c in self.attributes if c in present]
+        if not self.compare_undeclared:
+            return declared
         reserved = set(self.identifiers) | set(self.attributes) | set(self.version_cols)
-        extra = [c for c in df.columns if c not in reserved]
-        return declared + extra
+        return declared + [c for c in df.columns if c not in reserved]
+
+    def payload_attrs_in(self, df: DataFrame) -> list[str]:
+        """This side's PAYLOAD columns: compared attributes plus any
+        undeclared non-key/non-version columns (frame order). Evolved columns
+        ride along in the diff's ``before``/``after`` structs so apply can
+        propagate them, without ever producing an update on their own."""
+        compared = self.attrs_in(df)
+        reserved = (
+            set(self.identifiers) | set(self.version_cols) | set(compared)
+        )
+        return compared + [c for c in df.columns if c not in reserved]
 
     def shared_attrs(self, src: DataFrame, dst: DataFrame) -> list[str]:
         """Intersection of both sides' present attributes, in declaration

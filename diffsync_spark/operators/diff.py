@@ -55,8 +55,8 @@ _DST_MARK = "__diffsync_dst_present"
 
 def _payload_cols(model: ModelSchema, df: DataFrame) -> list[str]:
     """Effective attribute + version columns present on this side — includes
-    evolved (undeclared) columns via ``ModelSchema.attrs_in``."""
-    cols = model.attrs_in(df)
+    evolved (undeclared) columns via ``ModelSchema.payload_attrs_in``."""
+    cols = model.payload_attrs_in(df)
     present = set(df.columns)
     cols += [c for c in model.version_cols if c in present and c not in cols]
     return cols

@@ -65,6 +65,27 @@ def stable_turn_order(df: DataFrame, model: ModelSchema) -> DataFrame:
     return df.withColumn("turn_rank", F.row_number().over(w))
 
 
+def order_elements(diff_df: DataFrame, model: ModelSchema) -> DataFrame:
+    """Total ordering of diff elements by ``(type, name)`` — the reference's
+    ``DiffElement.__lt__`` (``diffsync/diff.py:199-204``), where ``type`` is
+    the model name and ``name`` the shortname. One model per frame makes
+    ``type`` constant, so the order key is (shortname, uid-tiebreak); emits
+    ``element_rank``.
+
+    Scale note: a TOTAL order is inherently a global sort. The rank window
+    here is unpartitioned (single-partition WindowExec) — this op is for
+    deterministic exports/renders like the reference's sorted tree walk, at
+    export scale. The MERGE path never needs a total order (atomic set
+    apply), so this is deliberately not on the hot path.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.lit(model.name), model.shortname_col(), model.uid_col()
+    )
+    return diff_df.withColumn("element_rank", F.row_number().over(w))
+
+
 def order_by_action(diff_df: DataFrame) -> DataFrame:
     """Order a diff frame by CRUD action (create → update → delete → noop) then
     key — the reference's custom-Diff ordering example

@@ -68,7 +68,7 @@ def to_nested_dict(df: DataFrame, model: ModelSchema, max_rows: int = 100_000) -
     if n > max_rows:
         raise ValueError(f"to_nested_dict is a debug export; {n} rows > {max_rows}")
     uid = model.uid_col().alias("__uid")
-    attr_cols = model.attrs_in(df)
+    attr_cols = model.payload_attrs_in(df)
     out: dict[str, dict] = {}
     for row in df.select(uid, *attr_cols).collect():
         d = row.asDict()

@@ -125,6 +125,27 @@ def test_schema_evolution_no_spurious_diff(spark, source_pdf, source_df):
     assert "tool_call_id" in [f.name for f in d.schema["after"].dataType.fields]
 
 
+def test_undeclared_shared_column_not_compared(spark, source_pdf, source_df):
+    """An undeclared bookkeeping column present on BOTH sides (e.g. ``seq``)
+    is never compared by default — only declared ``_attributes`` are, like
+    the reference (diff.py:266-279). It still rides in the payload. With
+    ``compare_undeclared=True`` it is compared like a declared attribute."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    src = source_df.withColumn("seq", F.monotonically_increasing_id())
+    dst = source_df.withColumn("seq", F.lit(-1).cast("long"))
+    d = diff(src, dst, TRANSCRIPT_MODEL)
+    assert not has_diffs(d)  # differing seq produced no spurious update
+    assert "seq" in [f.name for f in d.schema["after"].dataType.fields]
+
+    opted = dataclasses.replace(TRANSCRIPT_MODEL, compare_undeclared=True)
+    d2 = diff(src, dst, opted)
+    row = diff_summary(d2).first()
+    assert row.n_update == src.count()  # every row differs on seq when opted in
+
+
 def test_diff_summary(source_df, target_df, oracle_ops):
     row = diff_summary(diff(source_df, target_df, TRANSCRIPT_MODEL)).first()
     from collections import Counter

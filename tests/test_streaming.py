@@ -175,3 +175,112 @@ def test_stateful_filter_ttl_eviction_is_safe(spark, tmp_path, target_df,
     a = ta.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     b = tb.read().orderBy("conv_id", "turn_idx").toPandas().reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_session_window_stats(spark, tmp_path):
+    """F.session_window merges sub-gap events into one window and finalizes
+    it once the watermark passes session_end + gap; a later event opens a
+    new session rather than growing the closed one."""
+    import datetime
+
+    from diffsync_spark.streaming.windowed import session_change_stats
+
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    T0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [("c1", i, "user", "x", None,
+                 T0 + datetime.timedelta(seconds=s), op, i)
+                for i, (s, op) in enumerate(specs)]
+
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    out: list = []
+
+    def run_once():
+        stream = (spark.readStream.schema(ddl)
+                  .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+        agg = session_change_stats(stream, gap="1 minute",
+                                   watermark="2 minutes")
+        q = (agg.writeStream.foreachBatch(
+                lambda df, bid: out.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # session A: events at 0s and 30s (gap < 1 min → one session ending
+    # 30s+60s=90s); the 600s event advances the watermark to ~8 min,
+    # finalizing A while its own session stays open
+    f1 = rows([(0, "update"), (30, "delete"), (600, "update")])
+    spark.createDataFrame(f1, ddl).coalesce(1).write.mode("append").parquet(chg_dir)
+    run_once()
+    got = {(r.session_start, r.session_end): (r.n_changes, r.n_deletes)
+           for r in out}
+    assert got == {
+        (T0, T0 + datetime.timedelta(seconds=90)): (2, 1),
+    }
+
+    # 660s merges into the open 600s session (600+60>660... gap is 60s →
+    # [600, 720]); 1800s pushes the watermark past 720+gap → finalized
+    f2 = rows([(660, "update"), (1800, "update")])
+    spark.createDataFrame(f2, ddl).coalesce(1).write.mode("append").parquet(chg_dir)
+    run_once()
+    got = {(r.session_start, r.session_end): (r.n_changes, r.n_deletes)
+           for r in out}
+    assert got[(T0 + datetime.timedelta(seconds=600),
+                T0 + datetime.timedelta(seconds=720))] == (2, 0)
+
+
+def test_windowed_change_rate_watermark(spark, tmp_path):
+    """withWatermark windowed agg (ST3): on-time windows finalize once the
+    watermark passes; an event arriving later than the watermark is excluded
+    from the aggregate (while the merge path would still apply it)."""
+    import datetime
+
+    from diffsync_spark.streaming.windowed import windowed_change_rate
+
+    chg_dir = str(tmp_path / "chg")
+    os.makedirs(chg_dir)
+    T0 = datetime.datetime(2025, 6, 1, 12, 0, 0)
+
+    def rows(specs):
+        return [("c1", i, "user", "x", None,
+                 T0 + datetime.timedelta(seconds=s), op, i)
+                for i, (s, op) in enumerate(specs)]
+
+    # file 1: events in minute 0 and minute 10 (advances watermark to ~min 8)
+    f1 = rows([(0, "update"), (30, "delete"), (600, "update")])
+    # file 2: a LATE event back in minute 0 — older than the watermark
+    f2 = rows([(10, "update")])
+    ddl = ("conv_id string, turn_idx int, role string, text string, "
+           "tool string, ts timestamp, op string, seq long")
+    # two availableNow runs over one checkpoint: the watermark (advanced to
+    # minute ~8 by run 1) PERSISTS, so run 2's late minute-0 event is
+    # genuinely later-than-watermark — no reliance on file ordering
+    out: list = []
+
+    def run_once():
+        stream = (spark.readStream.schema(ddl)
+                  .option("maxFilesPerTrigger", 1).parquet(chg_dir))
+        agg = windowed_change_rate(stream, window="1 minute",
+                                   watermark="2 minutes")
+        q = (agg.writeStream.foreachBatch(
+                lambda df, bid: out.extend(df.collect()))
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(f1, ddl).coalesce(1).write.mode("append").parquet(chg_dir)
+    run_once()
+    spark.createDataFrame(f2, ddl).coalesce(1).write.mode("append").parquet(chg_dir)
+    run_once()
+    got = pd.DataFrame([r.asDict() for r in out])
+
+    m0 = got[got.window_start == T0]
+    assert len(m0) == 1
+    # the late minute-0 event was dropped by the watermark: 2 events, not 3
+    assert int(m0.n_changes.iloc[0]) == 2
+    assert int(m0.n_deletes.iloc[0]) == 1
