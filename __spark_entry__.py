@@ -695,6 +695,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sessionize"] = sessions
+
+    # --- Debezium envelope decode (binlog/WAL-tail ingest): both sides
+    # synthesize the same logical envelopes from events, decode, and must
+    # agree — certifying op mapping, before/after image selection, ts_ms
+    # conversion, and the unknown-op→NULL (quarantine, never drop) contract
+    def debezium(spark, sf):
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sources.cdc_formats import from_debezium
+
+        e = _events(spark, sf)
+        opcode = (
+            F.when(F.col("event_id") % 97 == 0, "x")  # unknown → NULL op
+            .when(F.col("event_id") % 4 == 0, "c")
+            .when(F.col("event_id") % 4 == 1, "u")
+            .when(F.col("event_id") % 4 == 2, "d")
+            .otherwise("r")
+        )
+        img = F.struct(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("val"),
+        )
+        raw = e.select(
+            F.to_json(
+                F.struct(
+                    F.when(opcode == "d", img).alias("before"),
+                    F.when(opcode != "d", img).alias("after"),
+                    opcode.alias("op"),
+                    F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                    F.struct(
+                        F.col("event_id").alias("lsn"),
+                        F.lit("events").alias("table"),
+                    ).alias("source"),
+                )
+            ).alias("value")
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        chg = from_debezium(raw, EVENT_MODEL, row_schema)
+        return chg.select(
+            "seq", "op", "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["debezium_decode"] = debezium
     return q
 
 
@@ -894,4 +946,34 @@ SELECT lang, source, doc_id FROM r WHERE rn <= 5"""
         "SELECT user_id, event_id, epoch_us(ts) AS ts_us, "
         f"is_session_start, session_idx FROM ({inner})"
     )
+    from diffsync_spark.sources.cdc_formats import debezium_sql
+
+    _dbz_raw = """
+SELECT to_json(struct_pack(
+         before := CASE WHEN oc = 'd' THEN img END,
+         "after" := CASE WHEN oc <> 'd' THEN img END,
+         op := oc,
+         ts_ms := epoch_ms(ts),
+         source := struct_pack(lsn := event_id, "table" := 'events')
+       )) AS value
+FROM (
+  SELECT *,
+         CASE WHEN event_id % 97 = 0 THEN 'x'
+              WHEN event_id % 4 = 0 THEN 'c'
+              WHEN event_id % 4 = 1 THEN 'u'
+              WHEN event_id % 4 = 2 THEN 'd'
+              ELSE 'r' END AS oc,
+         struct_pack(user_id := user_id, event_id := event_id,
+                     event_type := event_type,
+                     val := round(value, 4)) AS img
+  FROM events)"""
+    _dbz_decoded = debezium_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+        _dbz_raw,
+    )
+    o["debezium_decode"] = f"""
+SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
+       epoch_us(ts) AS ts_us
+FROM ({_dbz_decoded})"""
     return o

@@ -1,3 +1,7 @@
+from diffsync_spark.sources.cdc_formats import (
+    debezium_envelope_schema,
+    from_debezium,
+)
 from diffsync_spark.sources.io import (
     load_from_records,
     read_changelog,
@@ -8,6 +12,8 @@ from diffsync_spark.sources.io import (
 )
 
 __all__ = [
+    "debezium_envelope_schema",
+    "from_debezium",
     "load_from_records",
     "read_changelog",
     "read_snapshot",

@@ -1,0 +1,119 @@
+"""CDC envelope decoders — binlog/WAL-tail JSON → the engine's changelog.
+
+The north rule is "binlog/WAL tail → lake upsert". Real change streams
+arrive as connector envelopes, not clean columns; the dominant wire format
+is Debezium's (one JSON document per change: ``before``/``after`` row
+images, ``op`` code ``c|u|d|r``, source metadata, ``ts_ms``). This module
+normalizes such envelopes into the engine's changelog contract —
+``(seq, op, <key cols>, <payload cols>, ts)`` — so everything downstream
+(LWW dedup, three-way patch, MERGE) is format-agnostic.
+
+All decoding is JVM-side: ``F.from_json`` with an explicit schema (never
+schema inference on a stream), column expressions for the op mapping, and
+epoch-millis → timestamp for the version column. Works identically on a
+batch frame and a ``readStream`` (Kafka ``value`` column or JSON-lines
+file tail), since it is a pure projection.
+
+Reference analog: none — the reference loads snapshots via per-adapter
+Python (``/root/reference/diffsync/__init__.py:532-534``) and has no
+change-stream surface. Format spec from the public Debezium docs
+(https://debezium.io/documentation — message envelope structure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from diffsync_spark.model import ModelSchema
+
+# Debezium op codes → the engine's changelog verbs. "r" (snapshot read)
+# is an upsert of current state, same apply semantics as create.
+_OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
+
+
+def debezium_envelope_schema(model: ModelSchema, row_schema: T.StructType) -> T.StructType:
+    """Envelope struct schema for ``F.from_json``: row images typed by the
+    model table's own schema, so payload columns come out typed (no
+    second cast pass)."""
+    return T.StructType(
+        [
+            T.StructField("before", row_schema),
+            T.StructField("after", row_schema),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts_ms", T.LongType()),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("lsn", T.LongType()),
+                        T.StructField("table", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def _op_col(code: Column) -> Column:
+    expr = None
+    for k, v in _OP_MAP.items():
+        expr = F.when(code == k, v) if expr is None else expr.when(code == k, v)
+    return expr  # unknown codes → NULL → quarantined by the merge contract
+
+
+def from_debezium(
+    raw: DataFrame,
+    model: ModelSchema,
+    row_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode a frame of Debezium JSON envelopes (one per row in
+    ``value_col``) into the changelog contract.
+
+    - key + payload columns come from ``after`` (or ``before`` for deletes,
+      which carry no after-image);
+    - ``op`` maps c/r→insert, u→update, d→delete; unknown codes become
+      NULL ops, which the MERGE path quarantines rather than drops;
+    - ``ts`` is the envelope's ``ts_ms`` (the connector's commit clock —
+      the LWW version under the engine's contract);
+    - ``seq`` is the source LSN (log sequence number), the total order
+      within the upstream log, used as the LWW tiebreak.
+
+    Pure projection: no shuffle, streams and batches alike; corrupt JSON
+    yields NULL structs → NULL op → quarantine (never a dropped row).
+    """
+    env = debezium_envelope_schema(model, row_schema)
+    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
+        F.col("e.after")
+    )
+    cols = [F.col("e.source.lsn").alias("seq"), _op_col(F.col("e.op")).alias("op")]
+    cols += [image.getField(f.name).alias(f.name) for f in row_schema.fields]
+    cols.append(
+        F.timestamp_millis(F.col("e.ts_ms")).alias("ts")
+    )
+    return parsed.select(*cols)
+
+
+def debezium_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
+    """DuckDB twin of :func:`from_debezium` over a relation with a JSON
+    ``value`` column — for the driver's oracle gate. ``row_cols`` is
+    ``[(name, duckdb_type), ...]`` of the row-image columns."""
+    image = (
+        "CASE WHEN json_extract_string(value, '$.op') = 'd' "
+        "THEN json_extract(value, '$.before') "
+        "ELSE json_extract(value, '$.after') END"
+    )
+    fields = ", ".join(
+        f"CAST(json_extract_string({image}, '$.{name}') AS {typ}) AS {name}"
+        for name, typ in row_cols
+    )
+    return f"""
+SELECT CAST(json_extract_string(value, '$.source.lsn') AS BIGINT) AS seq,
+       CASE json_extract_string(value, '$.op')
+            WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert'
+            WHEN 'u' THEN 'update' WHEN 'd' THEN 'delete' END AS op,
+       {fields},
+       epoch_ms(CAST(json_extract_string(value, '$.ts_ms') AS BIGINT)) AS ts
+FROM ({source_expr})"""

@@ -1,0 +1,76 @@
+"""Debezium envelope decode: op mapping, image selection, corrupt input.
+Value parity vs DuckDB lives in test_entry_oracle.py (debezium_decode)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F, types as T
+
+from diffsync_spark.model import ModelSchema
+from diffsync_spark.sources.cdc_formats import from_debezium
+
+MODEL = ModelSchema(
+    name="event",
+    identifiers=("user_id", "event_id"),
+    attributes=("event_type", "val"),
+    version_cols=("ts",),
+)
+ROW = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _env(op, uid, eid, et, val, ts_ms, lsn):
+    import json
+
+    img = {"user_id": uid, "event_id": eid, "event_type": et, "val": val}
+    return json.dumps(
+        {
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "op": op,
+            "ts_ms": ts_ms,
+            "source": {"lsn": lsn, "table": "events"},
+        }
+    )
+
+
+def test_debezium_decode_semantics(spark):
+    rows = [
+        (_env("c", 1, 10, "click", 1.5, 1_700_000_000_000, 1),),
+        (_env("u", 1, 10, "click", 2.5, 1_700_000_001_000, 2),),
+        (_env("d", 1, 10, "click", 2.5, 1_700_000_002_000, 3),),
+        (_env("r", 2, 20, "view", 0.5, 1_700_000_003_000, 4),),  # snapshot read
+        (_env("z", 3, 30, "view", 0.5, 1_700_000_004_000, 5),),  # unknown op
+        ("{not valid json",),  # corrupt envelope
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = from_debezium(raw, MODEL, ROW).collect()
+    assert len(out) == 6  # corrupt/unknown rows are KEPT (quarantine, not drop)
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[1].op == "insert" and by_seq[1].val == 1.5
+    assert by_seq[2].op == "update" and by_seq[2].val == 2.5
+    # delete takes its image from `before`
+    assert by_seq[3].op == "delete" and by_seq[3].user_id == 1
+    assert by_seq[4].op == "insert"  # snapshot read r → insert
+    assert by_seq[5].op is None  # unknown code → NULL op → merge quarantine
+    assert by_seq[5].user_id == 3  # payload still decoded
+    corrupt = [r for r in out if r.seq is None]
+    assert len(corrupt) == 1 and corrupt[0].op is None
+    # version column is the connector commit clock
+    assert by_seq[1].ts.isoformat().startswith("2023-11-14")
+
+
+def test_debezium_is_pure_projection(spark):
+    """No exchange: the decoder must stream (works under readStream too)."""
+    raw = spark.createDataFrame([(_env("c", 1, 1, "x", 1.0, 0, 1),)],
+                                "value string")
+    plan = (
+        from_debezium(raw, MODEL, ROW)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
