@@ -603,6 +603,48 @@ class SnapshotTable:
         )
         return self.spark.createDataFrame(rows, schema=schema)
 
+    def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
+        """Buckets whose file sets differ between two snapshots — the
+        manifest-level pruning unit for incremental reads."""
+        man_from = self._manifest(from_version)
+        man_to = self._manifest(to_version)
+        out = []
+        for b in set(man_from["files"]) | set(man_to["files"]):
+            if man_from["files"].get(b) != man_to["files"].get(b):
+                out.append(int(b))
+        return sorted(out)
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental (CDC) read: the net row-level changes that turn
+        snapshot ``from_version`` into ``to_version`` (default: current) —
+        the Iceberg incremental-scan analog, so downstream consumers can
+        tail THIS table instead of re-reading it.
+
+        Scale shape: only buckets whose manifest file sets differ
+        participate at all (a commit touching 3 of 1,024 buckets scans 2×3
+        bucket file sets, not the table); within those, a keyed full-outer
+        diff classifies create/update/delete against the older live state.
+        A ``compact()`` rewrites files with no logical change — its buckets
+        are scanned but every row compares noop → empty result, preserving
+        correctness over pure file-diff approaches.
+        """
+        from diffsync_spark.operators.diff import diff as diff_op
+
+        changed = self.changed_buckets(from_version, to_version)
+        public_old = [f.name for f in self.schema(from_version).fields]
+        public_new = [f.name for f in self.schema(to_version).fields]
+
+        def live(version, cols):
+            return (
+                self.read_raw(version, buckets=changed)
+                .filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+                .select(*cols)
+            )
+
+        d = diff_op(live(to_version, public_new), live(from_version, public_old),
+                    self.model)
+        return d.filter(F.col("op") != "noop")
+
     def compact(self) -> dict[str, Any]:
         """Rewrite every bucket into fresh files (small-file maintenance,
         like Iceberg rewrite_data_files). New snapshot; no logical change."""

@@ -232,6 +232,53 @@ def test_time_travel_and_compact(spark, tmp_path, target_df, changelog_df):
     pd.testing.assert_frame_equal(_state(table), after)
 
 
+def test_incremental_changes_read(spark, tmp_path, target_df, changelog_df):
+    """changes(v1, v2) reports exactly the net create/update/delete between
+    two snapshots, prunes to the touched buckets, and sees a compaction as
+    zero changes (file rewrite, no logical change)."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    v1 = table.current_version()
+    table.merge(changelog_df, checkpoint_id="inc", batch_id=1)
+    v2 = table.current_version()
+
+    got = table.changes(v1, v2)
+    assert set(got.select("op").distinct().toPandas()["op"]) <= {
+        "create", "update", "delete"
+    }
+    # must equal the brute-force diff of the two full snapshots
+    want = (
+        diff(table.read(v2), table.read(v1), TRANSCRIPT_MODEL)
+        .filter("op <> 'noop'")
+    )
+    g = got.select(*IDS, "op").toPandas().sort_values(IDS).reset_index(drop=True)
+    w = want.select(*IDS, "op").toPandas().sort_values(IDS).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    assert len(g) > 0
+
+    # same-version window and changes() across a pure compact() are empty
+    assert table.changes(v2, v2).count() == 0
+    table.compact()
+    v3 = table.current_version()
+    # compact rewrites every bucket (no manifest pruning win) but yields no
+    # logical change
+    assert table.changes(v2, v3).count() == 0
+
+    # bucket pruning: a single brand-new key touches exactly one bucket
+    row = target_df.first()
+    one = spark.createDataFrame(
+        [("zzz_brand_new", 0, row.role, "patched", row.tool,
+          row.ts + datetime.timedelta(hours=1), "insert", 10_000)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string, seq long",
+    )
+    table.merge(one, checkpoint_id="inc", batch_id=2)
+    v4 = table.current_version()
+    assert len(table.changed_buckets(v3, v4)) == 1
+    inc = table.changes(v3, v4).collect()
+    assert len(inc) == 1 and inc[0].op == "create"
+    assert inc[0].after["text"] == "patched"
+
+
 def test_tombstone_blocks_late_update(spark, tmp_path, target_df):
     """Delete then a LATE (older-ts) update for the same key → key stays
     deleted. The tombstone keeps the LWW version."""
