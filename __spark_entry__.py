@@ -540,6 +540,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_state"] = merge_state
 
+    # --- incremental CDC read of the sink itself: changes(v_boot, v_now)
+    # must equal the SQL diff between the patched state and the snapshot —
+    # this gates the manifest-pruned delta path, not just the final state
+    def table_changes(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="table_changes_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        v1 = table.current_version()
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        return table.changes(v1).select("user_id", "event_id", "op")
+
+    q["table_changes"] = table_changes
+
     # --- two-table hierarchy sync end-to-end: parent (per-user bookkeeping)
     # + child (events) engines bootstrapped from the TARGET derivation, then
     # HierarchySync'd to the SOURCE derivation with natural deletion order +
@@ -802,6 +825,40 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["patch_snapshot"] = _patch_core
     o["merge_state"] = _patch_core
+    o["table_changes"] = f"""
+WITH snap AS ({_SQL_SRC}),
+chg0 AS ({_SQL_CHG}),
+chg AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY user_id, event_id
+                                   ORDER BY ts DESC, seq DESC) AS rn
+    FROM chg0 c) WHERE rn = 1),
+j AS (
+  SELECT s.user_id AS s_uid, s.event_id AS s_eid, s.event_type AS s_et,
+         s.val AS s_val,
+         c.user_id AS c_uid, c.event_id AS c_eid, c.event_type AS c_et,
+         c.val AS c_val, c.op AS c_op,
+         (c.user_id IS NOT NULL AND (s.user_id IS NULL OR c.ts > s.ts
+            OR c.ts IS NULL OR (c.ts = s.ts))) AS ev_wins
+  FROM snap s FULL OUTER JOIN chg c
+    ON s.user_id = c.user_id AND s.event_id = c.event_id),
+new_state AS (
+  SELECT coalesce(s_uid, c_uid) AS user_id,
+         coalesce(s_eid, c_eid) AS event_id,
+         CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+         CASE WHEN ev_wins THEN c_val ELSE s_val END AS val
+  FROM j WHERE NOT (ev_wins AND c_op = 'delete')),
+classified AS (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id,
+         coalesce(n.event_id, o.event_id) AS event_id,
+         CASE WHEN o.event_id IS NULL THEN 'create'
+              WHEN n.event_id IS NULL THEN 'delete'
+              WHEN (n.event_type IS DISTINCT FROM o.event_type)
+                OR (n.val IS DISTINCT FROM o.val) THEN 'update'
+              ELSE 'noop' END AS op
+  FROM new_state n FULL OUTER JOIN snap o
+    ON n.user_id = o.user_id AND n.event_id = o.event_id)
+SELECT user_id, event_id, op FROM classified WHERE op <> 'noop'"""
     o["rollup_parent"] = f"""
 WITH d AS ({_SQL_DIFF}),
 c AS (
