@@ -23,6 +23,27 @@ from diffsync_spark.plans.threeway import patch_snapshot  # noqa: E402
 
 SF = "/root/testdata/sf0.01"
 
+
+def _debezium_decode_case(s):
+    from pyspark.sql import types as T
+
+    from diffsync_spark.sources.cdc_formats import from_debezium
+
+    raw = (
+        s.read.parquet(f"{SF}/events.parquet")
+        .select(F.to_json(F.struct("event_id", "user_id")).alias("value"))
+    )
+    row = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    return from_debezium(raw, entry.EVENT_MODEL, row)
+
+
 CASES = [
     (
         "diff (keyed full-outer classify)",
@@ -63,6 +84,38 @@ CASES = [
         lambda s: minhash_lsh_pairs(s.read.parquet(f"{SF}/documents.parquet"), 0.7),
     ),
     (
+        "stratified_sample (per-stratum quota)",
+        "One Exchange on the strata columns; WindowGroupLimit prunes each "
+        "stratum to the quota on the map side BEFORE the shuffle and again "
+        "below the final sort — a mega-stratum never sorts whole.",
+        lambda s: __import__(
+            "diffsync_spark.functions.sampling", fromlist=["stratified_sample"]
+        ).stratified_sample(
+            s.read.parquet(f"{SF}/documents.parquet"),
+            ["lang", "source"], 5, ["doc_id"],
+        ),
+    ),
+    (
+        "sessionize (gap-based session labels)",
+        "Both window functions (lag + running sum) share ONE Exchange and "
+        "ONE Sort on (key, ts, tiebreak) — two Window nodes, zero extra "
+        "shuffles or sorts.",
+        lambda s: __import__(
+            "diffsync_spark.functions.sessions", fromlist=["sessionize"]
+        ).sessionize(
+            s.read.parquet(f"{SF}/events.parquet")
+            .select("user_id", "event_id",
+                    F.col("ts").cast("timestamp").alias("ts")),
+            ("user_id",), "ts", 600, tiebreak_cols=("event_id",),
+        ),
+    ),
+    (
+        "from_debezium (CDC envelope decode)",
+        "Pure projection: Scan → Project(from_json) only — NO Exchange, so "
+        "the decoder streams and fuses into whatever consumes it.",
+        lambda s: _debezium_decode_case(s),
+    ),
+    (
         "cosine_topk (brute-force exact ANN baseline)",
         "Queries broadcast (BroadcastExchange + BroadcastNestedLoopJoin); "
         "ZERO corpus shuffle; per-query top-k via WindowGroupLimit.",
@@ -93,7 +146,9 @@ def main() -> None:
         print(f"\n## {title}\n")
         print(f"**Property:** {claim}\n")
         print("```")
-        print(buf.getvalue().strip())
+        # plans can embed control-char literals (e.g. the sampler's \x00
+        # null-key marker) — keep the file text
+        print(buf.getvalue().strip().replace("\x00", "\\x00"))
         print("```")
     spark.stop()
 
