@@ -770,6 +770,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["debezium_decode"] = debezium
+
+    # --- ordered sequence assembly (conversation → ordered turn payloads);
+    # the array is flattened to a separator join for engine-portable compare
+    def assemble(spark, sf):
+        from diffsync_spark.functions.assemble import assemble_sequences
+
+        e = _events(spark, sf).select(
+            "user_id", "event_id", "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        a = assemble_sequences(
+            e, ("user_id",), ("ts", "event_id"), "event_type"
+        )
+        return a.select(
+            "user_id",
+            F.array_join("items", "|").alias("seq_sig"),
+            "n_total",
+        )
+
+    q["assemble_sequences"] = assemble
+
+    # --- deterministic overlapping text chunking
+    def chunks(spark, sf):
+        from diffsync_spark.functions.assemble import chunk_text
+
+        c = chunk_text(_docs(spark, sf), "text", chunk_chars=120, overlap=20)
+        return c.select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            "chunk",
+            F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        )
+
+    q["chunk_text"] = chunks
     return q
 
 
@@ -1033,4 +1067,23 @@ FROM (
 SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
        epoch_us(ts) AS ts_us
 FROM ({_dbz_decoded})"""
+    from diffsync_spark.functions.assemble import assemble_sql
+
+    o["assemble_sequences"] = assemble_sql(
+        "SELECT user_id, event_id, event_type, ts FROM events",
+        ("user_id",), ("ts", "event_id"), "event_type", sep="|",
+    )
+    o["chunk_text"] = """
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL OR length(text) = 0 THEN 0
+              ELSE greatest(CAST(floor((length(text) - 21) / 100.0) AS BIGINT)
+                            + 1, 1) END AS n_chunks
+  FROM documents)
+SELECT doc_id, chunk_idx,
+       substr(text, CAST(chunk_idx * 100 + 1 AS INT), 120) AS chunk,
+       n_chunks
+FROM (SELECT doc_id, text, n_chunks,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM d)"""
     return o

@@ -28,8 +28,11 @@ from diffsync_spark.functions.sampling import (
     stratified_sample,
 )
 from diffsync_spark.functions.sessions import sessionize
+from diffsync_spark.functions.assemble import assemble_sequences, chunk_text
 
 __all__ = [
+    "assemble_sequences",
+    "chunk_text",
     "hash_sample",
     "split_column",
     "stratified_sample",

@@ -1,0 +1,109 @@
+"""Sequence assembly and text chunking — turning row-level data into
+training examples.
+
+``assemble_sequences`` is the transcript-pipeline workhorse: collapse a
+keyed, ordered event/turn stream into one ordered sequence per key
+(conversation → its turns in stable order). Determinism does not come from
+``collect_list`` (whose order is partition-arbitrary) but from sorting the
+collected ``(order_key, payload)`` structs with ``array_sort`` — a
+JVM-side, codegen'd operation — then projecting the payload out. One
+shuffle on the key columns; a hot key costs one array in one task, bounded
+by ``max_items``.
+
+``chunk_text`` goes the other way: split long documents into fixed-size,
+overlapping character chunks with deterministic ``(doc_id, chunk_idx)``
+identity — ``sequence()`` + ``substring``, pure column expressions, no
+Python and no shuffle (the explode multiplies rows in place).
+
+Reference analog: none; SURVEY §2.13 family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def assemble_sequences(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    payload_col: str,
+    max_items: int | None = None,
+) -> DataFrame:
+    """One row per key: ``items`` = payload values in ``order_cols`` order,
+    plus ``n_items``. ``max_items`` keeps only the FIRST n in sequence
+    order (head truncation, the usual context-window rule) and bounds the
+    per-key memory of hot keys.
+
+    Scale: a single hash aggregation — partial ``collect_list`` happens
+    map-side per partition, the merged array is sorted once per key on the
+    reduce side. No window, no second shuffle.
+    """
+    key_struct = F.struct(*[F.col(c) for c in order_cols])
+    packed = F.array_sort(
+        F.collect_list(F.struct(key_struct.alias("k"),
+                                F.col(payload_col).alias("v")))
+    )
+    items = F.transform(packed, lambda x: x["v"])
+    if max_items is not None:
+        items = F.slice(items, 1, max_items)
+    return df.groupBy(*key_cols).agg(
+        items.alias("items"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).withColumn("n_items", F.array_size("items"))
+
+
+def chunk_text(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Explode each document into overlapping character chunks.
+
+    Output adds ``chunk_idx`` (0-based), ``chunk`` (the text slice), and
+    ``n_chunks``. Stride is ``chunk_chars - overlap``; the last chunk may
+    be shorter; empty/NULL text yields zero chunks. Identity is
+    deterministic — re-running produces the same (row, chunk_idx) pairs,
+    so chunk-level dedup and joins are stable.
+
+    Pure column expressions (``sequence`` + ``substring``); the explode is
+    a Generate node, no shuffle, and fuses with downstream projections.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    n_chunks = F.when(
+        n.isNull() | (n == 0), F.lit(0)
+    ).otherwise(F.floor((n - F.lit(overlap + 1)) / stride) + 1).cast("int")
+    out = df.withColumn("n_chunks", F.greatest(n_chunks, F.when(n > 0, 1)))
+    # guard: sequence(0, -1) DESCENDS in Spark; empty docs need an empty
+    # array so explode drops them
+    idx = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    out = out.withColumn("chunk_idx", F.explode(idx))
+    return out.withColumn(
+        "chunk",
+        F.substring(F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_chars),
+    )
+
+
+def assemble_sql(
+    table_expr: str,
+    key_cols: tuple[str, ...],
+    order_cols: tuple[str, ...],
+    payload_col: str,
+    sep: str = "\x1f",
+) -> str:
+    """DuckDB twin of :func:`assemble_sequences`, flattened to a separator
+    join of the ordered payload (array<->engine comparisons are fragile;
+    the joined string is the portable signature)."""
+    keys = ", ".join(key_cols)
+    order = ", ".join(order_cols)
+    return f"""
+SELECT {keys},
+       string_agg({payload_col}, '{sep}' ORDER BY {order}) AS seq_sig,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM ({table_expr}) GROUP BY {keys}"""

@@ -102,6 +102,65 @@ def test_sessionize_gaps(spark):
     }
 
 
+def test_assemble_sequences_order_and_cap(spark):
+    import datetime
+
+    from diffsync_spark.functions.assemble import assemble_sequences
+
+    T0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, 3, "c", T0 + datetime.timedelta(seconds=2)),
+        (1, 1, "a", T0),
+        (1, 2, "b", T0 + datetime.timedelta(seconds=1)),
+        (2, 9, "z", T0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, v string, ts timestamp"
+    ).repartition(4)  # order must not depend on layout
+    a = {
+        r.user_id: (r.items, r.n_items, r.n_total)
+        for r in assemble_sequences(df, ("user_id",), ("ts", "event_id"), "v")
+        .collect()
+    }
+    assert a[1] == (["a", "b", "c"], 3, 3)
+    assert a[2] == (["z"], 1, 1)
+    capped = {
+        r.user_id: (r.items, r.n_items, r.n_total)
+        for r in assemble_sequences(
+            df, ("user_id",), ("ts", "event_id"), "v", max_items=2
+        ).collect()
+    }
+    assert capped[1] == (["a", "b"], 2, 3)  # head truncation, true total kept
+
+
+def test_chunk_text_coverage_and_edges(spark):
+    from diffsync_spark.functions.assemble import chunk_text
+
+    df = spark.createDataFrame(
+        [(1, "x" * 250), (2, "y" * 10), (3, ""), (4, None), (5, "z" * 100)],
+        "doc_id long, text string",
+    )
+    out = chunk_text(df, "text", chunk_chars=100, overlap=20)
+    rows = sorted(
+        [(r.doc_id, r.chunk_idx, r.chunk, r.n_chunks) for r in out.collect()]
+    )
+    by_doc: dict = {}
+    for d, i, c, n in rows:
+        by_doc.setdefault(d, []).append((i, c, n))
+    # 250 chars, stride 80: starts 0/80/160 → 3 chunks; reassembly covers all
+    assert [i for i, _, _ in by_doc[1]] == [0, 1, 2]
+    assert all(n == 3 for _, _, n in by_doc[1])
+    recon = by_doc[1][0][1] + "".join(c[20:] for _, c, _ in by_doc[1][1:])
+    assert recon == "x" * 250
+    assert by_doc[2] == [(0, "y" * 10, 1)]  # short doc → one short chunk
+    assert 3 not in by_doc and 4 not in by_doc  # empty/NULL → zero chunks
+    assert by_doc[5] == [(0, "z" * 100, 1)]  # exactly one full chunk
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_text(df, "text", chunk_chars=50, overlap=50)
+
+
 def test_sessionize_single_shuffle(spark):
     """The two windows must share one exchange + sort (scale contract)."""
     import datetime
