@@ -65,6 +65,69 @@ def test_debezium_decode_semantics(spark):
     assert by_seq[1].ts.isoformat().startswith("2023-11-14")
 
 
+def test_debezium_stream_tail_to_merge(spark, tmp_path):
+    """End-to-end binlog tail: a Debezium JSON-lines directory read as a
+    STREAM, decoded, and LWW-merged into a SnapshotTable converges to the
+    per-key last-writer state."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    row = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+        ]
+    )
+
+    def env(op, cid, tix, text, ts_ms, lsn):
+        import json
+
+        img = {"conv_id": cid, "turn_idx": tix, "role": "user",
+               "text": text, "tool": None}
+        return json.dumps(
+            {"before": img if op == "d" else None,
+             "after": None if op == "d" else img,
+             "op": op, "ts_ms": ts_ms,
+             "source": {"lsn": lsn, "table": "turns"}}
+        )
+
+    tail = str(tmp_path / "tail")
+    os.makedirs(tail)
+    with open(f"{tail}/log1.jsonl", "w") as f:
+        f.write("\n".join([
+            env("c", "c1", 0, "hi", 1000, 1),
+            env("u", "c1", 0, "hi there", 2000, 2),
+            env("c", "c2", 0, "yo", 1500, 3),
+            env("d", "c2", 0, "yo", 2500, 4),
+        ]))
+
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "tbl"), TRANSCRIPT_MODEL,
+        schema=T.StructType(row.fields + [T.StructField("ts", T.TimestampType())]),
+        n_buckets=4,
+    )
+    raw = spark.readStream.schema("value string").format("text").load(tail)
+    chg = from_debezium(raw, TRANSCRIPT_MODEL, row)
+    q = (
+        chg.writeStream.foreachBatch(
+            lambda df, bid: table.merge(df, checkpoint_id="dbz", batch_id=bid)
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    state = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    assert state == {("c1", 0): "hi there"}  # update won, delete removed c2
+
+
 def test_debezium_is_pure_projection(spark):
     """No exchange: the decoder must stream (works under readStream too)."""
     raw = spark.createDataFrame([(_env("c", 1, 1, "x", 1.0, 0, 1),)],
