@@ -834,7 +834,10 @@ WITH e AS (
   FROM events)
 SELECT user_id, k, event_type, val, epoch_us(ts) AS ts_us, seq
 FROM e WHERE rn = 1"""
-    _patch_core = f"""
+    # shared LWW three-way prefix: changelog rn-dedup + ev_wins join — ONE
+    # definition of the merge tiebreak semantics, consumed by the
+    # patch/merge oracles AND the table_changes oracle below
+    _patch_prefix = f"""
 WITH snap AS ({_SQL_SRC}),
 chg0 AS ({_SQL_CHG}),
 chg AS (
@@ -850,7 +853,8 @@ j AS (
          (c.user_id IS NOT NULL AND (s.user_id IS NULL OR c.ts > s.ts
             OR c.ts IS NULL OR (c.ts = s.ts))) AS ev_wins
   FROM snap s FULL OUTER JOIN chg c
-    ON s.user_id = c.user_id AND s.event_id = c.event_id)
+    ON s.user_id = c.user_id AND s.event_id = c.event_id)"""
+    _patch_core = _patch_prefix + """
 SELECT coalesce(s_uid, c_uid) AS user_id,
        coalesce(s_eid, c_eid) AS event_id,
        CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
@@ -859,23 +863,8 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["patch_snapshot"] = _patch_core
     o["merge_state"] = _patch_core
-    o["table_changes"] = f"""
-WITH snap AS ({_SQL_SRC}),
-chg0 AS ({_SQL_CHG}),
-chg AS (
-  SELECT * FROM (
-    SELECT c.*, row_number() OVER (PARTITION BY user_id, event_id
-                                   ORDER BY ts DESC, seq DESC) AS rn
-    FROM chg0 c) WHERE rn = 1),
-j AS (
-  SELECT s.user_id AS s_uid, s.event_id AS s_eid, s.event_type AS s_et,
-         s.val AS s_val,
-         c.user_id AS c_uid, c.event_id AS c_eid, c.event_type AS c_et,
-         c.val AS c_val, c.op AS c_op,
-         (c.user_id IS NOT NULL AND (s.user_id IS NULL OR c.ts > s.ts
-            OR c.ts IS NULL OR (c.ts = s.ts))) AS ev_wins
-  FROM snap s FULL OUTER JOIN chg c
-    ON s.user_id = c.user_id AND s.event_id = c.event_id),
+    # raw (unrounded) values here: the Spark side compares exact doubles
+    o["table_changes"] = _patch_prefix + """,
 new_state AS (
   SELECT coalesce(s_uid, c_uid) AS user_id,
          coalesce(s_eid, c_eid) AS event_id,

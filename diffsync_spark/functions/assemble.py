@@ -31,13 +31,19 @@ def assemble_sequences(
     max_items: int | None = None,
 ) -> DataFrame:
     """One row per key: ``items`` = payload values in ``order_cols`` order,
-    plus ``n_items``. ``max_items`` keeps only the FIRST n in sequence
-    order (head truncation, the usual context-window rule) and bounds the
-    per-key memory of hot keys.
+    plus ``n_items`` and ``n_total`` (the true pre-truncation count).
+    ``max_items`` keeps only the FIRST n in sequence order (head
+    truncation, the usual context-window rule) and genuinely bounds
+    per-key memory: the rank filter is pruned map-side by Spark's
+    WindowGroupLimit BEFORE the shuffle, so a 10M-event hot key ships and
+    collects only ``max_items`` rows, not 10M.
 
-    Scale: a single hash aggregation — partial ``collect_list`` happens
-    map-side per partition, the merged array is sorted once per key on the
-    reduce side. No window, no second shuffle.
+    Scale: without ``max_items``, a single hash aggregation (map-side
+    partial ``collect_list``, one ``array_sort`` per key reduce-side).
+    With it, the rank window, the aggregation, and the count join all
+    hash-partition on the key columns — the payload crosses the wire
+    once (pruned), and the extra count exchange carries one row per
+    (key, input partition).
     """
     key_struct = F.struct(*[F.col(c) for c in order_cols])
     packed = F.array_sort(
@@ -45,12 +51,30 @@ def assemble_sequences(
                                 F.col(payload_col).alias("v")))
     )
     items = F.transform(packed, lambda x: x["v"])
-    if max_items is not None:
-        items = F.slice(items, 1, max_items)
-    return df.groupBy(*key_cols).agg(
-        items.alias("items"),
-        F.count(F.lit(1)).alias("n_total"),
-    ).withColumn("n_items", F.array_size("items"))
+    if max_items is None:
+        out = df.groupBy(*key_cols).agg(
+            items.alias("items"), F.count(F.lit(1)).alias("n_total")
+        )
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c) for c in order_cols]
+        )
+        pruned = (
+            df.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= max_items)
+            .drop("__rank")
+        )
+        # true pre-truncation count: map-side partial agg ships one row
+        # per (key, input-partition) — never the payload
+        counts = df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("n_total")
+        )
+        out = pruned.groupBy(*key_cols).agg(items.alias("items")).join(
+            counts, list(key_cols)
+        )
+    return out.withColumn("n_items", F.array_size("items"))
 
 
 def chunk_text(
@@ -70,8 +94,10 @@ def chunk_text(
     Pure column expressions (``sequence`` + ``substring``); the explode is
     a Generate node, no shuffle, and fuses with downstream projections.
     """
-    if overlap >= chunk_chars:
-        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be in [0, chunk_chars={chunk_chars})"
+        )
     stride = chunk_chars - overlap
     n = F.length(F.col(text_col))
     n_chunks = F.when(

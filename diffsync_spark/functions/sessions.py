@@ -71,9 +71,13 @@ def sessionize_sql(
     payload_cols: tuple[str, ...] = (),
 ) -> str:
     """DuckDB twin of :func:`sessionize` over ``table_expr`` — identical
-    window semantics, for the driver's oracle gate."""
+    window semantics, for the driver's oracle gate. Spark orders ASC
+    NULLS FIRST by default while DuckDB defaults to NULLS LAST, so the
+    twin pins NULLS FIRST explicitly."""
     keys = ", ".join(key_cols)
-    order = ", ".join((ts_col,) + tiebreak_cols)
+    order = ", ".join(
+        f"{c} NULLS FIRST" for c in (ts_col,) + tiebreak_cols
+    )
     payload = "".join(f", {c}" for c in payload_cols)
     return f"""
 WITH g AS (

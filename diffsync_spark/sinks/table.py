@@ -173,12 +173,15 @@ class SnapshotTable:
             return self.spark.createDataFrame([], full)
         return self.spark.read.schema(full).parquet(*files)
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Live rows, public schema — the user-facing table state."""
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
+        """Live rows, public schema — the user-facing table state.
+        ``buckets`` prunes the scan via the manifest (file skipping)."""
         man = self._manifest(version)
         public = T.StructType.fromJson(json.loads(man["schema"]))
         return (
-            self.read_raw(version)
+            self.read_raw(version, buckets=buckets)
             .filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
             .select(*[f.name for f in public.fields])
         )
@@ -630,19 +633,16 @@ class SnapshotTable:
         """
         from diffsync_spark.operators.diff import diff as diff_op
 
+        # pin the end version ONCE: a concurrent commit between the pruning
+        # computation and the reads must not shift what "current" means
+        if to_version is None:
+            to_version = self.current_version()
         changed = self.changed_buckets(from_version, to_version)
-        public_old = [f.name for f in self.schema(from_version).fields]
-        public_new = [f.name for f in self.schema(to_version).fields]
-
-        def live(version, cols):
-            return (
-                self.read_raw(version, buckets=changed)
-                .filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
-                .select(*cols)
-            )
-
-        d = diff_op(live(to_version, public_new), live(from_version, public_old),
-                    self.model)
+        d = diff_op(
+            self.read(to_version, buckets=changed),
+            self.read(from_version, buckets=changed),
+            self.model,
+        )
         return d.filter(F.col("op") != "noop")
 
     def compact(self) -> dict[str, Any]:
