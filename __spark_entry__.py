@@ -804,6 +804,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["chunk_text"] = chunks
+
+    # --- benchmark decontamination: blocklist = every 23rd doc as a fake
+    # eval set; exact tier (128-bit content key) + n-gram-overlap tier
+    def decontam(spark, sf):
+        from diffsync_spark.functions.decontaminate import (
+            flag_exact,
+            flag_ngram_overlap,
+        )
+
+        docs = _docs(spark, sf)
+        block = docs.filter(F.col("doc_id") % 23 == 0)
+        e = flag_exact(docs, block).select("doc_id", "contaminated_exact")
+        g = flag_ngram_overlap(docs, block, min_hits=2).select(
+            "doc_id", "n_block_shingles", "n_shingles",
+            F.round("block_shingle_ratio", 4).alias("ratio"),
+            "contaminated_ngram",
+        )
+        return e.join(g, "doc_id")
+
+    q["decontaminate"] = decontam
     return q
 
 
@@ -1075,4 +1095,25 @@ SELECT doc_id, chunk_idx,
 FROM (SELECT doc_id, text, n_chunks,
              unnest(range(0, n_chunks)) AS chunk_idx
       FROM d)"""
+    o["decontaminate"] = f"""
+WITH {_SQL_SHINGLES},
+block_sh AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 23 = 0),
+inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+hits AS (
+  SELECT i.doc_id, count(*) AS n
+  FROM inv i JOIN block_sh USING (g) GROUP BY i.doc_id)
+SELECT d.doc_id,
+       {_norm_sql('d.text')} IN (
+         SELECT {_norm_sql('text')} FROM documents WHERE doc_id % 23 = 0)
+         AS contaminated_exact,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_block_shingles,
+       CAST(len(s.sh) AS BIGINT) AS n_shingles,
+       round(CASE WHEN len(s.sh) > 0
+                  THEN coalesce(h.n, 0) * 1.0 / len(s.sh)
+                  ELSE 0.0 END, 4) AS ratio,
+       coalesce(h.n, 0) >= 2 AS contaminated_ngram
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN sh s USING (doc_id)"""
     return o

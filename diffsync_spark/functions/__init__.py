@@ -29,10 +29,13 @@ from diffsync_spark.functions.sampling import (
 )
 from diffsync_spark.functions.sessions import sessionize
 from diffsync_spark.functions.assemble import assemble_sequences, chunk_text
+from diffsync_spark.functions.decontaminate import flag_exact, flag_ngram_overlap
 
 __all__ = [
     "assemble_sequences",
     "chunk_text",
+    "flag_exact",
+    "flag_ngram_overlap",
     "hash_sample",
     "split_column",
     "stratified_sample",

@@ -161,6 +161,38 @@ def test_chunk_text_coverage_and_edges(spark):
         chunk_text(df, "text", chunk_chars=50, overlap=50)
 
 
+def test_decontaminate_tiers(spark):
+    from diffsync_spark.functions.decontaminate import (
+        flag_exact,
+        flag_ngram_overlap,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "THE QUICK   brown fox jumps over the lazy dog"),  # exact dup (normalized)
+            (3, "quick brown fox jumps over something entirely new here"),  # partial
+            (4, "completely unrelated text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    block = corpus.filter("doc_id = 1")
+    e = {r.doc_id: r.contaminated_exact
+         for r in flag_exact(corpus, block).collect()}
+    assert e == {1: True, 2: True, 3: False, 4: False}
+    g = {r.doc_id: (r.n_block_shingles, r.contaminated_ngram)
+         for r in flag_ngram_overlap(corpus, block, min_hits=2).collect()}
+    assert g[1][1] and g[2][1]  # verbatim: all shingles hit
+    assert g[3][0] >= 2 and g[3][1]  # embedded copy caught by overlap
+    assert g[4] == (0, False)
+    # plan shape: blocklist is broadcast, corpus never shuffles its text
+    plan = (
+        flag_exact(corpus, block)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_sessionize_single_shuffle(spark):
     """The two windows must share one exchange + sort (scale contract)."""
     import datetime
