@@ -824,6 +824,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return e.join(g, "doc_id")
 
     q["decontaminate"] = decontam
+
+    # --- Maxwell envelope decode (same contract as debezium_decode; flat
+    # data image, word verbs, second-resolution ts, xid as seq)
+    def maxwell(spark, sf):
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sources.cdc_formats import from_maxwell
+
+        e = _events(spark, sf)
+        verb = (
+            F.when(F.col("event_id") % 89 == 0, "table-create")  # DDL → NULL
+            .when(F.col("event_id") % 3 == 0, "insert")
+            .when(F.col("event_id") % 3 == 1, "update")
+            .otherwise("delete")
+        )
+        img = F.struct(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("val"),
+        )
+        raw = e.select(
+            F.to_json(
+                F.struct(
+                    F.lit("app").alias("database"),
+                    F.lit("events").alias("table"),
+                    verb.alias("type"),
+                    F.unix_seconds(F.col("ts").cast("timestamp")).alias("ts"),
+                    F.col("event_id").alias("xid"),
+                    img.alias("data"),
+                )
+            ).alias("value")
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        chg = from_maxwell(raw, EVENT_MODEL, row_schema)
+        return chg.select(
+            "seq", "op", "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["maxwell_decode"] = maxwell
     return q
 
 
@@ -1116,4 +1163,29 @@ SELECT d.doc_id,
 FROM documents d
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN sh s USING (doc_id)"""
+    from diffsync_spark.sources.cdc_formats import maxwell_sql
+
+    _mxw_raw = """
+SELECT to_json(struct_pack(
+         database := 'app', "table" := 'events',
+         type := CASE WHEN event_id % 89 = 0 THEN 'table-create'
+                      WHEN event_id % 3 = 0 THEN 'insert'
+                      WHEN event_id % 3 = 1 THEN 'update'
+                      ELSE 'delete' END,
+         ts := epoch_ms(ts) // 1000,
+         xid := event_id,
+         data := struct_pack(user_id := user_id, event_id := event_id,
+                             event_type := event_type,
+                             val := round(value, 4))
+       )) AS value
+FROM events"""
+    _mxw_decoded = maxwell_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+        _mxw_raw,
+    )
+    o["maxwell_decode"] = f"""
+SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
+       epoch_us(ts) AS ts_us
+FROM ({_mxw_decoded})"""
     return o

@@ -1,6 +1,8 @@
 from diffsync_spark.sources.cdc_formats import (
     debezium_envelope_schema,
     from_debezium,
+    from_maxwell,
+    maxwell_envelope_schema,
 )
 from diffsync_spark.sources.io import (
     load_from_records,
@@ -14,6 +16,8 @@ from diffsync_spark.sources.io import (
 __all__ = [
     "debezium_envelope_schema",
     "from_debezium",
+    "from_maxwell",
+    "maxwell_envelope_schema",
     "load_from_records",
     "read_changelog",
     "read_snapshot",

@@ -96,6 +96,75 @@ def from_debezium(
     return parsed.select(*cols)
 
 
+def maxwell_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Maxwell's daemon envelope (the other common binlog-tail JSON): flat
+    ``data`` row image, ``old`` partial before-image, string ``type``
+    verbs, second-resolution ``ts``, ``xid``+``commit`` for transaction
+    grouping. Spec from the public Maxwell docs (maxwells-daemon.io)."""
+    return T.StructType(
+        [
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("xid", T.LongType()),
+            T.StructField("data", row_schema),
+            T.StructField("old", row_schema),
+        ]
+    )
+
+
+def from_maxwell(
+    raw: DataFrame,
+    model: ModelSchema,
+    row_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode Maxwell envelopes into the same changelog contract as
+    :func:`from_debezium` — downstream code cannot tell the formats apart.
+
+    Differences handled here: the row image is always ``data`` (Maxwell
+    sends the post-delete image there, not in ``old``); verbs are words
+    (``insert``/``update``/``delete``, plus ``bootstrap-insert`` → insert);
+    ``ts`` is SECONDS; ``xid`` (transaction id) stands in for the LSN as
+    ``seq``. Same purity: one from_json projection, zero shuffle, NULL op
+    for unknown verbs/corrupt JSON → merge quarantine.
+    """
+    env = maxwell_envelope_schema(row_schema)
+    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    t = F.col("e.type")
+    op = (
+        F.when(t.isin("insert", "bootstrap-insert"), "insert")
+        .when(t == "update", "update")
+        .when(t == "delete", "delete")
+    )
+    cols = [F.col("e.xid").alias("seq"), op.alias("op")]
+    cols += [
+        F.col("e.data").getField(f.name).alias(f.name)
+        for f in row_schema.fields
+    ]
+    cols.append(F.timestamp_seconds(F.col("e.ts")).alias("ts"))
+    return parsed.select(*cols)
+
+
+def maxwell_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
+    """DuckDB twin of :func:`from_maxwell` — see :func:`debezium_sql`."""
+    fields = ", ".join(
+        f"CAST(json_extract_string(json_extract(value, '$.data'), "
+        f"'$.{name}') AS {typ}) AS {name}"
+        for name, typ in row_cols
+    )
+    return f"""
+SELECT CAST(json_extract_string(value, '$.xid') AS BIGINT) AS seq,
+       CASE json_extract_string(value, '$.type')
+            WHEN 'insert' THEN 'insert'
+            WHEN 'bootstrap-insert' THEN 'insert'
+            WHEN 'update' THEN 'update' WHEN 'delete' THEN 'delete' END AS op,
+       {fields},
+       to_timestamp(CAST(json_extract_string(value, '$.ts') AS BIGINT)) AS ts
+FROM ({source_expr})"""
+
+
 def debezium_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
     """DuckDB twin of :func:`from_debezium` over a relation with a JSON
     ``value`` column — for the driver's oracle gate. ``row_cols`` is

@@ -128,6 +128,36 @@ def test_debezium_stream_tail_to_merge(spark, tmp_path):
     assert state == {("c1", 0): "hi there"}  # update won, delete removed c2
 
 
+def test_maxwell_decode_semantics(spark):
+    import json
+
+    from diffsync_spark.sources.cdc_formats import from_maxwell
+
+    def env(typ, uid, eid, et, val, ts_s, xid):
+        return json.dumps(
+            {"database": "app", "table": "t", "type": typ, "ts": ts_s,
+             "xid": xid,
+             "data": {"user_id": uid, "event_id": eid,
+                      "event_type": et, "val": val}}
+        )
+
+    rows = [
+        (env("insert", 1, 10, "click", 1.5, 1_700_000_000, 1),),
+        (env("bootstrap-insert", 1, 11, "view", 0.5, 1_700_000_001, 2),),
+        (env("update", 1, 10, "click", 2.5, 1_700_000_002, 3),),
+        (env("delete", 1, 10, "click", 2.5, 1_700_000_003, 4),),
+        (env("table-create", None, None, None, None, 1_700_000_004, 5),),  # DDL
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = {r.seq: r for r in from_maxwell(raw, MODEL, ROW).collect()}
+    assert out[1].op == "insert" and out[1].val == 1.5
+    assert out[2].op == "insert"  # bootstrap-insert normalizes to insert
+    assert out[3].op == "update"
+    assert out[4].op == "delete" and out[4].user_id == 1  # image from data
+    assert out[5].op is None  # DDL verb → quarantine
+    assert out[1].ts.isoformat().startswith("2023-11-14")
+
+
 def test_debezium_is_pure_projection(spark):
     """No exchange: the decoder must stream (works under readStream too)."""
     raw = spark.createDataFrame([(_env("c", 1, 1, "x", 1.0, 0, 1),)],
