@@ -871,6 +871,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["maxwell_decode"] = maxwell
+
+    # --- per-stratum quality filtering (exact percent_rank path; the
+    # approx_percentile threshold path is the 100 TB variant, pytest-only)
+    def topfrac(spark, sf):
+        from diffsync_spark.functions.sampling import filter_top_fraction
+
+        return filter_top_fraction(
+            _docs(spark, sf), "n_chars", 0.3, ["lang"],
+            tiebreak_cols=("doc_id",),
+        ).select("doc_id", "lang")
+
+    q["filter_top_fraction"] = topfrac
     return q
 
 
@@ -1188,4 +1200,11 @@ FROM events"""
 SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
        epoch_us(ts) AS ts_us
 FROM ({_mxw_decoded})"""
+    o["filter_top_fraction"] = """
+WITH r AS (
+  SELECT doc_id, lang,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS pr
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE pr < 0.3"""
     return o

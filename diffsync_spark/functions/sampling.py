@@ -132,6 +132,52 @@ def _key_hash_sql(key_cols: list[str], salt: str) -> str:
     return f"md5(concat_ws('|', '{salt}', {parts}))"
 
 
+def filter_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    strata_cols: list[str] | None = None,
+    exact: bool = True,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quality filtering: keep the top ``fraction`` of rows by ``score_col``
+    within each stratum (whole frame if ``strata_cols`` is None).
+
+    ``exact=True`` uses ``percent_rank`` over a per-stratum sort — integer
+    rank arithmetic, so membership is engine-portable and deterministic
+    (ties share a rank and survive or fall together; add ``tiebreak_cols``
+    to break them). Costs one sort per stratum — fine up to stratum sizes
+    that fit an executor's sort budget.
+
+    ``exact=False`` is the 100 TB path: ``approx_percentile`` computes one
+    threshold per stratum (tiny frame), broadcast-joined back as a filter —
+    no per-stratum sort, two scans, error bounded by the sketch accuracy.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    strata = strata_cols or []
+    if exact:
+        from pyspark.sql import Window
+
+        order = [F.col(score_col).desc()] + [F.col(c) for c in tiebreak_cols]
+        w = (Window.partitionBy(*strata) if strata else Window.partitionBy()
+             ).orderBy(*order)
+        return (
+            df.withColumn("__pr", F.percent_rank().over(w))
+            .filter(F.col("__pr") < fraction)
+            .drop("__pr")
+        )
+    agg = [
+        F.approx_percentile(score_col, 1.0 - fraction, 10_000).alias("__thr")
+    ]
+    thr = df.groupBy(*strata).agg(*agg) if strata else df.agg(*agg)
+    joined = (
+        df.join(F.broadcast(thr), strata, "inner") if strata
+        else df.crossJoin(F.broadcast(thr))
+    )
+    return joined.filter(F.col(score_col) >= F.col("__thr")).drop("__thr")
+
+
 def sample_sql(
     fraction: float, key_cols: list[str], salt: str = ""
 ) -> str:

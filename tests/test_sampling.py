@@ -161,6 +161,35 @@ def test_chunk_text_coverage_and_edges(spark):
         chunk_text(df, "text", chunk_chars=50, overlap=50)
 
 
+def test_filter_top_fraction_paths_agree(docs):
+    """The exact percent_rank path and the approx_percentile threshold path
+    must select (nearly) the same rows; approx with a tight sketch on a
+    small frame is exact."""
+    from diffsync_spark.functions.sampling import filter_top_fraction
+
+    exact = {
+        r.doc_id
+        for r in filter_top_fraction(
+            docs, "n_chars", 0.25, ["lang"], exact=True,
+            tiebreak_cols=("doc_id",),
+        ).collect()
+    }
+    approx = {
+        r.doc_id
+        for r in filter_top_fraction(
+            docs, "n_chars", 0.25, ["lang"], exact=False
+        ).collect()
+    }
+    n = docs.count()
+    assert 0 < len(exact) < n
+    # same ballpark; boundary ties may differ between rank and threshold
+    assert len(exact.symmetric_difference(approx)) <= max(5, n // 50)
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        filter_top_fraction(docs, "n_chars", 1.5)
+
+
 def test_decontaminate_tiers(spark):
     from diffsync_spark.functions.decontaminate import (
         flag_exact,
