@@ -883,6 +883,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang")
 
     q["filter_top_fraction"] = topfrac
+
+    # --- token-budget sequence packing (greedy next-fit per bucket; the
+    # one Arrow/applyInPandas assembly op — the scan's reset is a
+    # non-associative prefix op no window function expresses)
+    def pack(spark, sf):
+        from diffsync_spark.functions.assemble import pack_sequences
+
+        d = _docs(spark, sf).select(
+            "doc_id", "n_chars", (F.col("doc_id") % 8).alias("bkt")
+        )
+        p = pack_sequences(d, "n_chars", 2000, "bkt", ("doc_id",))
+        return p.select(
+            "bkt", "doc_id", F.col("n_chars").alias("sz"),
+            "pack_id", "pack_fill",
+        )
+
+    q["pack_sequences"] = pack
     return q
 
 
@@ -1207,4 +1224,10 @@ WITH r AS (
                               ORDER BY n_chars DESC, doc_id) AS pr
   FROM documents)
 SELECT doc_id, lang FROM r WHERE pr < 0.3"""
+    from diffsync_spark.functions.assemble import pack_sql
+
+    o["pack_sequences"] = pack_sql(
+        "SELECT doc_id, n_chars, doc_id % 8 AS bkt FROM documents",
+        "n_chars", 2000, "bkt", ("doc_id",), payload_cols=("doc_id",),
+    )
     return o

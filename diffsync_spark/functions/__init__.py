@@ -28,12 +28,17 @@ from diffsync_spark.functions.sampling import (
     stratified_sample,
 )
 from diffsync_spark.functions.sessions import sessionize
-from diffsync_spark.functions.assemble import assemble_sequences, chunk_text
+from diffsync_spark.functions.assemble import (
+    assemble_sequences,
+    chunk_text,
+    pack_sequences,
+)
 from diffsync_spark.functions.decontaminate import flag_exact, flag_ngram_overlap
 
 __all__ = [
     "assemble_sequences",
     "chunk_text",
+    "pack_sequences",
     "flag_exact",
     "flag_ngram_overlap",
     "hash_sample",

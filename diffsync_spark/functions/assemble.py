@@ -20,7 +20,7 @@ Reference analog: none; SURVEY §2.13 family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def assemble_sequences(
@@ -114,6 +114,92 @@ def chunk_text(
         "chunk",
         F.substring(F.col(text_col), F.col("chunk_idx") * stride + 1, chunk_chars),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    budget: int,
+    bucket_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Greedy next-fit sequence packing: within each bucket, walk rows in
+    ``order_cols`` order accumulating ``size_col``; when adding a row would
+    exceed ``budget``, start a new pack. Adds ``pack_id`` (0-based per
+    bucket) and ``pack_fill`` (running size of the row's pack after the
+    row). A single row larger than the budget still gets its own pack.
+
+    Next-fit is a non-associative prefix scan — no window function can
+    express the reset — so this is the one assembly op that runs Python:
+    an Arrow-batched ``applyInPandas`` per bucket. Packing parallelism IS
+    the bucket count: buckets are independent, each group is one task, and
+    the scan inside is a trivial O(rows) loop over already-columnar data.
+    Choose the bucket column so buckets bound group size (e.g.
+    ``doc_id % 1024`` at corpus scale).
+    """
+    import pandas as pd
+
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_fill", T.LongType()),
+        ]
+    )
+
+    order = list(order_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="stable").reset_index(drop=True)
+        sizes = pdf[size_col].to_numpy()
+        pack_ids = [0] * len(pdf)
+        fills = [0] * len(pdf)
+        pid, fill = 0, 0
+        for i, s in enumerate(sizes):
+            s = int(s)
+            if fill > 0 and fill + s > budget:
+                pid += 1
+                fill = 0
+            fill += s
+            pack_ids[i] = pid
+            fills[i] = fill
+        pdf["pack_id"] = pack_ids
+        pdf["pack_fill"] = fills
+        return pdf
+
+    return df.groupBy(bucket_col).applyInPandas(pack, schema=out_schema)
+
+
+def pack_sql(
+    table_expr: str,
+    size_col: str,
+    budget: int,
+    bucket_col: str,
+    order_cols: tuple[str, ...],
+    payload_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` via a recursive CTE (the scan
+    is sequential per bucket; the recursion steps once per row rank)."""
+    order = ", ".join(order_cols)
+    payload = "".join(f", {c}" for c in payload_cols)
+    return f"""
+WITH RECURSIVE items AS (
+  SELECT {bucket_col} AS bkt, {size_col} AS sz{payload},
+         row_number() OVER (PARTITION BY {bucket_col}
+                            ORDER BY {order}) AS rn
+  FROM ({table_expr})),
+packed AS (
+  SELECT bkt, rn, sz{payload},
+         CAST(0 AS BIGINT) AS pack_id, CAST(sz AS BIGINT) AS pack_fill
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.bkt, i.rn, i.sz{"".join(f", i.{c}" for c in payload_cols)},
+         CASE WHEN p.pack_fill + i.sz > {budget}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.pack_fill + i.sz > {budget}
+              THEN CAST(i.sz AS BIGINT) ELSE p.pack_fill + i.sz END
+  FROM items i JOIN packed p ON i.bkt = p.bkt AND i.rn = p.rn + 1)
+SELECT bkt{payload}, sz, pack_id, pack_fill FROM packed"""
 
 
 def assemble_sql(

@@ -190,6 +190,41 @@ def test_filter_top_fraction_paths_agree(docs):
         filter_top_fraction(docs, "n_chars", 1.5)
 
 
+def test_pack_sequences_invariants(spark):
+    from diffsync_spark.functions.assemble import pack_sequences
+
+    rows = [(i, s, i % 2) for i, s in enumerate([500, 900, 700, 2500, 100,
+                                                 1000, 1000, 1, 1999])]
+    df = spark.createDataFrame(rows, "doc_id long, sz long, bkt int")
+    out = pack_sequences(df.repartition(5), "sz", 2000, "bkt", ("doc_id",))
+    got = [
+        (r.doc_id, r.pack_id, r.pack_fill)
+        for r in out.orderBy("bkt", "doc_id").collect()
+    ]
+    by_bkt: dict = {0: [], 1: []}
+    for r in out.collect():
+        by_bkt[r.bkt].append((r.doc_id, r.sz, r.pack_id, r.pack_fill))
+    for bkt, items in by_bkt.items():
+        items.sort()
+        fill = {}
+        prev_pack = 0
+        for _, sz, pid, pfill in items:
+            assert pid >= prev_pack  # packs are monotone in order
+            prev_pack = pid
+            fill[pid] = fill.get(pid, 0) + sz
+            assert pfill == fill[pid]  # running fill matches
+        for pid, total in fill.items():
+            n_items = sum(1 for it in items if it[2] == pid)
+            assert total <= 2000 or n_items == 1  # only oversize singletons
+    # deterministic under repartitioning
+    again = [
+        (r.doc_id, r.pack_id, r.pack_fill)
+        for r in pack_sequences(df.repartition(2), "sz", 2000, "bkt",
+                                ("doc_id",)).orderBy("bkt", "doc_id").collect()
+    ]
+    assert got == again
+
+
 def test_decontaminate_tiers(spark):
     from diffsync_spark.functions.decontaminate import (
         flag_exact,
