@@ -900,6 +900,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pack_sequences"] = pack
+
+    # --- session-window agg (ST): F.session_window on a batch frame must
+    # equal grouping the row-level sessionize labels — the stream op and
+    # the batch op cross-validate each other
+    def session_stats(spark, sf):
+        from diffsync_spark.streaming.windowed import session_change_stats
+
+        chg = _changelog(spark, sf).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        agg = session_change_stats(
+            chg, gap="10 minutes", watermark="1 hour", key_cols=("user_id",)
+        )
+        return agg.select(
+            "user_id",
+            F.unix_micros(F.col("session_start").cast("timestamp")).alias("ss_us"),
+            F.unix_micros(F.col("session_end").cast("timestamp")).alias("se_us"),
+            "n_changes",
+            "n_deletes",
+        )
+
+    q["session_change_stats"] = session_stats
     return q
 
 
@@ -1230,4 +1252,18 @@ SELECT doc_id, lang FROM r WHERE pr < 0.3"""
         "SELECT doc_id, n_chars, doc_id % 8 AS bkt FROM documents",
         "n_chars", 2000, "bkt", ("doc_id",), payload_cols=("doc_id",),
     )
+    # session-window agg ≡ group-by over row-level sessionize labels
+    _sess_rows = sessionize_sql(
+        f"SELECT user_id, op, ts FROM ({_SQL_CHG})",
+        ("user_id",), "ts", 600, payload_cols=("op",),
+    )
+    o["session_change_stats"] = f"""
+SELECT user_id,
+       epoch_us(min(ts)) AS ss_us,
+       epoch_us(max(ts) + INTERVAL 600 SECOND) AS se_us,
+       count(*) AS n_changes,
+       CAST(coalesce(sum(CASE WHEN lower(op) = 'delete' THEN 1 END), 0)
+            AS BIGINT) AS n_deletes
+FROM ({_sess_rows})
+GROUP BY user_id, session_idx"""
     return o

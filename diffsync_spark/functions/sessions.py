@@ -40,6 +40,12 @@ def sessionize(
     ``ts - previous ts > gap_seconds``. Ordering inside a key is
     ``(ts, *tiebreak_cols)`` — pass a sequence column for full determinism
     when timestamps can tie.
+
+    Boundary note: the rule here is STRICTLY greater (a gap of exactly
+    ``gap_seconds`` stays in the session), while ``F.session_window``'s
+    half-open ``[ts, ts+gap)`` window treats an exact-gap event as a new
+    session. The two agree on every non-degenerate gap; only an exact
+    to-the-microsecond tie differs.
     """
     from pyspark.sql import Window
 
