@@ -922,6 +922,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["session_change_stats"] = session_stats
+
+    # --- one-pass dataset profiling (exact-distinct variant for the gate;
+    # columns restricted to types whose string casts are engine-identical)
+    def prof(spark, sf):
+        from diffsync_spark.functions.profile import profile
+
+        p = profile(
+            _events(spark, sf).select(
+                "event_id", "user_id", "event_type", "props"
+            ),
+            exact_distinct=True,
+        )
+        return p.select(
+            "column", "n_rows", "n_nulls",
+            F.round("null_frac", 6).alias("null_frac"),
+            "n_distinct", "min_str", "max_str",
+            F.round("avg_len", 6).alias("avg_len"),
+        )
+
+    q["profile"] = prof
     return q
 
 
@@ -1266,4 +1286,15 @@ SELECT user_id,
             AS BIGINT) AS n_deletes
 FROM ({_sess_rows})
 GROUP BY user_id, session_idx"""
+    from diffsync_spark.functions.profile import profile_sql
+
+    _prof = profile_sql(
+        "SELECT event_id, user_id, event_type, props FROM events",
+        [("event_id", "orderable"), ("user_id", "orderable"),
+         ("event_type", "string"), ("props", "string")],
+    )
+    o["profile"] = f"""
+SELECT "column", n_rows, n_nulls, round(null_frac, 6) AS null_frac,
+       n_distinct, min_str, max_str, round(avg_len, 6) AS avg_len
+FROM ({_prof})"""
     return o

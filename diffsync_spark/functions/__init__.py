@@ -34,6 +34,7 @@ from diffsync_spark.functions.assemble import (
     pack_sequences,
 )
 from diffsync_spark.functions.decontaminate import flag_exact, flag_ngram_overlap
+from diffsync_spark.functions.profile import profile
 
 __all__ = [
     "assemble_sequences",
@@ -41,6 +42,7 @@ __all__ = [
     "pack_sequences",
     "flag_exact",
     "flag_ngram_overlap",
+    "profile",
     "hash_sample",
     "split_column",
     "stratified_sample",
