@@ -942,6 +942,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["profile"] = prof
+
+    # --- fractional dataset repetition (training-mix epochs)
+    def repeat(spark, sf):
+        from diffsync_spark.functions.sampling import repeat_dataset
+
+        return repeat_dataset(
+            _docs(spark, sf).select("doc_id", "lang"), 2.3, ["doc_id"],
+            salt="mix",
+        ).select("doc_id", "lang", "copy_idx")
+
+    q["repeat_dataset"] = repeat
     return q
 
 
@@ -1297,4 +1308,9 @@ GROUP BY user_id, session_idx"""
 SELECT "column", n_rows, n_nulls, round(null_frac, 6) AS null_frac,
        n_distinct, min_str, max_str, round(avg_len, 6) AS avg_len
 FROM ({_prof})"""
+    from diffsync_spark.functions.sampling import repeat_sql
+
+    o["repeat_dataset"] = repeat_sql(
+        "SELECT doc_id, lang FROM documents", 2.3, ["doc_id"], salt="mix"
+    )
     return o

@@ -23,7 +23,9 @@ from diffsync_spark.functions.dedup import (
 )
 from diffsync_spark.functions.similarity import cosine_topk, lsh_cosine_topk
 from diffsync_spark.functions.sampling import (
+    filter_top_fraction,
     hash_sample,
+    repeat_dataset,
     split_column,
     stratified_sample,
 )
@@ -43,7 +45,9 @@ __all__ = [
     "flag_exact",
     "flag_ngram_overlap",
     "profile",
+    "filter_top_fraction",
     "hash_sample",
+    "repeat_dataset",
     "split_column",
     "stratified_sample",
     "sessionize",

@@ -132,6 +132,52 @@ def _key_hash_sql(key_cols: list[str], salt: str) -> str:
     return f"md5(concat_ws('|', '{salt}', {parts}))"
 
 
+def repeat_dataset(
+    df: DataFrame,
+    factor: float,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Fractional repetition ("2.3 epochs of source A") for training
+    mixes: every row appears ``floor(factor)`` times, and the
+    deterministic ``fraction``-slice of rows (same md5 membership rule as
+    :func:`hash_sample`) appears once more, so the dataset's expected
+    multiplicity is exactly ``factor`` and membership of the extra copy is
+    stable across reruns. Adds ``copy_idx`` (0-based).
+
+    Pure Generate (explode of a per-row ``sequence``) — no shuffle, no
+    driver loop; downstream shuffles see the copies as ordinary rows.
+    Combine with a per-source factor to build weighted corpus mixes.
+    """
+    if factor < 0:
+        raise ValueError(f"factor must be >= 0, got {factor}")
+    base = int(factor)
+    frac = factor - base
+    cutoff = _hex_threshold(frac)
+    extra = (
+        F.substring(_key_hash(key_cols, salt), 1, 8) < cutoff
+    ).cast("int")
+    n_copies = (F.lit(base) + extra).cast("int")
+    idx = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(idx))
+
+
+def repeat_sql(
+    table_expr: str, factor: float, key_cols: list[str], salt: str = ""
+) -> str:
+    """DuckDB twin of :func:`repeat_dataset` (bit-exact copies)."""
+    base = int(factor)
+    cutoff = _hex_threshold(factor - base)
+    h = f"substr({_key_hash_sql(key_cols, salt)}, 1, 8)"
+    return f"""
+SELECT t.*, CAST(unnest(range(0,
+         {base} + CASE WHEN {h} < '{cutoff}' THEN 1 ELSE 0 END)) AS INT)
+       AS copy_idx
+FROM ({table_expr}) t"""
+
+
 def filter_top_fraction(
     df: DataFrame,
     score_col: str,

@@ -190,6 +190,32 @@ def test_filter_top_fraction_paths_agree(docs):
         filter_top_fraction(docs, "n_chars", 1.5)
 
 
+def test_repeat_dataset_multiplicity(docs):
+    from diffsync_spark.functions.sampling import repeat_dataset
+
+    n = docs.count()
+    out = repeat_dataset(docs, 2.3, ["doc_id"])
+    per = dict(out.groupBy("doc_id").count().groupBy("count").count().collect())
+    assert set(per) <= {2, 3}  # every doc appears floor or ceil times
+    total = out.count()
+    assert abs(total / n - 2.3) < 0.2  # expected multiplicity ≈ factor
+    # deterministic: the SAME docs get the extra copy on rerun
+    again = repeat_dataset(docs.repartition(9), 2.3, ["doc_id"])
+    t3 = {r.doc_id for r in out.groupBy("doc_id").count()
+          .filter("count = 3").collect()}
+    a3 = {r.doc_id for r in again.groupBy("doc_id").count()
+          .filter("count = 3").collect()}
+    assert t3 == a3
+    # factor < 1 degenerates to hash_sample with copy_idx 0
+    sub = repeat_dataset(docs, 0.4, ["doc_id"])
+    assert 0 < sub.count() < n
+    assert sub.agg({"copy_idx": "max"}).first()[0] == 0
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        repeat_dataset(docs, -1.0, ["doc_id"])
+
+
 def test_pack_sequences_invariants(spark):
     from diffsync_spark.functions.assemble import pack_sequences
 
