@@ -83,10 +83,20 @@ class Engine:
 
     # ---------------------------------------------------------------- diff
     def diff_from(self, source: DataFrame, flags: DiffFlags = DiffFlags(),
-                  ignore: Column | None = None) -> DataFrame:
+                  ignore: Column | None = None,
+                  on_complete=None) -> DataFrame:
         """Ops that would bring THIS table to the source's state
-        (reference ``diff_from``, ``__init__.py:673-696``)."""
-        return diff(source, self.read(), self.model, flags, ignore)
+        (reference ``diff_from``, ``__init__.py:673-696``).
+
+        ``on_complete(diff_df)`` is the reference's ``Diff.complete()``
+        extension point (``diff.py:49-54``): a hook fired once the diff
+        plan is built, e.g. to persist the diff frame for audit. It
+        receives the (lazy) DataFrame — write it or observe it; the hook
+        deciding to materialize is what makes the cost explicit."""
+        d = diff(source, self.read(), self.model, flags, ignore)
+        if on_complete is not None:
+            on_complete(d)
+        return d
 
     def diff_to(self, target: DataFrame, flags: DiffFlags = DiffFlags(),
                 ignore: Column | None = None) -> DataFrame:

@@ -43,6 +43,18 @@ def test_sync_complete_hook(engine, source_df):
     assert len(calls) == 1
 
 
+def test_diff_complete_hook(engine, source_df, tmp_path):
+    """Reference Diff.complete() (diff.py:49-54): a hook fired when the
+    diff is populated — here used to persist the diff frame for audit."""
+    out = str(tmp_path / "diff_audit")
+    d = engine.diff_from(
+        source_df,
+        on_complete=lambda df: df.filter("op <> 'noop'").write.parquet(out),
+    )
+    audited = engine.spark.read.parquet(out)
+    assert audited.count() == d.filter("op <> 'noop'").count() > 0
+
+
 def test_record_verbs(engine):
     rec = {"conv_id": "conv_zz", "turn_idx": 0, "role": "user",
            "text": "hi", "tool": None,
