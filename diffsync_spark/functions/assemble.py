@@ -194,9 +194,9 @@ packed AS (
   FROM items WHERE rn = 1
   UNION ALL
   SELECT i.bkt, i.rn, i.sz{"".join(f", i.{c}" for c in payload_cols)},
-         CASE WHEN p.pack_fill + i.sz > {budget}
+         CASE WHEN p.pack_fill > 0 AND p.pack_fill + i.sz > {budget}
               THEN p.pack_id + 1 ELSE p.pack_id END,
-         CASE WHEN p.pack_fill + i.sz > {budget}
+         CASE WHEN p.pack_fill > 0 AND p.pack_fill + i.sz > {budget}
               THEN CAST(i.sz AS BIGINT) ELSE p.pack_fill + i.sz END
   FROM items i JOIN packed p ON i.bkt = p.bkt AND i.rn = p.rn + 1)
 SELECT bkt{payload}, sz, pack_id, pack_fill FROM packed"""

@@ -33,8 +33,9 @@ def profile(df: DataFrame, exact_distinct: bool = False) -> DataFrame:
     n = F.count(F.lit(1))
     aggs = [n.alias("__n")]
     cols = df.columns
+    dtypes = dict(df.dtypes)
     for c in cols:
-        typ = dict(df.dtypes)[c].split("(")[0]
+        typ = dtypes[c].split("(")[0]
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nn_{c}"))
         if exact_distinct:
             aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))

@@ -201,6 +201,13 @@ def filter_top_fraction(
     """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    # endpoints are degenerate in BOTH paths (percent_rank of the last row
+    # is exactly 1.0; a 0-quantile threshold keeps the max) — handle them
+    # explicitly so exact and approx agree everywhere
+    if fraction == 0.0:
+        return df.filter(F.lit(False))
+    if fraction == 1.0:
+        return df
     strata = strata_cols or []
     if exact:
         from pyspark.sql import Window
@@ -216,11 +223,22 @@ def filter_top_fraction(
     agg = [
         F.approx_percentile(score_col, 1.0 - fraction, 10_000).alias("__thr")
     ]
-    thr = df.groupBy(*strata).agg(*agg) if strata else df.agg(*agg)
-    joined = (
-        df.join(F.broadcast(thr), strata, "inner") if strata
-        else df.crossJoin(F.broadcast(thr))
-    )
+    if strata:
+        thr = df.groupBy(*strata).agg(*agg)
+        # null-safe key equality: a NULL stratum is a stratum, not a
+        # dropped row (plain `on=strata` would silently lose it)
+        renamed = thr.select(
+            *[F.col(c).alias(f"__s_{c}") for c in strata], "__thr"
+        )
+        cond = None
+        for c in strata:
+            clause = F.col(c).eqNullSafe(F.col(f"__s_{c}"))
+            cond = clause if cond is None else cond & clause
+        joined = df.join(F.broadcast(renamed), cond, "inner").drop(
+            *[f"__s_{c}" for c in strata]
+        )
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(*agg)))
     return joined.filter(F.col(score_col) >= F.col("__thr")).drop("__thr")
 
 

@@ -42,7 +42,12 @@ def envelope(op, conv_id, turn_idx, text, ts_ms, lsn):
 
 def main() -> None:
     spark = build_session(master="local[4]", shuffle_partitions=4)
-    work = tempfile.mkdtemp(prefix="cdc_tail_")
+    with tempfile.TemporaryDirectory(prefix="cdc_tail_") as work:
+        _run(spark, work)
+    spark.stop()
+
+
+def _run(spark, work: str) -> None:
     tail = f"{work}/tail"
     os.makedirs(tail)
 
@@ -91,7 +96,6 @@ def main() -> None:
     # downstream consumers tail the TABLE, not the binlog:
     print("--- incremental changes since bootstrap (CDC read of the sink) ---")
     table.changes(1).select("conv_id", "turn_idx", "op").show()
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -251,6 +251,52 @@ def test_pack_sequences_invariants(spark):
     assert got == again
 
 
+def test_pack_zero_size_before_oversize_matches_sql_twin(spark):
+    """A zero-size row leaves fill at 0, so a following oversize row joins
+    pack 0 (no reset fires at fill==0) — and the DuckDB recursive twin
+    must agree."""
+    import duckdb
+
+    from diffsync_spark.functions.assemble import pack_sequences, pack_sql
+
+    rows = [(1, 0, 0), (2, 3000, 0), (3, 5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long, bkt int")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_fill)
+        for r in pack_sequences(df, "sz", 2000, "bkt", ("doc_id",)).collect()
+    }
+    assert got == {1: (0, 0), 2: (0, 3000), 3: (1, 5)}
+    sql = pack_sql(
+        "SELECT * FROM (VALUES (1, 0, 0), (2, 3000, 0), (3, 5, 0)) "
+        "AS t(doc_id, sz, bkt)",
+        "sz", 2000, "bkt", ("doc_id",), payload_cols=("doc_id",),
+    )
+    want = {
+        int(r[1]): (int(r[3]), int(r[4]))
+        for r in duckdb.sql(sql).fetchall()
+    }
+    assert want == got
+
+
+def test_filter_top_fraction_edges(spark, docs):
+    from diffsync_spark.functions.sampling import filter_top_fraction
+
+    n = docs.count()
+    for exact in (True, False):
+        assert filter_top_fraction(docs, "n_chars", 1.0, ["lang"],
+                                   exact=exact).count() == n
+        assert filter_top_fraction(docs, "n_chars", 0.0, ["lang"],
+                                   exact=exact).count() == 0
+    # a NULL stratum is a stratum: approx path must keep its rows
+    withnull = docs.withColumn(
+        "lang2",
+        F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("lang")),
+    )
+    kept = filter_top_fraction(withnull, "n_chars", 0.5, ["lang2"],
+                               exact=False)
+    assert kept.filter("lang2 IS NULL").count() > 0
+
+
 def test_decontaminate_tiers(spark):
     from diffsync_spark.functions.decontaminate import (
         flag_exact,
