@@ -114,7 +114,10 @@ def main() -> None:
     # table layout fixed regardless of parallelism so the N-vs-4N scaling
     # runs execute the identical job (only --master differs)
     n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # best-of-3: this host shows ~5x run-to-run swings from external load
+    # (documented in BENCH/BASELINE.md); a third rep materially improves the
+    # odds of measuring a quiet window at ~1 min/rep
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     total_events = chg_df.count()
     # best-of-N replays: this sandbox host shows ~5x run-to-run swings from
     # external load (D-state pressure with zero local processes); the best
