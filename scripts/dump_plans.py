@@ -116,6 +116,24 @@ CASES = [
         lambda s: _debezium_decode_case(s),
     ),
     (
+        "repeat_dataset (fractional training-mix epochs)",
+        "Pure Generate: Scan → Project(md5 copy-count) → Generate(explode) "
+        "— NO Exchange; copies enter downstream shuffles as ordinary rows.",
+        lambda s: __import__(
+            "diffsync_spark.functions.sampling", fromlist=["repeat_dataset"]
+        ).repeat_dataset(
+            s.read.parquet(f"{SF}/documents.parquet"), 2.3, ["doc_id"]
+        ),
+    ),
+    (
+        "profile (one-pass dataset health check)",
+        "ALL columns' metrics in ONE aggregation over ONE scan: partial "
+        "HashAggregate map-side, a single exchange of one merged row.",
+        lambda s: __import__(
+            "diffsync_spark.functions.profile", fromlist=["profile"]
+        ).profile(s.read.parquet(f"{SF}/documents.parquet")),
+    ),
+    (
         "cosine_topk (brute-force exact ANN baseline)",
         "Queries broadcast (BroadcastExchange + BroadcastNestedLoopJoin); "
         "ZERO corpus shuffle; per-query top-k via WindowGroupLimit.",

@@ -278,6 +278,34 @@ def test_pack_zero_size_before_oversize_matches_sql_twin(spark):
     assert want == got
 
 
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_pack_differential_random(spark, seed):
+    """Random sizes (incl. zeros and oversize) through pack_sequences vs
+    the recursive-CTE DuckDB twin — exact agreement."""
+    import duckdb
+    import numpy as np
+
+    from diffsync_spark.functions.assemble import pack_sequences, pack_sql
+
+    rng = np.random.default_rng(seed)
+    n = 80
+    sizes = rng.choice([0, 1, 50, 500, 1500, 2500], size=n).tolist()
+    rows = [(i, int(sizes[i]), i % 3) for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long, bkt int")
+    got = {
+        r.doc_id: (r.pack_id, r.pack_fill)
+        for r in pack_sequences(df, "sz", 2000, "bkt", ("doc_id",)).collect()
+    }
+    values = ", ".join(f"({i}, {s}, {b})" for i, s, b in rows)
+    sql = pack_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(doc_id, sz, bkt)",
+        "sz", 2000, "bkt", ("doc_id",), payload_cols=("doc_id",),
+    )
+    want = {int(r[1]): (int(r[3]), int(r[4]))
+            for r in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
 def test_filter_top_fraction_edges(spark, docs):
     from diffsync_spark.functions.sampling import filter_top_fraction
 
