@@ -67,13 +67,21 @@ def assemble_sequences(
             .drop("__rank")
         )
         # true pre-truncation count: map-side partial agg ships one row
-        # per (key, input-partition) — never the payload
+        # per (key, input-partition) — never the payload. The join back is
+        # NULL-SAFE per key column: a NULL-key group is a group in the
+        # max_items=None path (groupBy keeps it), so it must survive here
+        # too — plain equality would silently drop it.
         counts = df.groupBy(*key_cols).agg(
             F.count(F.lit(1)).alias("n_total")
+        ).select(
+            *[F.col(c).alias(f"__k_{c}") for c in key_cols], "n_total"
         )
-        out = pruned.groupBy(*key_cols).agg(items.alias("items")).join(
-            counts, list(key_cols)
-        )
+        agg = pruned.groupBy(*key_cols).agg(items.alias("items"))
+        cond = None
+        for c in key_cols:
+            clause = agg[c].eqNullSafe(F.col(f"__k_{c}"))
+            cond = clause if cond is None else cond & clause
+        out = agg.join(counts, cond).drop(*[f"__k_{c}" for c in key_cols])
     return out.withColumn("n_items", F.array_size("items"))
 
 

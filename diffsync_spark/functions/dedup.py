@@ -217,22 +217,56 @@ def _simhash64_batch(texts: pd.Series) -> pd.Series:
         if not toks:
             continue
         hs = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
-        v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(
-            np.uint64
-        )[0]
+        out[i] = _majority_bits(hs)
     return pd.Series(out.view(np.int64))
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
+def _majority_bits(hs: np.ndarray) -> np.uint64:
+    """Fold a vector of 64-bit token hashes into one majority-vote hash."""
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return np.packbits((v > 0).astype(np.uint8)[::-1], bitorder="little").view(
+        np.uint64
+    )[0]
+
+
+_FNV_BASIS = 0xCBF29CE484222325
+# any odd 64-bit constant gives an independent second hash family; this is
+# the golden-ratio constant already used for the second content_key hash
+_FNV_BASIS2 = 0x9E3779B97F4A7C15
+
+
+def _fnv1a(s: str, basis: int = _FNV_BASIS) -> int:
+    h = basis
     for ch in s.encode():
         h ^= ch
         h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
     return h
+
+
+def _simhash128_batch(texts: pd.Series) -> pd.DataFrame:
+    """128-bit SimHash as two independent 64-bit halves (distinct FNV-1a
+    offset bases). Twice the bits → 32-bit band keys at the same pigeonhole
+    guarantee, the banding widener the 10^10-doc scale path needs."""
+    hi = np.zeros(len(texts), dtype=np.uint64)
+    lo = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.lower().split()
+        if not toks:
+            continue
+        hs1 = np.array([_fnv1a(tok) for tok in toks], dtype=np.uint64)
+        hs2 = np.array(
+            [_fnv1a(tok, _FNV_BASIS2) for tok in toks], dtype=np.uint64
+        )
+        hi[i] = _majority_bits(hs1)
+        lo[i] = _majority_bits(hs2)
+    return pd.DataFrame(
+        {"hi": hi.view(np.int64), "lo": lo.view(np.int64)}
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -247,27 +281,78 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 10_000,
+    wide: bool = False,
 ) -> DataFrame:
-    """Candidate pairs sharing at least one of 4 16-bit simhash chunks
-    (pigeonhole: hamming ≤ 3 ⇒ some chunk identical), verified by exact
-    Hamming distance via bit_count(xor)."""
-    s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
-    chunks = s.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
+    """Candidate pairs sharing at least one of 4 simhash chunks (pigeonhole:
+    hamming ≤ 3 ⇒ some chunk identical), verified by exact Hamming distance
+    via bit_count(xor).
+
+    Scale levers (both matter at 10^10 docs):
+
+    - ``max_bucket_size`` drops degenerate (chunk, chunk-key) buckets — e.g.
+      boilerplate/empty docs all hashing to simhash 0 — before the self-join
+      goes quadratic. The count window shares the (chunk, ck) exchange with
+      the join, so the cap is free of extra shuffles. Dropped buckets lose
+      recall only for pairs whose ONLY shared chunk is the degenerate one.
+    - ``wide=True`` switches to a 128-bit simhash (two independent FNV-1a
+      families) banded as 4 chunks of 32 bits: same pigeonhole guarantee,
+      but expected bucket population N/2^32 instead of N/2^16 — at 10^10
+      docs that is ~2 docs/bucket instead of ~150k. ``max_hamming`` then
+      applies to the 128-bit distance (≈2× the 64-bit distance for the same
+      text pair; the default 3 stays conservative).
+    """
+    if wide:
+        udf = pandas_udf(_simhash128_batch, "hi long, lo long")
+        s = df.select(
+            F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sh")
+        ).select("id", F.col("sh.hi").alias("sh_hi"), F.col("sh.lo").alias("sh_lo"))
+        # 4 chunks of 32 bits: two per 64-bit half
+        chunk_exprs = []
+        for half_idx, half in enumerate(("sh_hi", "sh_lo")):
+            for c in range(2):
+                chunk_exprs.append(
                     F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        F.lit(half_idx * 2 + c).alias("chunk"),
+                        F.shiftright(half, c * 32)
+                        .bitwiseAND(F.lit(0xFFFFFFFF))
+                        .alias("ck"),
                     )
-                    for c in range(4)
-                ]
-            )
-        ).alias("cc"),
-    ).select("id", "simhash", "cc.chunk", "cc.ck")
+                )
+        chunks = s.select(
+            "id", "sh_hi", "sh_lo", F.explode(F.array(*chunk_exprs)).alias("cc")
+        ).select("id", "sh_hi", "sh_lo", "cc.chunk", "cc.ck")
+        hamming = (
+            F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+            + F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo")))
+        )
+    else:
+        s = simhash(df, text_col).select(F.col(id_col).alias("id"), "simhash")
+        chunks = s.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ck"),
+                        )
+                        for c in range(4)
+                    ]
+                )
+            ).alias("cc"),
+        ).select("id", "simhash", "cc.chunk", "cc.ck")
+        hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("chunk", "ck")
+        chunks = chunks.withColumn("__bsz", F.count("*").over(wb)).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk", "ck"])
@@ -275,9 +360,7 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
+            hamming.alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
@@ -292,10 +375,16 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Embedding near-duplicates: random-hyperplane LSH buckets (sign
     signature over n_planes), exact cosine verification within buckets.
-    Hyperplanes are driver-generated literals (seeded, deterministic)."""
+    Hyperplanes are driver-generated literals (seeded, deterministic).
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. many near-zero or
+    duplicate embeddings sharing one sign signature) before the in-bucket
+    self-join goes quadratic — same pattern as :func:`minhash_lsh_pairs`;
+    the count window shares the bucket exchange with the join."""
     first = df.select(F.size(vec_col).alias("d")).first()
     dim = first.d
     rng = np.random.default_rng(seed)
@@ -303,6 +392,11 @@ def embedding_neardup_pairs(
     sig = _plane_signature(F.col(vec_col), planes)
     s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                   sig.alias("bucket"))
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("bucket")
+        s = s.withColumn("__bsz", F.count("*").over(wb)).filter(
+            F.col("__bsz") <= max_bucket_size
+        ).drop("__bsz")
     pairs = (
         s.alias("a")
         .join(s.alias("b"), "bucket")

@@ -37,15 +37,15 @@ def sessionize(
     and ``is_session_start``.
 
     A row starts a new session when it is the key's first event or when
-    ``ts - previous ts > gap_seconds``. Ordering inside a key is
+    ``ts - previous ts >= gap_seconds``. Ordering inside a key is
     ``(ts, *tiebreak_cols)`` — pass a sequence column for full determinism
     when timestamps can tie.
 
-    Boundary note: the rule here is STRICTLY greater (a gap of exactly
-    ``gap_seconds`` stays in the session), while ``F.session_window``'s
-    half-open ``[ts, ts+gap)`` window treats an exact-gap event as a new
-    session. The two agree on every non-degenerate gap; only an exact
-    to-the-microsecond tie differs.
+    Boundary note: the rule is ``>=`` — an exact-to-the-microsecond gap of
+    ``gap_seconds`` starts a NEW session, matching ``F.session_window``'s
+    half-open ``[ts, ts+gap)`` window exactly, so the row-level labels here
+    group-by to precisely the windows the streaming aggregation emits (the
+    ``session_change_stats`` gate relies on this equivalence).
     """
     from pyspark.sql import Window
 
@@ -56,7 +56,7 @@ def sessionize(
         prev_ts.cast("timestamp")
     )
     start = F.when(
-        prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), 1
+        prev_ts.isNull() | (gap_us >= gap_seconds * 1_000_000), 1
     ).otherwise(0)
     running = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -93,7 +93,7 @@ WITH g AS (
               OR epoch_us({ts_col}) -
                  epoch_us(lag({ts_col}) OVER (PARTITION BY {keys}
                                               ORDER BY {order}))
-                 > {gap_seconds} * 1000000
+                 >= {gap_seconds} * 1000000
               THEN 1 ELSE 0 END AS st
   FROM ({table_expr}))
 SELECT {keys}{payload}, {ts_col},

@@ -149,6 +149,53 @@ def test_simhash_neardup(spark):
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
 
 
+def test_simhash_wide_banding(spark):
+    """wide=True (128-bit simhash, 4×32-bit bands) finds the same identical
+    pair as the 64-bit path and rejects the unrelated doc — the 10^10-doc
+    banding widener preserves small-scale behavior."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "totally different content here about databases"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = simhash_neardup_pairs(df, max_hamming=3, wide=True).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(1, 2)}
+    # identical docs → identical 128-bit simhash → hamming 0
+    assert pairs["hamming"].tolist() == [0]
+
+
+def test_neardup_degenerate_bucket_caps(spark):
+    """A degenerate bucket (1k identical docs / embeddings collapsing into
+    one LSH bucket) must NOT produce a quadratic candidate set when capped:
+    the capped run drops the bucket entirely (bounded work), the uncapped
+    run on the same input proves the hazard is real."""
+    rows = [(i, "boiler plate disclaimer text repeated everywhere") for i in range(1000)]
+    rows.append((5000, "a genuinely unique document about spark plans"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = simhash_neardup_pairs(docs, max_bucket_size=100)
+    assert capped.count() == 0  # degenerate bucket dropped, op completes
+    small = simhash_neardup_pairs(
+        docs.filter(F.col("doc_id") < 11), max_bucket_size=100
+    )
+    assert small.count() == (11 * 10) // 2  # under-cap buckets still pair
+
+    import numpy as np
+
+    v = np.ones(16) / 4.0
+    emb_rows = [(i, v.tolist()) for i in range(1000)]
+    emb_rows.append((5000, (-v).tolist()))
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    capped_e = embedding_neardup_pairs(emb, threshold=0.99, max_bucket_size=100)
+    assert capped_e.count() == 0
+    small_e = embedding_neardup_pairs(
+        emb.filter(F.col("vec_id") < 11), threshold=0.99, max_bucket_size=100
+    )
+    assert small_e.count() == (11 * 10) // 2
+
+
 def test_cosine_topk_matches_numpy(emb):
     queries = emb.limit(3).select(
         F.col("vec_id").alias("query_id"), "embedding"

@@ -102,6 +102,24 @@ def test_sessionize_gaps(spark):
     }
 
 
+def test_sessionize_exact_gap_boundary(spark):
+    """A gap of EXACTLY gap_seconds starts a new session — the >= rule that
+    matches F.session_window's half-open [ts, ts+gap) window, so row-level
+    labels and the streaming aggregation never disagree (ADVICE r2)."""
+    import datetime
+
+    T0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (1, 1, T0),
+        (1, 2, T0 + datetime.timedelta(seconds=600)),       # exact gap → new
+        (1, 3, T0 + datetime.timedelta(seconds=1199, microseconds=999_999)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = sessionize(df, ("user_id",), "ts", 600, tiebreak_cols=("event_id",))
+    got = {r.event_id: r.session_idx for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 2}  # event 3 is 1µs under the gap → stays
+
+
 def test_assemble_sequences_order_and_cap(spark):
     import datetime
 
@@ -131,6 +149,35 @@ def test_assemble_sequences_order_and_cap(spark):
         ).collect()
     }
     assert capped[1] == (["a", "b"], 2, 3)  # head truncation, true total kept
+
+
+def test_assemble_sequences_null_key_group(spark):
+    """A NULL-key group is a group: max_items must not silently drop it
+    (the count join is null-safe — ADVICE r2). Both paths agree."""
+    import datetime
+
+    from diffsync_spark.functions.assemble import assemble_sequences
+
+    T0 = datetime.datetime(2025, 1, 1)
+    rows = [
+        (None, 1, "x", T0),
+        (None, 2, "y", T0 + datetime.timedelta(seconds=1)),
+        (None, 3, "z", T0 + datetime.timedelta(seconds=2)),
+        (7, 4, "a", T0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, v string, ts timestamp"
+    )
+    plain = assemble_sequences(df, ("user_id",), ("ts", "event_id"), "v")
+    capped = assemble_sequences(
+        df, ("user_id",), ("ts", "event_id"), "v", max_items=2
+    )
+    p = {r.user_id: (r.items, r.n_total) for r in plain.collect()}
+    c = {r.user_id: (r.items, r.n_total) for r in capped.collect()}
+    assert set(p) == set(c) == {None, 7}  # same group set either way
+    assert p[None] == (["x", "y", "z"], 3)
+    assert c[None] == (["x", "y"], 3)  # truncated payload, true total
+    assert c[7] == (["a"], 1)
 
 
 def test_chunk_text_coverage_and_edges(spark):
