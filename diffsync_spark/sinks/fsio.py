@@ -71,6 +71,29 @@ class LocalCommitIO:
         )
 
 
+class RacingCommitIO(LocalCommitIO):
+    """Deterministic commit-race injector (object-store shape, for tests).
+
+    The first ``races`` calls to ``write_exclusive`` first run
+    ``interloper()`` — e.g. a second writer's full ``merge()`` through its
+    own table handle — and only then attempt the exclusive write, which now
+    collides with whatever version the interloper committed. This is
+    exactly the conditional-PUT race an S3/GCS catalog backend loses when
+    another worker commits first; the sink's retry loop must rebase and
+    re-commit."""
+
+    def __init__(self, interloper, races: int = 1) -> None:
+        self.interloper = interloper
+        self.races = races
+        self.n_raced = 0
+
+    def write_exclusive(self, path: str, text: str) -> None:
+        if self.n_raced < self.races:
+            self.n_raced += 1
+            self.interloper()
+        super().write_exclusive(path, text)
+
+
 class InMemoryManifestIO(LocalCommitIO):
     """Commit metadata in memory, data-file listing still on the local FS —
     proves the seam: the sink runs with NO manifest/pointer disk I/O (the

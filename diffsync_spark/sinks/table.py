@@ -19,8 +19,10 @@ Layout::
     table_dir/
       manifests/v{N}.json     immutable snapshot manifests (exclusive-create)
       _current                atomic pointer (os.replace) to the live version
-      data/v{N}/_bucket=K/    parquet written by commit N for bucket K
-      quarantine/v{N}/        rejected rows per commit
+      data/v{N}-{sid}/_bucket=K/   parquet written by commit N (sid = snapshot
+                                   id prefix: racing attempts write disjoint
+                                   dirs; losers leave unreferenced orphans)
+      quarantine/v{N}-{sid}/       rejected rows per commit
 
 Design points for 100 TB:
 
@@ -98,7 +100,11 @@ class SnapshotTable:
     def _commit(self, manifest: dict) -> None:
         """Write the manifest with exclusive-create (conflict detection), then
         atomically swing the _current pointer. On a real object store this
-        would be a metastore/catalog swap; locally os.replace is atomic."""
+        would be a metastore/catalog swap; locally os.replace is atomic.
+
+        Raises :class:`CommitConflict` when another writer committed the same
+        version first — ``merge()``/``compact()`` catch it and rebase against
+        the new snapshot (optimistic concurrency, the Iceberg commit loop)."""
         version = manifest["version"]
         target = os.path.join(self._manifest_dir, f"v{version}.json")
         try:
@@ -199,6 +205,7 @@ class SnapshotTable:
         checkpoint_id: str = "adhoc",
         batch_id: int | None = None,
         mode: str = "lww",
+        max_commit_retries: int = 5,
     ) -> dict[str, Any]:
         """Set-based MERGE of a change batch into the table — one atomic
         snapshot commit. The reference analog is the whole
@@ -213,18 +220,59 @@ class SnapshotTable:
 
         Returns the lineage record. Re-invoking with an already-committed
         ``(checkpoint_id, batch_id)`` is a no-op (exactly-once).
+
+        **Concurrent writers** (the reference's multi-worker shared-store
+        story, ``/root/reference/docs/source/core_engine/03-store.md:3``,
+        ``store/redis.py:56-90``, recast as optimistic concurrency): losing a
+        commit race raises :class:`CommitConflict` *inside* the attempt; this
+        loop then re-reads the new current manifest and either (a) detects
+        the winner already committed this very ``(checkpoint_id, batch_id)``
+        (a twin replay) → idempotent skip, or (b) RECOMPUTES the merge
+        against the winner's snapshot and re-commits — LWW makes the rebase
+        convergent (merging into the newer state yields the same final state
+        as any serial order). Data files are written under per-attempt
+        unique dirs, so a losing attempt can never clobber the winner's
+        files; its orphans are unreferenced by any manifest (GC'able).
+        Bounded by ``max_commit_retries``, then the conflict propagates.
         """
-        man = self._manifest()
-        committed = man["checkpoints"].get(checkpoint_id, -1)
-        if batch_id is not None and batch_id <= committed:
-            return {
-                "skipped": True,
-                "reason": f"batch {batch_id} <= committed {committed}",
-                "snapshot_id": man["snapshot_id"],
-            }
+        attempt = 0
+        while True:
+            man = self._manifest()
+            committed = man["checkpoints"].get(checkpoint_id, -1)
+            if batch_id is not None and batch_id <= committed:
+                return {
+                    "skipped": True,
+                    "reason": f"batch {batch_id} <= committed {committed}",
+                    "snapshot_id": man["snapshot_id"],
+                }
+            try:
+                result = self._merge_attempt(batch, checkpoint_id, batch_id,
+                                             mode, man)
+                result["commit_retries"] = attempt
+                return result
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_commit_retries:
+                    raise
+
+    def _merge_attempt(
+        self,
+        batch: DataFrame,
+        checkpoint_id: str,
+        batch_id: int | None,
+        mode: str,
+        man: dict,
+    ) -> dict[str, Any]:
+        """One optimistic merge attempt against the snapshot in ``man``.
+        Raises :class:`CommitConflict` if a concurrent writer commits the
+        next version first; ``merge()`` owns the retry/rebase loop."""
         ids = list(self.model.identifiers)
         version_col = self.model.version_cols[0] if self.model.version_cols else None
         new_version = man["version"] + 1
+        # the snapshot id doubles as the per-attempt directory suffix: two
+        # racing writers computing the same new_version write to DISJOINT
+        # dirs, so the loser's files can never clobber the winner's commit
+        snapshot_id = uuid.uuid4().hex
         n_buckets = man["n_buckets"]
         bucket_src = self.model.parent_key or self.model.identifiers
 
@@ -259,7 +307,9 @@ class SnapshotTable:
         if n_quarantined:
             batch.filter(~F.col("__valid")).drop("__valid", BUCKET).write.mode(
                 "overwrite"
-            ).parquet(os.path.join(self.path, "quarantine", f"v{new_version}"))
+            ).parquet(os.path.join(
+                self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
+            ))
         batch = batch.filter(F.col("__valid")).drop("__valid")
 
         # ---- LWW dedup: MERGE requires unique source keys. A versionless
@@ -323,7 +373,7 @@ class SnapshotTable:
             )
             return self._write_commit(
                 merged, man, new_version, touched, n_quarantined, checkpoint_id,
-                batch_id, evolved, batch_rows,
+                batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
             )
         c = cur.withColumn("__c_present", F.lit(True)).alias("c")
 
@@ -378,7 +428,7 @@ class SnapshotTable:
         )
         return self._write_commit(
             merged, man, new_version, touched, n_quarantined, checkpoint_id,
-            batch_id, evolved, batch_rows,
+            batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
         )
 
     def _write_commit(
@@ -392,6 +442,7 @@ class SnapshotTable:
         batch_id: int | None,
         evolved: T.StructType,
         batch_rows: dict[int, int] | None = None,
+        snapshot_id: str | None = None,
     ) -> dict[str, Any]:
         """Single-pass commit: write the merged frame (op classification rides
         along as a tiny extra column the readers' explicit schema ignores),
@@ -409,7 +460,12 @@ class SnapshotTable:
         while cold buckets stay single-file. Estimates = this batch's
         per-bucket row counts + the previous snapshot's stored per-bucket
         sizes (``bucket_rows`` in the manifest)."""
-        data_dir = os.path.join(self.path, "data", f"v{new_version}")
+        snapshot_id = snapshot_id or uuid.uuid4().hex
+        # per-attempt unique dir: a concurrent writer racing on the same
+        # new_version writes elsewhere; only the manifest commit decides
+        data_dir = os.path.join(
+            self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
+        )
         cur_rows = {int(b): n for b, n in man.get("bucket_rows", {}).items()}
         est = {
             b: (batch_rows or {}).get(b, 0) + cur_rows.get(b, 0) for b in touched
@@ -479,7 +535,6 @@ class SnapshotTable:
                     os.path.join(bdir, fn) for fn in listed
                     if fn.endswith(".parquet")
                 ]
-        snapshot_id = uuid.uuid4().hex
         lineage_rows = []
         for bk in touched:
             counts = {
@@ -645,13 +700,28 @@ class SnapshotTable:
         )
         return d.filter(F.col("op") != "noop")
 
-    def compact(self) -> dict[str, Any]:
+    def compact(self, max_commit_retries: int = 5) -> dict[str, Any]:
         """Rewrite every bucket into fresh files (small-file maintenance,
-        like Iceberg rewrite_data_files). New snapshot; no logical change."""
+        like Iceberg rewrite_data_files). New snapshot; no logical change.
+        Loses any commit race gracefully: rebase = re-read the (new) current
+        snapshot and rewrite that, bounded by ``max_commit_retries``."""
+        attempt = 0
+        while True:
+            try:
+                return self._compact_attempt()
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_commit_retries:
+                    raise
+
+    def _compact_attempt(self) -> dict[str, Any]:
         man = self._manifest()
         new_version = man["version"] + 1
-        raw = self.read_raw().withColumn(BUCKET, self._bucket_col())
-        data_dir = os.path.join(self.path, "data", f"v{new_version}")
+        snapshot_id = uuid.uuid4().hex
+        raw = self.read_raw(man["version"]).withColumn(BUCKET, self._bucket_col())
+        data_dir = os.path.join(
+            self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
+        )
         raw.repartition(man["n_buckets"], BUCKET).write.mode("overwrite").partitionBy(
             BUCKET
         ).parquet(data_dir)
@@ -668,7 +738,7 @@ class SnapshotTable:
         manifest = {
             **man,
             "version": new_version,
-            "snapshot_id": uuid.uuid4().hex,
+            "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "files": files,
             "lineage": [],

@@ -303,3 +303,112 @@ def test_tombstone_blocks_late_update(spark, tmp_path, target_df):
     assert table.read().filter(
         (F.col("conv_id") == row.conv_id) & (F.col("turn_idx") == row.turn_idx)
     ).count() == 0
+
+
+# --------------------------------------------------------- concurrent writers
+
+_CDC_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _cw_batch(spark, conv: str, n: int = 3):
+    t0 = datetime.datetime(2031, 1, 1)
+    rows = [
+        (conv, i, "user", f"{conv} turn {i}", None,
+         t0 + datetime.timedelta(seconds=i), "insert", i)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, _CDC_SCHEMA)
+
+
+def test_concurrent_writers_both_land(spark, tmp_path, target_df):
+    """Two interleaved writers on one table: writer B commits in the middle
+    of writer A's attempt (injected at the exclusive manifest write — the
+    conditional-PUT race of an object-store catalog). A must detect the
+    conflict, rebase onto B's snapshot, and re-commit: both batches land
+    exactly once, B's committed files are untouched, lineage shows both."""
+    from diffsync_spark.sinks.fsio import RacingCommitIO
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    path = table.path
+    writer_b = SnapshotTable.load(spark, path, TRANSCRIPT_MODEL)
+    batch_a = _cw_batch(spark, "cw_A")
+    batch_b = _cw_batch(spark, "cw_B")
+    b_results = []
+
+    def interloper():
+        b_results.append(
+            writer_b.merge(batch_b, checkpoint_id="writer_b", batch_id=1)
+        )
+
+    writer_a = SnapshotTable.load(
+        spark, path, TRANSCRIPT_MODEL, io=RacingCommitIO(interloper, races=1)
+    )
+    res_a = writer_a.merge(batch_a, checkpoint_id="writer_a", batch_id=1)
+
+    assert len(b_results) == 1 and not b_results[0]["skipped"]
+    assert not res_a["skipped"]
+    assert res_a["commit_retries"] == 1          # lost once, rebased, won
+    assert res_a["n_create"] == 3
+    # both batches landed exactly once
+    state = table.read()
+    assert state.filter(F.col("conv_id") == "cw_A").count() == 3
+    assert state.filter(F.col("conv_id") == "cw_B").count() == 3
+    # B committed v3 (bootstrap=2), A rebased onto it as v4
+    assert table.current_version() == 4
+    # the loser's first attempt must NOT have clobbered B's files:
+    # time travel to B's snapshot still reads
+    at_b = table.read(version=3)
+    assert at_b.filter(F.col("conv_id") == "cw_B").count() == 3
+    assert at_b.filter(F.col("conv_id") == "cw_A").count() == 0
+    # lineage records both writers' commits
+    cks = {r.checkpoint_id for r in table.lineage_df().collect()}
+    assert {"writer_a", "writer_b"} <= cks
+
+
+def test_concurrent_twin_replay_skips(spark, tmp_path, target_df):
+    """Two workers race to commit the SAME (checkpoint_id, batch_id) — e.g.
+    a speculative retry of one stream task. The loser's rebase must detect
+    the checkpoint already committed and become an idempotent no-op, not a
+    double-apply."""
+    from diffsync_spark.sinks.fsio import RacingCommitIO
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    path = table.path
+    writer_b = SnapshotTable.load(spark, path, TRANSCRIPT_MODEL)
+    batch = _cw_batch(spark, "cw_twin")
+
+    def interloper():
+        writer_b.merge(batch, checkpoint_id="shared", batch_id=1)
+
+    writer_a = SnapshotTable.load(
+        spark, path, TRANSCRIPT_MODEL, io=RacingCommitIO(interloper, races=1)
+    )
+    res = writer_a.merge(batch, checkpoint_id="shared", batch_id=1)
+    assert res["skipped"]                        # winner's commit detected
+    assert table.read().filter(F.col("conv_id") == "cw_twin").count() == 3
+    assert table.current_version() == 3          # exactly one commit landed
+
+
+def test_commit_retries_exhausted(spark, tmp_path, target_df):
+    """A writer that keeps losing (interloper commits a fresh snapshot on
+    every attempt) raises CommitConflict once max_commit_retries is spent —
+    bounded, never an infinite rebase loop. The table stays readable."""
+    from diffsync_spark.errors import CommitConflict
+    from diffsync_spark.sinks.fsio import RacingCommitIO
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    path = table.path
+    writer_b = SnapshotTable.load(spark, path, TRANSCRIPT_MODEL)
+
+    writer_a = SnapshotTable.load(
+        spark, path, TRANSCRIPT_MODEL,
+        io=RacingCommitIO(lambda: writer_b.compact(), races=10),
+    )
+    with pytest.raises(CommitConflict):
+        writer_a.merge(_cw_batch(spark, "cw_lost"), checkpoint_id="a",
+                       batch_id=1, max_commit_retries=1)
+    assert table.read().filter(F.col("conv_id") == "cw_lost").count() == 0
+    assert table.read().count() == target_df.count()
