@@ -1,0 +1,138 @@
+"""Plan-shape regression tests — the tuned physical plans from PLANS.md,
+encoded as assertions so a future change can't silently regress them.
+
+Each test pins the property that matters at 100 TB (shuffle count, exchange
+sharing, broadcast choice, map-side pruning, parquet pushdown), not the whole
+plan string. Counting "Exchange hashpartitioning" isolates SHUFFLE exchanges
+(BroadcastExchange / ReusedExchange spell differently).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from diffsync_spark.model import TRANSCRIPT_MODEL
+from diffsync_spark.operators.diff import diff
+from diffsync_spark.operators.lww import lww_dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_CDC = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string, seq long"
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(n=4):
+    t0 = datetime.datetime(2025, 1, 1)
+    return [
+        (f"c{i}", i, "user", f"t{i}", None, t0, "update", i) for i in range(n)
+    ]
+
+
+def test_diff_two_exchanges_fullouter_smj(spark):
+    """diff() = one shuffle per input side + a full-outer SMJ, with ALL
+    classification logic in the project above it — no third exchange, no
+    extra join (PLANS.md:7-88)."""
+    src = spark.createDataFrame(_rows(), _CDC).drop("op", "seq")
+    dst = spark.createDataFrame(_rows(), _CDC).drop("op", "seq")
+    plan = _plan(diff(src, dst, TRANSCRIPT_MODEL))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert plan.count("SortMergeJoin") == 1
+
+
+def test_lww_then_join_shares_partitioning(spark):
+    """The merge's scale contract: the LWW window's hash partitioning on the
+    natural key SATISFIES the downstream keyed join, so the batch side adds
+    no second shuffle between WindowExec and the join (plain `==` keys —
+    eqNullSafe would break this; see table.py merge)."""
+    batch = spark.createDataFrame(_rows(), _CDC)
+    cur = spark.createDataFrame(_rows(), _CDC).drop("op", "seq")
+    deduped = lww_dedup(batch, TRANSCRIPT_MODEL)
+    cond = None
+    for k in TRANSCRIPT_MODEL.identifiers:
+        e = deduped[k] == cur[k]
+        cond = e if cond is None else cond & e
+    plan = _plan(deduped.join(cur, cond, "full_outer"))
+    # one shuffle for the window input + one for the cur side — NOT three
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    """cosine_topk: queries broadcast, corpus never shuffles for the score
+    (the only hashpartitioning exchange is the per-query top-k window)."""
+    from diffsync_spark.functions.similarity import cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(cosine_topk(corpus, queries, k=3))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # top-k window only
+
+
+def test_assemble_max_items_prunes_map_side(spark):
+    """assemble_sequences(max_items=...): the rank filter must compile to a
+    WindowGroupLimit so a 10M-row hot key ships max_items rows, not 10M."""
+    from diffsync_spark.functions.assemble import assemble_sequences
+
+    df = spark.createDataFrame(
+        [(1, 1, "a", datetime.datetime(2025, 1, 1))],
+        "user_id long, event_id long, v string, ts timestamp",
+    )
+    plan = _plan(
+        assemble_sequences(df, ("user_id",), ("ts", "event_id"), "v",
+                           max_items=2)
+    )
+    assert "WindowGroupLimit" in plan
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """A filtered two-column projection over the documents table must reach
+    the scan: PushedFilters carries the predicate and ReadSchema carries
+    ONLY the projected columns (no full-row read for a narrow query)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
+    scan = [
+        s for s in _plan(q).split("\n") if "FileScan" in s or "Scan parquet" in s
+    ]
+    joined = " ".join(scan) or _plan(q)
+    assert "PushedFilters" in joined and "lang" in joined.split("PushedFilters")[1].split("]")[0]
+    read_schema = joined.split("ReadSchema")[1]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema  # untouched wide column pruned
+
+
+def test_minhash_bucket_cap_shares_band_exchange(spark):
+    """minhash_lsh_pairs' bucket-size cap must share the (band, bh) exchange
+    with the candidate self-join — the cap is free of extra shuffles."""
+    from diffsync_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} words here") for i in range(6)],
+        "doc_id long, text string",
+    )
+    capped = _plan(minhash_lsh_pairs(docs, num_hashes=8, bands=4))
+    uncapped = _plan(
+        minhash_lsh_pairs(docs, num_hashes=8, bands=4, max_bucket_size=None)
+    )
+    n_capped = capped.count("Exchange hashpartitioning")
+    n_uncapped = uncapped.count("Exchange hashpartitioning")
+    # the count window rides the join's existing band exchange: at most one
+    # extra shuffle total vs the uncapped plan (the post-window re-shuffle
+    # of the filtered side), never one per side
+    assert n_capped <= n_uncapped + 1
