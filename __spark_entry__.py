@@ -872,8 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["maxwell_decode"] = maxwell
 
-    # --- per-stratum quality filtering (exact percent_rank path; the
-    # approx_percentile threshold path is the 100 TB variant, pytest-only)
+    # --- per-stratum quality filtering (exact percent_rank path)
     def topfrac(spark, sf):
         from diffsync_spark.functions.sampling import filter_top_fraction
 
@@ -883,6 +882,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang")
 
     q["filter_top_fraction"] = topfrac
+
+    # --- the approx_percentile path (the 100 TB variant: per-stratum
+    # threshold broadcast, no per-stratum sort), gated on its CONTRACT: the
+    # sketch threshold must sit within `slack` ranks of the exact quantile
+    # (slack = max(2, n/accuracy)), tie-robustly. kept = {score >= thr}, so
+    # with thr's ascending rank within ±slack of 0.7n:
+    #   n_kept - ties_at_min == count{score > thr} <= ceil(0.3n) + slack
+    #   n_kept >= count{score > thr}              >= floor(0.3n) - slack
+    # The verdict frame (stratum, exact n_total, ok) is engine-independent,
+    # so the DuckDB twin pins n_total and expects ok = TRUE everywhere — a
+    # sketch/threshold regression breaks the value hash.
+    def topfrac_approx(spark, sf):
+        from diffsync_spark.functions.sampling import filter_top_fraction
+
+        docs = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+        kept = filter_top_fraction(docs, "n_chars", 0.3, ["lang"], exact=False)
+        per = kept.groupBy("lang").agg(
+            F.count("*").alias("n_kept"), F.min("n_chars").alias("min_kept")
+        )
+        tot = docs.groupBy("lang").agg(F.count("*").alias("n_total"))
+        ties = (
+            docs.join(per.select("lang", "min_kept"), "lang")
+            .filter(F.col("n_chars") == F.col("min_kept"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_ties"))
+        )
+        j = tot.join(per, "lang").join(ties, "lang")
+        slack = F.greatest(F.lit(2), F.ceil(F.col("n_total") / F.lit(10_000)))
+        ok = (
+            (F.col("n_kept") - F.col("n_ties")
+             <= F.ceil(F.col("n_total") * 0.3) + slack)
+            & (F.col("n_kept") >= F.floor(F.col("n_total") * 0.3) - slack)
+        )
+        return j.select("lang", "n_total", ok.alias("ok"))
+
+    q["filter_top_fraction_approx"] = topfrac_approx
 
     # --- token-budget sequence packing (greedy next-fit per bucket; the
     # one Arrow/applyInPandas assembly op — the scan's reset is a
@@ -1277,6 +1312,11 @@ WITH r AS (
                               ORDER BY n_chars DESC, doc_id) AS pr
   FROM documents)
 SELECT doc_id, lang FROM r WHERE pr < 0.3"""
+    # contract gate for the approx path: strata + exact totals pinned by
+    # DuckDB, ok must come out TRUE from the Spark-side rank-slack check
+    o["filter_top_fraction_approx"] = """
+SELECT lang, count(*) AS n_total, TRUE AS ok
+FROM documents GROUP BY lang"""
     from diffsync_spark.functions.assemble import pack_sql
 
     o["pack_sequences"] = pack_sql(
