@@ -305,29 +305,49 @@ pairs AS (
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
 
 
-def _plane_sql(side: str, planes) -> str:
-    """DuckDB twin of dedup._plane_signature: same seeded plane literals
-    (embedded at full double precision), same sequential fold order, same
-    strict > 0 sign test — so bucket ids match Spark's bit-for-bit."""
-    terms = []
-    for p, plane in enumerate(planes):
+def _plane_dots_sql(side: str, planes) -> list[str]:
+    """Per-plane dot expressions, same seeded plane literals (embedded at
+    full double precision) and same sequential fold order as Spark's
+    _plane_dots — doubles match bit-for-bit."""
+    dots = []
+    for plane in planes:
         arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
-        dot = (
+        dots.append(
             f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65), "
             f"i -> CAST({side}.embedding[i] AS DOUBLE) * ({arr})[i])), "
             f"(x, y) -> x + y)"
         )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return dots
+
+
+def _plane_sql(side: str, planes) -> str:
+    """DuckDB twin of dedup._plane_signature: same strict > 0 sign test over
+    the shared dot expressions — so bucket ids match Spark's bit-for-bit."""
+    terms = [
+        f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, dot in enumerate(_plane_dots_sql(side, planes))
+    ]
     return "(" + " + ".join(terms) + ")::BIGINT"
 
 
 def _lsh_topk_sql(k: int = 5, n_planes: int = 12, probes: int = 4, seed: int = 42) -> str:
+    """Twin of lsh_cosine_topk with the DEFAULT query-directed probing: the
+    probed flips are the `probes` planes with the smallest |dot| (struct
+    list_sort = field-lexicographic, ties by plane index — identical to
+    Spark's array_sort of (abs(dot), p) structs)."""
     import numpy as np
 
     planes = np.random.default_rng(seed).standard_normal((n_planes, 64))
-    probe_list = "[qbucket, " + ", ".join(
-        f"xor(qbucket, {1 << p})" for p in range(min(probes, n_planes))
+    dots = _plane_dots_sql("q0", planes)  # evaluated in the q CTE over q0
+    marginal = "[" + ", ".join(
+        f"struct_pack(a := abs({dot}), p := {p})" for p, dot in enumerate(dots)
     ) + "]"
+    n_probe = min(probes, n_planes)
+    probe_list = (
+        f"list_prepend(qbucket, list_transform("
+        f"list_slice(list_sort({marginal}), 1, {n_probe}), "
+        f"s -> xor(qbucket, CAST(power(2, s.p) AS BIGINT))))"
+    )
     return f"""
 WITH c AS (SELECT vec_id, embedding, {_plane_sql('embeddings', planes)} AS bucket
            FROM embeddings),

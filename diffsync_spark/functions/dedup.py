@@ -412,22 +412,38 @@ def embedding_neardup_pairs(
     return pairs
 
 
-def _plane_signature(vec: Column, planes: np.ndarray) -> Column:
-    """Sign-bit signature: bit p set iff dot(vec, plane_p) > 0. Built from
-    zip_with dot products — JVM expressions over literal plane arrays."""
-    bits = []
-    for p, plane in enumerate(planes):
+def _plane_dots(vec: Column, planes: np.ndarray) -> list[Column]:
+    """Per-plane dot products — zip_with/aggregate JVM expressions over
+    literal plane arrays (sequential fold, matching the DuckDB twin
+    bit-for-bit). Exposed separately so multi-probe can rank planes by
+    |dot| (marginal planes = best flip candidates)."""
+    dots = []
+    for plane in planes:
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dots.append(
+            F.aggregate(
+                F.zip_with(vec, lit_plane, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         )
-        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    return dots
+
+
+def _signature_from_dots(dots: list[Column]) -> Column:
+    bits = [
+        F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p, d in enumerate(dots)
+    ]
     out = bits[0]
     for b in bits[1:]:
         out = out + b
     return out.cast("long")
+
+
+def _plane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit signature: bit p set iff dot(vec, plane_p) > 0."""
+    return _signature_from_dots(_plane_dots(vec, planes))
 
 
 def cosine_col(a: Column, b: Column) -> Column:

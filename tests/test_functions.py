@@ -231,14 +231,25 @@ def test_lsh_topk_recall(spark):
     corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     queries = corpus.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     exact = cosine_topk(corpus, queries, k=5).toPandas()
-    approx = lsh_cosine_topk(corpus, queries, k=5, n_planes=12, probes=8).toPandas()
-    hits = 0
-    for qid in exact["query_id"].unique():
-        e = set(exact[exact.query_id == qid]["vec_id"])
-        a = set(approx[approx.query_id == qid]["vec_id"])
-        hits += len(e & a)
-        assert qid in a  # self always found (same bucket as itself)
-    assert hits / (5 * 5) >= 0.8
+
+    def recall(strategy):
+        approx = lsh_cosine_topk(
+            corpus, queries, k=5, n_planes=12, probes=8,
+            probe_strategy=strategy,
+        ).toPandas()
+        hits = 0
+        for qid in exact["query_id"].unique():
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            hits += len(e & a)
+            assert qid in a  # self always found (same bucket as itself)
+        return hits / (5 * 5)
+
+    r_directed, r_first = recall("directed"), recall("first")
+    assert r_directed >= 0.8
+    # query-directed probing (flip the smallest-|dot| planes) must never
+    # recall WORSE than arbitrary first-bit flips at equal probe count
+    assert r_directed >= r_first
 
 
 def test_embedding_neardup_self(emb):
