@@ -148,13 +148,17 @@ class Engine:
         result = self.table.apply_diff(d, checkpoint_id=checkpoint_id,
                                        batch_id=batch_id)
         log_merge(result, self.table.path)
+        if flags.log_unchanged_records and not result.get("skipped"):
+            from diffsync_spark.metrics import log_unchanged_records
+
+            log_unchanged_records(d, self.model.identifiers)
         if obs is not None and not result.get("skipped"):
             report_progress(callback, obs.get)
         if not result.get("skipped") and (
             result.get("n_create", 0) + result.get("n_update", 0)
             + result.get("n_delete", 0) > 0
         ):
-            self.sync_complete(result)
+            self.sync_complete(source, d, flags, result)
         return result
 
     def sync_to(
@@ -175,10 +179,15 @@ class Engine:
                                 batch_id=batch_id, checkpoint_id=checkpoint_id,
                                 callback=callback)
 
-    def sync_complete(self, result: dict) -> None:
-        """Post-commit hook (reference ``sync_complete``,
-        ``__init__.py:647-667``). Default: no-op; subclass to export metrics,
-        notify, etc."""
+    def sync_complete(self, source: DataFrame, diff_df: DataFrame,
+                      flags: DiffFlags, result: dict) -> None:
+        """Post-commit hook, signature-aligned with the reference's
+        ``sync_complete(source, diff, flags, logger)``
+        (``__init__.py:647-667``): same first three arguments; the
+        reference's structlog ``logger`` maps to this engine's module logger
+        (``diffsync_spark.metrics``), and ``result`` adds the commit record
+        (snapshot id, op counts) a set-based sync has that a per-object walk
+        does not. Default: no-op; subclass to export metrics, notify, etc."""
 
     def converged(self, source: DataFrame) -> bool:
         """True when re-diff after sync is empty (the reference's convergence

@@ -38,6 +38,13 @@ class DiffFlags:
         Invalid rows (e.g. null keys, duplicate source keys after LWW) are
         quarantined + counted instead of failing the batch. Reference
         ``CONTINUE_ON_FAILURE`` (``enum.py:65-66``, ``helpers.py:448-454``).
+    log_unchanged_records:
+        Also log records that have NO changes during a sync (the reference's
+        debug-verbosity flag ``LOG_UNCHANGED_RECORDS``, ``enum.py:83-88``).
+        Set-based analog: one JSON line per unchanged key (bounded collect —
+        a debugging aid by definition, like the reference's off-by-default
+        verbosity), plus the exact ``n_noop`` count that always rides the
+        merge lineage.
     """
 
     skip_unmatched_src: bool = False
@@ -46,6 +53,7 @@ class DiffFlags:
     skip_children_on_delete: bool = False
     natural_deletion_order: bool = False
     continue_on_failure: bool = False
+    log_unchanged_records: bool = False
 
     @property
     def join_how(self) -> str:

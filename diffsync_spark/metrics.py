@@ -70,6 +70,31 @@ def report_progress(callback: ProgressCallback | None, metrics: dict) -> None:
     callback("sync", changed, changed)
 
 
+def log_unchanged_records(diff_df: DataFrame, identifiers, limit: int = 1000) -> int:
+    """Per-record logging of UNCHANGED models — the reference's
+    ``LOG_UNCHANGED_RECORDS`` debug flag (``/root/reference/diffsync/enum.py:83-88``),
+    which logs every model during sync, not just changed ones.
+
+    Emits one JSON line per noop key (up to ``limit`` — a bounded collect;
+    this is a debugging verbosity aid exactly like the reference's
+    off-by-default flag, never a data-path operator) and returns the number
+    logged. The EXACT unchanged total always rides the lineage as
+    ``n_noop`` regardless of this flag."""
+    keys = (
+        diff_df.filter(F.col("op") == "noop")
+        .select(*identifiers)
+        .limit(limit)
+        .collect()
+    )
+    for r in keys:
+        logger.info(json.dumps({
+            "event": "unchanged_record",
+            "key": {k: r[k] for k in identifiers},
+            "status": "success",
+        }, default=str))
+    return len(keys)
+
+
 def log_merge(result: dict, table_path: str) -> None:
     """Emit one JSON metrics line for a merge/apply commit."""
     line = {

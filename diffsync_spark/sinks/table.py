@@ -305,7 +305,27 @@ class SnapshotTable:
         touched = sorted(r[BUCKET] for r in stats if r.n_ok > 0)
         batch_rows = {r[BUCKET]: r.n_ok for r in stats if r.n_ok > 0}
         if n_quarantined:
-            batch.filter(~F.col("__valid")).drop("__valid", BUCKET).write.mode(
+            # per-record status columns — the reference's DiffSyncStatus +
+            # message logging (enum.py:90-96, helpers.py:442-446) as data:
+            # each rejected row says WHY it failed the merge contract
+            key_null = F.lit(False)
+            for k in ids:
+                key_null = key_null | F.col(k).isNull()
+            op_bad = ~F.coalesce(
+                F.lower(F.col("op")).isin(*UPSERT_OPS, DELETE_OP), F.lit(False)
+            )
+            reason = F.when(key_null, F.lit("null identifier")).when(
+                op_bad, F.lit("unknown or null op")
+            )
+            if version_col:
+                reason = reason.when(
+                    F.col(version_col).isNull()
+                    & (F.lower(F.col("op")) != DELETE_OP),
+                    F.lit(f"null {version_col} on upsert"),
+                )
+            batch.filter(~F.col("__valid")).drop("__valid", BUCKET).withColumn(
+                "_status", F.lit("failure")
+            ).withColumn("_status_reason", reason).write.mode(
                 "overwrite"
             ).parquet(os.path.join(
                 self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
@@ -590,6 +610,13 @@ class SnapshotTable:
             "checkpoints": checkpoints,
             "lineage": lineage_rows,
             "bucket_rows": bucket_rows,
+            "quarantine_dir": (
+                os.path.join(
+                    self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
+                )
+                if n_quarantined
+                else None
+            ),
         }
         self._commit(manifest)
         totals = {
@@ -601,6 +628,9 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "version": new_version,
             "touched_buckets": touched,
+            # valid batch rows that entered the MERGE (post-quarantine,
+            # pre-LWW-dedup) — the denominator for pre-filter reduction
+            "n_input": sum((batch_rows or {}).values()),
             **{f"n_{k}": v for k, v in totals.items()},
         }
 
@@ -644,6 +674,16 @@ class SnapshotTable:
         )
         return self.merge(batch, checkpoint_id=checkpoint_id, batch_id=batch_id,
                           mode="force")
+
+    def quarantine_df(self, version: int | None = None) -> DataFrame | None:
+        """Rejected rows of a commit, with per-record ``_status`` (the
+        reference's ``DiffSyncStatus`` values, ``enum.py:90-96``) and
+        ``_status_reason`` (the log message of ``helpers.py:442-446``) as
+        columns. Returns None when that commit quarantined nothing."""
+        qdir = self._manifest(version).get("quarantine_dir")
+        if not qdir:
+            return None
+        return self.spark.read.parquet(qdir)
 
     # -------------------------------------------------------------- lineage
     def lineage_df(self) -> DataFrame:
@@ -742,6 +782,7 @@ class SnapshotTable:
             "parent_snapshot_id": man["snapshot_id"],
             "files": files,
             "lineage": [],
+            "quarantine_dir": None,  # a compaction rejects nothing
         }
         self._commit(manifest)
         return {"version": new_version, "n_files": sum(map(len, files.values()))}

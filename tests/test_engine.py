@@ -29,18 +29,45 @@ def test_sync_from_and_convergence(engine, source_df):
 
 
 def test_sync_complete_hook(engine, source_df):
+    """Signature parity with the reference's sync_complete(source, diff,
+    flags, logger) (__init__.py:647-667): same leading args, plus the
+    commit result a set-based sync has."""
     calls = []
 
     class E2(Engine):
-        def sync_complete(self, result):
-            calls.append(result)
+        def sync_complete(self, source, diff_df, flags, result):
+            calls.append((source, diff_df, flags, result))
 
     e2 = E2(engine.spark, engine.model, engine.table)
     e2.sync_from(source_df, batch_id=7)
-    assert len(calls) == 1 and calls[0]["n_create"] > 0
+    assert len(calls) == 1 and calls[0][3]["n_create"] > 0
+    assert calls[0][0] is source_df            # source passed through
+    assert "op" in calls[0][1].columns         # the diff frame
     # converged now → second sync applies nothing → hook NOT fired
     e2.sync_from(source_df, batch_id=8)
     assert len(calls) == 1
+
+
+def test_log_unchanged_records_flag(engine, source_df, caplog):
+    """DiffFlags.log_unchanged_records (reference LOG_UNCHANGED_RECORDS,
+    enum.py:83-88): sync logs one line per UNCHANGED record; off by
+    default (only changed records are logged via the merge line)."""
+    import logging
+
+    from diffsync_spark.flags import DiffFlags
+
+    engine.sync_from(source_df, batch_id=1)  # converge first → noops exist
+    with caplog.at_level(logging.INFO, logger="diffsync_spark.metrics"):
+        engine.sync_from(source_df, batch_id=2,
+                         flags=DiffFlags(log_unchanged_records=True))
+    marker = '"event": "unchanged_record"'
+    unchanged = [r for r in caplog.records if marker in r.message]
+    n_noop = engine.diff_from(source_df).filter("op = 'noop'").count()
+    assert len(unchanged) == min(n_noop, 1000) > 0
+    caplog.clear()
+    with caplog.at_level(logging.INFO, logger="diffsync_spark.metrics"):
+        engine.sync_from(source_df, batch_id=3)  # default: flag off
+    assert not [r for r in caplog.records if marker in r.message]
 
 
 def test_diff_complete_hook(engine, source_df, tmp_path):

@@ -172,6 +172,22 @@ def test_quarantine(spark, tmp_path, target_df):
     assert res["n_quarantined"] == 2
     lin = table.lineage_df().filter("partition = -1").first()
     assert lin.n_quarantined == 2
+    # per-record status columns (reference DiffSyncStatus, enum.py:90-96):
+    # each rejected row carries status + the WHY
+    qdf = table.quarantine_df()
+    assert qdf is not None and qdf.count() == 2
+    rows = {r.text: (r._status, r._status_reason) for r in qdf.collect()}
+    assert rows["x"] == ("failure", "null identifier")
+    assert rows["ok"] == ("failure", "unknown or null op")
+    # a clean commit has no quarantine frame
+    good = spark.createDataFrame(
+        [("conv_000001", 1, "user", "fine", None,
+          datetime.datetime(2031, 1, 1), "update", 9)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, op string, seq long",
+    )
+    table.merge(good, checkpoint_id="q", batch_id=2)
+    assert table.quarantine_df() is None
 
 
 def test_custom_commit_io(spark, tmp_path, target_df, changelog_df):

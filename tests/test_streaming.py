@@ -95,6 +95,41 @@ def test_stream_resume_from_checkpoint(spark, tmp_path, table, target_pdf,
     assert not pairs.duplicated(["checkpoint_id", "batch_id"]).any()
 
 
+def test_stream_prefilter_identical_state_less_input(spark, tmp_path, target_df,
+                                                     changelog_pdf):
+    """stream_replay(stateful_prefilter=True) must (a) converge to a final
+    state byte-identical to the unfiltered replay of the SAME feed and
+    (b) demonstrably cut the rows entering the MERGE (n_input) on a
+    duplicate-heavy changelog — the filter is an optimization with
+    correctness anchored at the transactional sink."""
+    dup = changelog_pdf.loc[changelog_pdf.index.repeat(2)].reset_index(drop=True)
+    dup["seq"] = range(len(dup))  # consecutive seqs; payload pairs identical
+    log_dir = str(tmp_path / "chg")
+    _write_changelog_files(spark, dup, log_dir, n_files=4)
+
+    def run(prefilter: bool, name: str):
+        t = SnapshotTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_MODEL,
+            schema=target_df.schema, n_buckets=8,
+        )
+        t.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+                checkpoint_id="boot", batch_id=0)
+        results: list = []
+        q = stream_replay(
+            t, log_dir, CHANGELOG_DDL, str(tmp_path / f"ckpt_{name}"),
+            max_files_per_trigger=2, stateful_prefilter=prefilter,
+            results=results,
+        )
+        q.awaitTermination(300)
+        return t, sum(r.get("n_input", 0) for r in results
+                      if not r.get("skipped"))
+
+    t_plain, in_plain = run(False, "plain")
+    t_filt, in_filt = run(True, "filt")
+    pd.testing.assert_frame_equal(_state(t_plain), _state(t_filt))
+    assert 0 < in_filt < in_plain  # real reduction, with rows still flowing
+
+
 def test_stateful_lww_filter(spark, tmp_path, changelog_pdf):
     """applyInPandasWithState pre-filter: per key, each micro-batch forwards
     at most one winner and only when it beats the key's high-water mark —
