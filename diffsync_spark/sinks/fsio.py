@@ -70,6 +70,20 @@ class LocalCommitIO:
             f for f in os.listdir(path) if os.path.isfile(os.path.join(path, f))
         )
 
+    def remove_file(self, path: str) -> None:
+        """Delete one file, tolerating absence (object-store DELETE)."""
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def remove_dir(self, path: str) -> None:
+        """Recursively delete a directory tree, tolerating absence
+        (object-store prefix delete)."""
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class RacingCommitIO(LocalCommitIO):
     """Deterministic commit-race injector (object-store shape, for tests).
@@ -123,3 +137,9 @@ class InMemoryManifestIO(LocalCommitIO):
 
     def exists(self, path: str) -> bool:
         return path in self.blobs or path in self.dirs or os.path.exists(path)
+
+    def remove_file(self, path: str) -> None:
+        if path in self.blobs:
+            del self.blobs[path]
+        else:
+            super().remove_file(path)  # data files live on the local FS

@@ -687,11 +687,15 @@ class SnapshotTable:
 
     # -------------------------------------------------------------- lineage
     def lineage_df(self) -> DataFrame:
-        """Per-partition lineage across all commits (FIXTURES.md T6)."""
+        """Per-partition lineage across all retained commits (FIXTURES.md
+        T6; versions dropped by ``expire_snapshots`` are skipped)."""
         rows = []
         cur = self.current_version()
         for v in range(1, cur + 1):
-            man = self._manifest(v)
+            try:
+                man = self._manifest(v)
+            except FileNotFoundError:
+                continue  # expired snapshot
             for r in man.get("lineage", []):
                 rows.append({**r, "table_version": v})
         schema = (
@@ -786,3 +790,91 @@ class SnapshotTable:
         }
         self._commit(manifest)
         return {"version": new_version, "n_files": sum(map(len, files.values()))}
+
+    # ---------------------------------------------------------- maintenance
+    def remove_orphans(self) -> dict[str, Any]:
+        """Delete data/quarantine dirs referenced by NO retained manifest —
+        the droppings of losing commit attempts and crashed writers (the
+        Iceberg ``remove_orphan_files`` analog; each losing ``merge()``
+        attempt leaves a whole ``v{N}-{sid}`` dir no manifest points at).
+
+        Safety against in-flight writers without wall-clock heuristics:
+        dirs whose version tag is ``current`` or higher are never touched —
+        an attempt still writing targets ``current+1`` (or ``current`` if it
+        is about to lose and rebase), so only dirs at least one committed
+        version old are eligible. Run from a maintenance job, same as
+        ``compact``.
+        """
+        cur = self.current_version()
+        live_files: set[str] = set()
+        live_dirs: set[str] = set()
+        for v in range(1, cur + 1):
+            try:
+                man = self._manifest(v)
+            except FileNotFoundError:
+                continue
+            for fl in man["files"].values():
+                live_files.update(fl)
+            if man.get("quarantine_dir"):
+                live_dirs.add(os.path.normpath(man["quarantine_dir"]))
+        removed: list[str] = []
+        for root, live in (
+            (os.path.join(self.path, "data"), None),
+            (os.path.join(self.path, "quarantine"), live_dirs),
+        ):
+            for d in self.io.list_dirs(root):
+                try:
+                    ver = int(d.split("-", 1)[0].lstrip("v"))
+                except ValueError:
+                    continue
+                if ver >= cur:  # possible in-flight attempt — never touch
+                    continue
+                full = os.path.join(root, d)
+                if live is None:
+                    referenced = any(
+                        p.startswith(full + os.sep) for p in live_files
+                    )
+                else:
+                    referenced = os.path.normpath(full) in live
+                if not referenced:
+                    self.io.remove_dir(full)
+                    removed.append(full)
+        return {"removed_dirs": sorted(removed)}
+
+    def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
+        """Drop manifests older than the newest ``keep_last`` versions and
+        delete the data files ONLY they reference (Iceberg
+        ``expire_snapshots``). Copy-on-write means old manifests share most
+        files with newer ones — only the exclusively-referenced ones are
+        deleted. Time travel to an expired version then raises; current
+        reads, lineage (of retained versions), checkpoints, and incremental
+        ``changes()`` between retained versions are unaffected."""
+        if keep_last < 1:
+            raise DiffSyncSparkError("keep_last must be >= 1")
+        cur = self.current_version()
+        cutoff = cur - keep_last + 1
+        if cutoff <= 1:
+            return {"expired_versions": [], "removed_files": 0}
+        keep_files: set[str] = set()
+        for v in range(cutoff, cur + 1):
+            for fl in self._manifest(v)["files"].values():
+                keep_files.update(fl)
+        expired: list[int] = []
+        n_removed = 0
+        for v in range(1, cutoff):
+            try:
+                man = self._manifest(v)
+            except FileNotFoundError:
+                continue  # already expired earlier
+            for fl in man["files"].values():
+                for p in fl:
+                    if p not in keep_files:
+                        self.io.remove_file(p)
+                        n_removed += 1
+            if man.get("quarantine_dir"):
+                self.io.remove_dir(man["quarantine_dir"])
+            self.io.remove_file(
+                os.path.join(self._manifest_dir, f"v{v}.json")
+            )
+            expired.append(v)
+        return {"expired_versions": expired, "removed_files": n_removed}

@@ -2,7 +2,12 @@
 given parallelism and dumps the dominant stages with task-time quantiles
 (skew = max/median) and shuffle bytes, via Spark's REST API.
 
-Usage: python scripts/stage_stats.py [cpus] [events]
+Usage: python scripts/stage_stats.py [cpus] [events] [batches] [convs]
+
+Also the harness for the order-of-magnitude evidence point
+(BENCH/scaling_1e8.json): `python scripts/stage_stats.py 32 100000000 4
+200000` replays 1e8 events in 4 sustained batches over a 200k-conversation
+keyspace.
 """
 
 from __future__ import annotations
@@ -27,6 +32,8 @@ from diffsync_spark.streaming.replay import replay_batches  # noqa: E402
 def main() -> None:
     cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
+    n_batches = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    n_convs = int(sys.argv[4]) if len(sys.argv) > 4 else 8000
     work = f"/dev/shm/stage_stats_{cpus}"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
@@ -35,12 +42,13 @@ def main() -> None:
         extra_conf={"spark.local.dir": f"{work}/tmp",
                     "spark.ui.enabled": "true"},
     )
-    src = fixtures.gen_source_spark(spark, n_convs=8000, turns_per_conv=20,
+    src = fixtures.gen_source_spark(spark, n_convs=n_convs, turns_per_conv=20,
                                     text_bytes=256)
-    chg = fixtures.gen_changelog_spark(spark, n_events, n_convs=8000,
+    chg = fixtures.gen_changelog_spark(spark, n_events, n_convs=n_convs,
                                        turns_per_conv=20, text_bytes=256)
     src.repartition(cpus).write.mode("overwrite").parquet(f"{work}/src")
-    chg.repartition(64).write.mode("overwrite").parquet(f"{work}/chg")
+    chg.repartition(max(64, n_events // 1_000_000)).write.mode(
+        "overwrite").parquet(f"{work}/chg")
     src_df = spark.read.parquet(f"{work}/src")
     chg_df = spark.read.parquet(f"{work}/chg")
     table = SnapshotTable.create(spark, f"{work}/tbl", TRANSCRIPT_MODEL,
@@ -48,7 +56,7 @@ def main() -> None:
     table.merge(src_df.withColumn("op", F.lit("insert")), mode="force",
                 checkpoint_id="boot", batch_id=0)
     t0 = time.perf_counter()
-    replay_batches(table, chg_df, n_batches=1, checkpoint_id="stats")
+    replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="stats")
     dt = time.perf_counter() - t0
 
     app = spark.sparkContext.applicationId
@@ -77,7 +85,8 @@ def main() -> None:
         })
     rows.sort(key=lambda r: -r["run_s"])
     print(json.dumps({
-        "cpus": cpus, "events": n_events,
+        "cpus": cpus, "events": n_events, "batches": n_batches,
+        "convs": n_convs,
         "replay_seconds": round(dt, 2),
         "events_per_sec": round(n_events / dt, 1),
         "stages": rows[:8],

@@ -101,11 +101,17 @@ def test_assemble_max_items_prunes_map_side(spark):
     assert "WindowGroupLimit" in plan
 
 
-def test_parquet_scan_pushdown_and_pruning(spark):
+def test_parquet_scan_pushdown_and_pruning(spark, tmp_path):
     """A filtered two-column projection over the documents table must reach
     the scan: PushedFilters carries the predicate and ReadSchema carries
-    ONLY the projected columns (no full-row read for a narrow query)."""
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ONLY the projected columns (no full-row read for a narrow query).
+
+    Scans a PRIVATE copy of the table: other test modules cache() the
+    shared sf0.001 read, and Spark's cache manager would substitute an
+    InMemoryRelation for any matching sub-plan, hiding the scan."""
+    path = str(tmp_path / "docs_pushdown")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200).write.parquet(path)
+    docs = spark.read.parquet(path)
     q = docs.filter(F.col("lang") == "en").select("doc_id", "lang")
     scan = [
         s for s in _plan(q).split("\n") if "FileScan" in s or "Scan parquet" in s

@@ -428,3 +428,54 @@ def test_commit_retries_exhausted(spark, tmp_path, target_df):
                        batch_id=1, max_commit_retries=1)
     assert table.read().filter(F.col("conv_id") == "cw_lost").count() == 0
     assert table.read().count() == target_df.count()
+
+
+def test_remove_orphans_after_lost_race(spark, tmp_path, target_df):
+    """A losing commit attempt leaves a whole unreferenced data dir; GC
+    removes exactly that, never a referenced version, and is idempotent."""
+    from diffsync_spark.sinks.fsio import RacingCommitIO
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    writer_b = SnapshotTable.load(spark, table.path, TRANSCRIPT_MODEL)
+    batch_b = _cw_batch(spark, "gc_B")
+
+    writer_a = SnapshotTable.load(
+        spark, table.path, TRANSCRIPT_MODEL,
+        io=RacingCommitIO(
+            lambda: writer_b.merge(batch_b, checkpoint_id="gcb", batch_id=1),
+            races=1,
+        ),
+    )
+    writer_a.merge(_cw_batch(spark, "gc_A"), checkpoint_id="gca", batch_id=1)
+    state_before = _state(table)
+    res = table.remove_orphans()
+    assert len(res["removed_dirs"]) == 1          # the loser's v3 attempt
+    assert "/data/v3-" in res["removed_dirs"][0]
+    # every retained snapshot still reads; state unchanged
+    for v in range(1, table.current_version() + 1):
+        table.read(version=v).count()
+    pd.testing.assert_frame_equal(_state(table), state_before)
+    assert table.remove_orphans()["removed_dirs"] == []   # idempotent
+
+
+def test_expire_snapshots(spark, tmp_path, target_df, changelog_df):
+    """Snapshot expiration deletes ONLY files exclusively referenced by
+    expired versions (copy-on-write shares the rest); current reads and
+    lineage of retained versions survive, expired time travel raises."""
+    table = _bootstrap(spark, tmp_path, target_df)           # v1 + v2
+    half = changelog_df.filter(F.col("seq") % 2 == 0)
+    table.merge(half, checkpoint_id="e", batch_id=1)         # v3
+    table.merge(changelog_df, checkpoint_id="e", batch_id=2) # v4
+    state_before = _state(table)
+    cur = table.current_version()
+    res = table.expire_snapshots(keep_last=2)
+    assert res["expired_versions"] == list(range(1, cur - 1))
+    assert res["removed_files"] > 0
+    pd.testing.assert_frame_equal(_state(table), state_before)
+    table.read(version=cur - 1).count()                      # retained
+    with pytest.raises(FileNotFoundError):
+        table.read(version=2)                                # expired
+    lin = table.lineage_df()
+    assert set(lin.toPandas()["table_version"]) <= {cur - 1, cur}
+    # expiring again is a no-op at the same horizon
+    assert table.expire_snapshots(keep_last=2)["expired_versions"] == []
