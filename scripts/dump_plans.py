@@ -145,6 +145,46 @@ CASES = [
             k=5,
         ),
     ),
+    (
+        "lsh_cosine_topk (query-directed multi-probe ANN)",
+        "Corpus hashes once into sign buckets (pure projection); the probe "
+        "set (own bucket + smallest-|dot| bit flips) is a per-query Generate "
+        "— probe selection adds NO shuffle; exact rerank only inside probed "
+        "buckets.",
+        lambda s: __import__(
+            "diffsync_spark.functions.similarity", fromlist=["lsh_cosine_topk"]
+        ).lsh_cosine_topk(
+            s.read.parquet(f"{SF}/embeddings.parquet"),
+            s.read.parquet(f"{SF}/embeddings.parquet")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
+    ),
+    (
+        "simhash_neardup_pairs (capped pigeonhole banding)",
+        "Each self-join side computes its max_bucket_size count window on "
+        "the SAME (chunk, ck) exchange that feeds the join — the "
+        "degenerate-bucket cap adds ZERO extra shuffles (at this sf AQE "
+        "then broadcasts the small post-cap side).",
+        lambda s: __import__(
+            "diffsync_spark.functions.dedup", fromlist=["simhash_neardup_pairs"]
+        ).simhash_neardup_pairs(
+            s.read.parquet(f"{SF}/documents.parquet"), max_bucket_size=10_000
+        ),
+    ),
+    (
+        "filter_top_fraction approx path (corpus-scale quality filter)",
+        "Per-stratum approx_percentile thresholds aggregate to a TINY frame "
+        "that broadcast-joins back as a filter — no per-stratum sort of the "
+        "corpus, two scans total.",
+        lambda s: __import__(
+            "diffsync_spark.functions.sampling", fromlist=["filter_top_fraction"]
+        ).filter_top_fraction(
+            s.read.parquet(f"{SF}/documents.parquet"),
+            "n_chars", 0.3, ["lang"], exact=False,
+        ),
+    ),
 ]
 
 
