@@ -167,6 +167,53 @@ def test_simhash_wide_banding(spark):
     assert pairs["hamming"].tolist() == [0]
 
 
+def test_simhash_pigeonhole_guarantee(spark):
+    """Banding is RECALL-EXACT for hamming <= 3 (4 bands, 3 diff bits ⇒
+    some band identical): every qualifying pair of the exact pairwise
+    distance matrix must appear, for both the 64-bit and 128-bit paths."""
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choice(words, size=12)))
+        for i in range(120)
+    ]
+    # near-dup clusters: small edits of a base doc
+    base = " ".join(rng.choice(words, size=12))
+    for i in range(120, 140):
+        toks = base.split()
+        toks[i % 12] = words[i % 50]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = simhash(df).toPandas().set_index("doc_id")["simhash"]
+    vals = sh.to_numpy().astype(np.int64).view(np.uint64)
+    ids = sh.index.to_numpy()
+    xor = vals[:, None] ^ vals[None, :]
+    ham = np.array([[bin(int(x)).count("1") for x in row] for row in xor])
+    want = {
+        (int(min(a, b)), int(max(a, b)))
+        for i, a in enumerate(ids)
+        for j, b in enumerate(ids)
+        if a < b and ham[i, j] <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    assert want == got  # banding loses nothing at hamming <= 3 (and adds nothing)
+    # wide path: recall guarantee holds against ITS 128-bit distance
+    wide = simhash_neardup_pairs(df, max_hamming=3, wide=True).toPandas()
+    assert (wide["hamming"] <= 3).all()
+    # identical-text pairs (hamming 0 in any hash) must appear in both
+    dup = df.union(df.withColumn("doc_id", F.col("doc_id") + 1000))
+    got64 = {(r.id_a, r.id_b)
+             for r in simhash_neardup_pairs(dup, max_hamming=0).collect()}
+    got128 = {(r.id_a, r.id_b)
+              for r in simhash_neardup_pairs(dup, max_hamming=0, wide=True).collect()}
+    assert {(i, i + 1000) for i in range(140)} <= got64
+    assert {(i, i + 1000) for i in range(140)} <= got128
+
+
 def test_neardup_degenerate_bucket_caps(spark):
     """A degenerate bucket (1k identical docs / embeddings collapsing into
     one LSH bucket) must NOT produce a quadratic candidate set when capped:

@@ -130,6 +130,47 @@ def test_stream_prefilter_identical_state_less_input(spark, tmp_path, target_df,
     assert 0 < in_filt < in_plain  # real reduction, with rows still flowing
 
 
+def test_two_streams_one_table(spark, tmp_path, target_df, changelog_pdf):
+    """Two Structured Streaming replays (distinct checkpoints, disjoint
+    event slices) feed ONE table concurrently — the multi-worker shared
+    store story through the REAL streaming path. Commit conflicts between
+    interleaving micro-batches are resolved by the sink's retry/rebase:
+    both streams land fully, exactly once, and the final state equals a
+    serial replay of the combined feed."""
+    half = len(changelog_pdf) // 2
+    dir_a, dir_b = str(tmp_path / "chg_a"), str(tmp_path / "chg_b")
+    _write_changelog_files(spark, changelog_pdf.iloc[:half], dir_a, n_files=3)
+    _write_changelog_files(spark, changelog_pdf.iloc[half:], dir_b, n_files=3)
+
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "tbl_c"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=8,
+    )
+    t.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    qa = stream_replay(t, dir_a, CHANGELOG_DDL, str(tmp_path / "ck_a"),
+                       max_files_per_trigger=1)
+    qb = stream_replay(t, dir_b, CHANGELOG_DDL, str(tmp_path / "ck_b"),
+                       max_files_per_trigger=1)
+    qa.awaitTermination(300)
+    qb.awaitTermination(300)
+
+    serial = SnapshotTable.create(
+        spark, str(tmp_path / "tbl_s"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=8,
+    )
+    serial.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+                 checkpoint_id="boot", batch_id=0)
+    full = spark.createDataFrame(changelog_pdf)
+    serial.merge(full, checkpoint_id="serial", batch_id=1)
+    pd.testing.assert_frame_equal(_state(t), _state(serial))
+    # exactly-once: no duplicate (checkpoint, batch) pairs across streams
+    lin = t.lineage_df().filter("checkpoint_id like 'stream_%'").toPandas()
+    pairs = lin[["checkpoint_id", "batch_id", "snapshot_id"]].drop_duplicates()
+    assert not pairs.duplicated(["checkpoint_id", "batch_id"]).any()
+    assert lin["checkpoint_id"].nunique() == 2    # both streams committed
+
+
 def test_stateful_lww_filter(spark, tmp_path, changelog_pdf):
     """applyInPandasWithState pre-filter: per key, each micro-batch forwards
     at most one winner and only when it beats the key's high-water mark —
