@@ -506,6 +506,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf), max_hamming=3
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
+    # --- pairs → clusters → survivors: the end-to-end dedup closure.
+    # Components via min-label propagation (library fn); the DuckDB twin is
+    # an independent transitive-closure recursive CTE over the same
+    # (already-gated) pair set.
+    def nd_components(spark, sf):
+        from diffsync_spark.functions.dedup import neardup_components
+
+        pairs = minhash_lsh_pairs(_docs(spark, sf), threshold=0.7)
+        return neardup_components(pairs)
+
+    q["neardup_components"] = nd_components
+
+    def nd_dedup(spark, sf):
+        from diffsync_spark.functions.dedup import dedup_near_duplicates
+
+        docs = _docs(spark, sf)
+        pairs = minhash_lsh_pairs(docs, threshold=0.7)
+        return dedup_near_duplicates(docs, pairs).select("doc_id")
+
+    q["neardup_dedup"] = nd_dedup
+
     # --- training-data ops: embeddings
     def topk(spark, sf):
         emb = _emb(spark, sf)
@@ -1165,6 +1186,23 @@ FROM ranked WHERE rank <= 5"""
     o["embedding_neardup"] = _emb_neardup_sql(threshold=0.3, n_planes=8, seed=42)
     o["ngram_jaccard_pairs"] = _SQL_JACCARD_PAIRS
     o["minhash_lsh_pairs"] = _SQL_JACCARD_PAIRS
+    # transitive closure over the pair graph — an INDEPENDENT algorithm
+    # (recursive CTE) for the same components the Spark label propagation
+    # computes; comp = min id reachable through near-dup pairs
+    _SQL_CC = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_PAIRS}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, comp) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.id = e.b
+)
+SELECT id, min(comp) AS comp FROM cc GROUP BY id"""
+    o["neardup_components"] = _SQL_CC
+    o["neardup_dedup"] = f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM ({_SQL_CC}) WHERE comp <> id)"""
     o["simhash_neardup_pairs"] = _SQL_SIMHASH_PAIRS
     # hierarchy sync converges both tables to the source derivation, so the
     # oracle is the source itself joined with its per-user counts

@@ -15,7 +15,9 @@ from diffsync_spark.functions.text import (
     fingerprint_col,
 )
 from diffsync_spark.functions.dedup import (
+    dedup_near_duplicates,
     exact_dedup,
+    neardup_components,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
@@ -55,7 +57,9 @@ __all__ = [
     "quality_features",
     "lang_id",
     "fingerprint_col",
+    "dedup_near_duplicates",
     "exact_dedup",
+    "neardup_components",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash",

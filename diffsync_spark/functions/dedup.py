@@ -412,6 +412,88 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def neardup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: ``(id, comp)`` where
+    ``comp`` is the smallest id reachable through pairs — the clustering
+    step that turns candidate PAIRS into deduplicable GROUPS.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own and its neighbors' labels; converges in
+    O(cluster diameter) rounds (near-dup clusters are shallow — a dup
+    cluster's diameter is usually 1-2; ``max_iter`` bounds pathological
+    chains). Each round is one shuffle-join on the edge list + an
+    aggregation; ``localCheckpoint`` truncates the iterative lineage so
+    the plan stays flat. Only nodes that appear in a pair are labeled —
+    singletons are implicitly their own component.
+
+    Scale shape: the edge list is tiny relative to the corpus (it is the
+    OUTPUT of banded candidate generation, already capped per bucket), so
+    each round shuffles edges + one (id, comp) pair per non-singleton
+    node, never documents.
+    """
+    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop all but the smallest-id document of each near-dup component:
+    the end-to-end dedup step (pairs → components → survivors). Documents
+    in no pair survive untouched. The labels frame (non-singleton nodes
+    only) broadcasts when small; the corpus never shuffles."""
+    labels = neardup_components(pairs, id_a=id_a, id_b=id_b)
+    victims = labels.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("__victim")
+    )
+    return df.join(
+        F.broadcast(victims), df[id_col] == F.col("__victim"), "left_anti"
+    )
+
+
 def _plane_dots(vec: Column, planes: np.ndarray) -> list[Column]:
     """Per-plane dot products — zip_with/aggregate JVM expressions over
     literal plane arrays (sequential fold, matching the DuckDB twin

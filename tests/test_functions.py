@@ -167,6 +167,30 @@ def test_simhash_wide_banding(spark):
     assert pairs["hamming"].tolist() == [0]
 
 
+def test_neardup_components_and_dedup(spark):
+    """pairs → components → survivors: a 4-chain (propagation must walk
+    more than one hop), a disjoint pair, and untouched singletons."""
+    from diffsync_spark.functions.dedup import (
+        dedup_near_duplicates,
+        neardup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in neardup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in dedup_near_duplicates(docs, pairs).collect()
+    )
+    assert kept == [1, 10, 99]  # one per cluster + the singleton
+
+
 def test_simhash_pigeonhole_guarantee(spark):
     """Banding is RECALL-EXACT for hamming <= 3 (4 bands, 3 diff bits ⇒
     some band identical): every qualifying pair of the exact pairwise
