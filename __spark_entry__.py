@@ -305,6 +305,54 @@ pairs AS (
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
 
 
+def _sql_fnv(basis: int) -> str:
+    """FNV-1a over a token in HUGEINT modular arithmetic, parameterized by
+    offset basis — the wide (128-bit) simhash uses a second independent
+    basis (functions/dedup.py _FNV_BASIS2)."""
+    return (
+        f"list_reduce(list_prepend({basis}::HUGEINT, "
+        "list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)), "
+        "(h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) "
+        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+    )
+
+
+_SQL_SIMHASH_WIDE_PAIRS = f"""
+WITH th AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(coalesce(text, ''))),
+                                               '\\s+'), t -> t != '')) AS t
+  FROM documents),
+fh AS (SELECT doc_id, {_sql_fnv(0xCBF29CE484222325)} AS h1,
+              {_sql_fnv(0x9E3779B97F4A7C15)} AS h2
+       FROM th),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN sum(CASE WHEN (h1 // ({_SQL_P2})[64 - j]) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN ({_SQL_P2})[j + 1] ELSE 0::HUGEINT END AS c1,
+         CASE WHEN sum(CASE WHEN (h2 // ({_SQL_P2})[64 - j]) % 2 = 1
+                            THEN 1 ELSE -1 END) > 0
+              THEN ({_SQL_P2})[j + 1] ELSE 0::HUGEINT END AS c2
+  FROM fh, range(64) r(j) GROUP BY doc_id, j),
+sh0 AS (SELECT doc_id, sum(c1) AS s1, sum(c2) AS s2 FROM bits GROUP BY doc_id),
+sh AS (
+  SELECT d.doc_id,
+         coalesce(CAST(CASE WHEN s.s1 >= 9223372036854775808::HUGEINT
+                            THEN s.s1 - 18446744073709551616::HUGEINT
+                            ELSE s.s1 END AS BIGINT), 0) AS hi,
+         coalesce(CAST(CASE WHEN s.s2 >= 9223372036854775808::HUGEINT
+                            THEN s.s2 - 18446744073709551616::HUGEINT
+                            ELSE s.s2 END AS BIGINT), 0) AS lo
+  FROM documents d LEFT JOIN sh0 s ON d.doc_id = s.doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
+
+
 def _plane_dots_sql(side: str, planes) -> list[str]:
     """Per-plane dot expressions, same seeded plane literals (embedded at
     full double precision) and same sequential fold order as Spark's
@@ -504,6 +552,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["simhash_neardup_pairs"] = lambda spark, sf: simhash_neardup_pairs(
         _docs(spark, sf), max_hamming=3
+    ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    # the 10^10-doc banding widener (128-bit simhash, 4x32-bit chunks):
+    # same pigeonhole recall guarantee, 2^32 buckets per chunk; DuckDB twin
+    # recomputes BOTH FNV-1a families in HUGEINT and the exact 128-bit
+    # hamming over all pairs
+    q["simhash_wide_pairs"] = lambda spark, sf: simhash_neardup_pairs(
+        _docs(spark, sf), max_hamming=3, wide=True
     ).select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
     # --- pairs → clusters → survivors: the end-to-end dedup closure.
@@ -1204,6 +1259,7 @@ SELECT id, min(comp) AS comp FROM cc GROUP BY id"""
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT id FROM ({_SQL_CC}) WHERE comp <> id)"""
     o["simhash_neardup_pairs"] = _SQL_SIMHASH_PAIRS
+    o["simhash_wide_pairs"] = _SQL_SIMHASH_WIDE_PAIRS
     # hierarchy sync converges both tables to the source derivation, so the
     # oracle is the source itself joined with its per-user counts
     o["hierarchy_sync_state"] = f"""
