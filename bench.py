@@ -98,6 +98,14 @@ def main() -> None:
         "sessionize",
         lambda: noop_write(entry_mod.queries()["sessionize"](spark, sf_dir)),
     )
+    timed(
+        "minhash_pairs",
+        lambda: noop_write(entry_mod.queries()["minhash_lsh_pairs"](spark, sf_dir)),
+    )
+    timed(
+        "neardup_dedup",
+        lambda: noop_write(entry_mod.queries()["neardup_dedup"](spark, sf_dir)),
+    )
 
     # --- the CDC replay (primary metric): bootstrap + batched LWW merge.
     # Inputs are generated DISTRIBUTED (spark-side fixtures) and staged to
