@@ -44,7 +44,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratios, English stopword ratio, and a composite [0,1] quality score —
     the standard pretraining-corpus heuristics, all as column arithmetic."""
     t = F.col(text_col)
-    toks = tokens_col(t)
+    # materialize the token array ONCE: its three consumers (count, stopword
+    # filter, mean length) sit inside/beside higher-order lambdas, which run
+    # interpreted without subexpression elimination — referencing the
+    # expression thrice re-tokenizes thrice (same class of waste as the
+    # minhash 64x shingle recompute; CollapseProject keeps the projection
+    # split because the expression is not cheap to duplicate)
+    out0 = df.withColumn("__toks", tokens_col(t))
+    toks = F.col("__toks")
     n_chars = F.length(F.coalesce(t, F.lit("")))
     n_tokens = F.size(toks)
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
@@ -54,12 +61,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     safe_tokens = F.greatest(n_tokens, F.lit(1))
     safe_chars = F.greatest(n_chars, F.lit(1))
     out = (
-        df.withColumn("n_chars_q", n_chars)
+        out0.withColumn("n_chars_q", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn("mean_token_len", F.round(n_chars / safe_tokens, 4))
         .withColumn("punct_ratio", F.round(n_punct / safe_chars, 4))
         .withColumn("upper_ratio", F.round(n_upper / safe_chars, 4))
         .withColumn("stopword_ratio", F.round(n_stop / safe_tokens, 4))
+        .drop("__toks")
     )
     score = (
         F.least(F.col("n_tokens") / F.lit(64.0), F.lit(1.0)) * 0.4
@@ -71,20 +79,40 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def lang_id(text: Column) -> Column:
     """Heuristic language ID: per-language stopword hit-rate argmax over
-    {en, es, de, fr}, with 'unk' when nothing matches. A real system plugs a
-    model in via mapInPandas; this is the cheap JVM-side first pass used for
-    corpus partitioning."""
-    toks = F.transform(tokens_col(text), lambda x: F.lower(x))
-    scores = []
-    for lang, words in STOPWORDS.items():
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda x: x.isin(words))).alias("hits"),
-                F.lit(lang).alias("lang"),
+    {en, es, de, fr}, with 'unk' when nothing matches (ties: lexicographically
+    greatest language, via struct max). A real system plugs a model in via
+    mapInPandas; this is the cheap JVM-side first pass used for corpus
+    partitioning.
+
+    One ``aggregate`` pass over the tokens, counting all four languages per
+    token, with the argmax inside the ``finish`` lambda — the earlier
+    one-filter-per-language form referenced the token array four times, and
+    higher-order lambdas run interpreted with no subexpression elimination,
+    so the text was re-tokenized per language."""
+    toks = tokens_col(text)
+    zero = F.struct(*[F.lit(0).alias(lang) for lang in STOPWORDS])
+
+    def step(acc, x):
+        lx = F.lower(x)
+        return F.struct(
+            *[
+                (acc[lang] + F.when(lx.isin(words), 1).otherwise(0)).alias(lang)
+                for lang, words in STOPWORDS.items()
+            ]
+        )
+
+    def finish(acc):
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(acc[lang].alias("hits"), F.lit(lang).alias("lang"))
+                    for lang in STOPWORDS
+                ]
             )
         )
-    best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))
+        return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))
+
+    return F.aggregate(toks, zero, step, finish)
 
 
 def fingerprint_col(text: Column) -> Column:
