@@ -271,12 +271,22 @@ SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.7"""
 # majority vote with the same bit layout as functions/dedup.py
 # _simhash64_batch (output bit k = sign of token-hash bit 63-k) — verified
 # bit-for-bit against the Spark pandas UDF on sf0.001 and sf0.01.
-_SQL_FNV = (
-    "list_reduce(list_prepend(14695981039346656037::HUGEINT, "
-    "list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)), "
-    "(h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) "
-    "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
-)
+def _sql_fnv(basis: int) -> str:
+    """FNV-1a over a token in HUGEINT modular arithmetic, parameterized by
+    offset basis — the wide (128-bit) simhash uses a second independent
+    basis (functions/dedup.py _FNV_BASIS2). Known fixture-scoped limit:
+    ``ord(c)`` yields Unicode codepoints while the Spark twin hashes UTF-8
+    bytes, so the oracles agree on ASCII tokens only (the documents
+    fixture is ASCII; gated bit-exact at sf0.001/sf0.01)."""
+    return (
+        f"list_reduce(list_prepend({basis}::HUGEINT, "
+        "list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)), "
+        "(h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) "
+        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
+    )
+
+
+_SQL_FNV = _sql_fnv(0xCBF29CE484222325)
 _SQL_P2 = "[" + ", ".join(str(1 << (63 - j)) for j in range(64)) + "]::HUGEINT[]"
 _SQL_SIMHASH_PAIRS = f"""
 WITH th AS (
@@ -303,18 +313,6 @@ pairs AS (
          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"""
-
-
-def _sql_fnv(basis: int) -> str:
-    """FNV-1a over a token in HUGEINT modular arithmetic, parameterized by
-    offset basis — the wide (128-bit) simhash uses a second independent
-    basis (functions/dedup.py _FNV_BASIS2)."""
-    return (
-        f"list_reduce(list_prepend({basis}::HUGEINT, "
-        "list_transform(string_split(t, ''), c -> ord(c)::HUGEINT)), "
-        "(h, b) -> ((h - (h % 256) + xor((h % 256)::BIGINT, b::BIGINT)::HUGEINT) "
-        "* 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"
-    )
 
 
 _SQL_SIMHASH_WIDE_PAIRS = f"""

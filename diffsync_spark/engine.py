@@ -149,9 +149,18 @@ class Engine:
                                        batch_id=batch_id)
         log_merge(result, self.table.path)
         if flags.log_unchanged_records and not result.get("skipped"):
-            from diffsync_spark.metrics import log_unchanged_records
+            from diffsync_spark.metrics import log_unchanged_records, logger
 
-            log_unchanged_records(d, self.model.identifiers)
+            if flags.keep_noop:
+                log_unchanged_records(d, self.model.identifiers)
+            else:
+                # keep_noop=False means the diff frame carries no noop rows
+                # at all — scanning it would silently log nothing; say so
+                # instead of paying a job to find zero rows
+                logger.warning(
+                    "log_unchanged_records requires keep_noop=True "
+                    "(the diff frame has no unchanged rows to log)"
+                )
         if obs is not None and not result.get("skipped"):
             report_progress(callback, obs.get)
         if not result.get("skipped") and (

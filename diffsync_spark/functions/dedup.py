@@ -475,14 +475,17 @@ def neardup_components(
     ``comp`` is the smallest id reachable through pairs — the clustering
     step that turns candidate PAIRS into deduplicable GROUPS.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min of its own and its neighbors' labels; converges in
-    O(cluster diameter) rounds (near-dup clusters are shallow — a dup
-    cluster's diameter is usually 1-2; ``max_iter`` bounds pathological
-    chains). Each round is one shuffle-join on the edge list + an
-    aggregation; ``localCheckpoint`` truncates the iterative lineage so
-    the plan stays flat. Only nodes that appear in a pair are labeled —
-    singletons are implicitly their own component.
+    Min-label propagation WITH pointer jumping: every node starts labeled
+    with itself; each round takes the min of its own, its neighbors', and
+    its current label's label (path doubling), so a chain of length L
+    converges in O(log L) rounds — ``max_iter=20`` covers chains up to
+    ~2^20 nodes. Each round is two shuffle-joins on the (tiny) edge/label
+    frames; ``localCheckpoint`` truncates the iterative lineage so the
+    plan stays flat. Only nodes that appear in a pair are labeled —
+    singletons are implicitly their own component. If the loop exhausts
+    without converging (practically unreachable given the doubling),
+    DiffSyncSparkError is raised rather than returning silently split
+    components.
 
     Scale shape: the edge list is tiny relative to the corpus (it is the
     OUTPUT of banded candidate generation, already capped per bucket), so
@@ -498,18 +501,30 @@ def neardup_components(
         .withColumn("comp", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["b"] == labels["id"])
             .groupBy("a")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
+            "id",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("comp"),
+        )
+        # pointer jumping: also adopt the label OF my label (path doubling
+        # — turns O(chain length) convergence into O(log chain length))
+        jump = labels.select(
+            F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
+        )
         new_labels = (
-            labels.join(nbr, labels["id"] == nbr["a"], "left")
+            stepped.join(jump, stepped["comp"] == jump["__jid"], "left")
             .select(
                 "id",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("comp"), F.coalesce("__jcomp", F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint()
@@ -523,7 +538,15 @@ def neardup_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        from diffsync_spark.errors import DiffSyncSparkError
+
+        raise DiffSyncSparkError(
+            f"neardup_components did not converge in {max_iter} rounds — "
+            "raise max_iter (components would be silently split otherwise)"
+        )
     return labels
 
 
@@ -536,15 +559,16 @@ def dedup_near_duplicates(
 ) -> DataFrame:
     """Drop all but the smallest-id document of each near-dup component:
     the end-to-end dedup step (pairs → components → survivors). Documents
-    in no pair survive untouched. The labels frame (non-singleton nodes
-    only) broadcasts when small; the corpus never shuffles."""
+    in no pair survive untouched. No forced broadcast hint: AQE broadcasts
+    the victims side at runtime when it is small (the normal case) and
+    falls back to a shuffled left-anti join when a heavily-duplicated
+    corpus makes it large — a hard ``F.broadcast`` would instead fail the
+    job at the 8 GB broadcast limit."""
     labels = neardup_components(pairs, id_a=id_a, id_b=id_b)
     victims = labels.filter(F.col("comp") != F.col("id")).select(
         F.col("id").alias("__victim")
     )
-    return df.join(
-        F.broadcast(victims), df[id_col] == F.col("__victim"), "left_anti"
-    )
+    return df.join(victims, df[id_col] == F.col("__victim"), "left_anti")
 
 
 def _plane_dots(vec: Column, planes: np.ndarray) -> list[Column]:

@@ -85,11 +85,23 @@ def lsh_cosine_topk(
     )
     n_probe = min(probes, n_planes)
     if probe_strategy == "directed":
-        qdots = _plane_dots(F.col(vec_col), planes)
-        q0 = queries.select(
+        # materialize each plane dot ONCE (split projection): the signature
+        # and the marginal ranking both consume every dot, and the aggregate
+        # folds run interpreted without subexpression elimination — inlining
+        # them twice would double the per-query dot cost
+        qd = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
-            _signature_from_dots(qdots).alias("qbucket"),
+            *[
+                d.alias(f"__d{p}")
+                for p, d in enumerate(_plane_dots(F.col(vec_col), planes))
+            ],
+        )
+        dot_cols = [F.col(f"__d{p}") for p in range(len(planes))]
+        q0 = qd.select(
+            "query_id",
+            "qv",
+            _signature_from_dots(dot_cols).alias("qbucket"),
             # (|dot|, plane) pairs sorted ascending: the most marginal
             # planes first — array_sort on structs is field-lexicographic,
             # ties broken by plane index, matching the DuckDB twin
@@ -97,7 +109,7 @@ def lsh_cosine_topk(
                 F.array(
                     *[
                         F.struct(F.abs(d).alias("a"), F.lit(p).alias("p"))
-                        for p, d in enumerate(qdots)
+                        for p, d in enumerate(dot_cols)
                     ]
                 )
             ).alias("__marginal"),

@@ -112,7 +112,9 @@ def lang_id(text: Column) -> Column:
         )
         return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("unk"))
 
-    return F.aggregate(toks, zero, step, finish)
+    # NULL text → NULL token array → NULL aggregate; the contract is 'unk'
+    # for anything without a stopword hit, NULLs included
+    return F.coalesce(F.aggregate(toks, zero, step, finish), F.lit("unk"))
 
 
 def fingerprint_col(text: Column) -> Column:

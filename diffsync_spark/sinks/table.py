@@ -792,18 +792,26 @@ class SnapshotTable:
         return {"version": new_version, "n_files": sum(map(len, files.values()))}
 
     # ---------------------------------------------------------- maintenance
-    def remove_orphans(self) -> dict[str, Any]:
+    def remove_orphans(self, min_versions_old: int = 1) -> dict[str, Any]:
         """Delete data/quarantine dirs referenced by NO retained manifest —
         the droppings of losing commit attempts and crashed writers (the
         Iceberg ``remove_orphan_files`` analog; each losing ``merge()``
         attempt leaves a whole ``v{N}-{sid}`` dir no manifest points at).
 
-        Safety against in-flight writers without wall-clock heuristics:
-        dirs whose version tag is ``current`` or higher are never touched —
-        an attempt still writing targets ``current+1`` (or ``current`` if it
-        is about to lose and rebase), so only dirs at least one committed
-        version old are eligible. Run from a maintenance job, same as
-        ``compact``.
+        Scope: only dirs matching the per-attempt ``v{N}-{sid}`` naming are
+        candidates — legacy ``v{N}`` dirs (pre-suffix layout) are never
+        touched, since old manifests have no ``quarantine_dir`` key to
+        vouch for them.
+
+        In-flight-writer safety: dirs tagged less than ``min_versions_old``
+        versions behind current are never touched. The default (1) is safe
+        when no concurrent writer's manifest read is more than one commit
+        stale; under heavy multi-writer churn run GC from a quiesced
+        maintenance window or raise ``min_versions_old`` to cover the
+        longest plausible write duration in commits (a stale writer whose
+        dir IS removed fails its write job and retries cleanly on the next
+        ``merge`` call, but that is a noisy failure mode, not a data-loss
+        one — the dir was never committed).
         """
         cur = self.current_version()
         live_files: set[str] = set()
@@ -823,11 +831,13 @@ class SnapshotTable:
             (os.path.join(self.path, "quarantine"), live_dirs),
         ):
             for d in self.io.list_dirs(root):
+                if "-" not in d:
+                    continue  # legacy v{N} layout: not ours to judge
                 try:
                     ver = int(d.split("-", 1)[0].lstrip("v"))
                 except ValueError:
                     continue
-                if ver >= cur:  # possible in-flight attempt — never touch
+                if ver > cur - min_versions_old:  # possible in-flight attempt
                     continue
                 full = os.path.join(root, d)
                 if live is None:

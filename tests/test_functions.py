@@ -100,6 +100,11 @@ def test_lang_id(spark):
     )
     got = [r.l for r in df.select(lang_id(F.col("text")).alias("l")).collect()]
     assert got == ["en", "es", "de", "fr", "unk"]
+    # NULL and empty text are 'unk', never NULL (contract: anything without
+    # a stopword hit is 'unk' — regression for the aggregate rewrite)
+    nulls = spark.createDataFrame([(None,), ("",)], "text string")
+    got_n = [r.l for r in nulls.select(lang_id(F.col("text")).alias("l")).collect()]
+    assert got_n == ["unk", "unk"]
 
 
 def test_exact_dedup(spark):
@@ -189,6 +194,14 @@ def test_neardup_components_and_dedup(spark):
         r.doc_id for r in dedup_near_duplicates(docs, pairs).collect()
     )
     assert kept == [1, 10, 99]  # one per cluster + the singleton
+
+    # a 60-node chain needs ~59 plain-propagation rounds — pointer jumping
+    # must converge it well inside max_iter=20 (O(log L) rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.comp for r in neardup_components(chain).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 61
 
 
 def test_simhash_pigeonhole_guarantee(spark):
