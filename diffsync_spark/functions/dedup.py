@@ -85,21 +85,26 @@ def _verify_jaccard(
     n: int,
     threshold: float,
 ) -> DataFrame:
-    """Join texts back onto deduped candidate id-pairs and keep pairs whose
-    exact shingle Jaccard clears the threshold. ``cand``: (id_a, id_b);
-    ``texts``: (id, __text). Texts travel the shuffle once per side, and only
-    for candidates — never through the banding/index explosion."""
-    out = (
-        cand.join(texts.withColumnsRenamed({"id": "id_a", "__text": "ta"}), "id_a")
-        .join(texts.withColumnsRenamed({"id": "id_b", "__text": "tb"}), "id_b")
+    """Keep candidate id-pairs whose exact shingle Jaccard clears the
+    threshold. ``cand``: (id_a, id_b); ``texts``: (id, __text).
+
+    Each document's distinct shingle set is computed ONCE (per-doc frame)
+    as an array of 8-byte xxhash64 values, and the candidate pairs join
+    those arrays — a candidate appearing in many pairs never re-tokenizes
+    (the per-pair form re-ran the whole shingle chain twice per pair:
+    ~90s for 1.1M candidates at sf0.1, vs one 5k-doc pass). Jaccard over
+    hashed distinct shingles equals Jaccard over the strings barring an
+    in-pair xxhash64 collision (~1e-16 for 100-shingle unions); arrays of
+    longs also shuffle ~20× smaller than the text."""
+    sh = texts.select(
+        F.col("id"),
+        F.transform(
+            shingles_col(F.col("__text"), n), lambda s: F.xxhash64(s)
+        ).alias("__sh"),
     )
-    # materialize each side's shingle set ONCE per row: referencing the
-    # shingle expression directly in both intersect and union would embed
-    # (and recompute) the whole tokenize+distinct chain four times —
-    # CollapseProject keeps these separate because the expression is not
-    # cheap to duplicate
-    out = out.withColumn("__sa", shingles_col(F.col("ta"), n)).withColumn(
-        "__sb", shingles_col(F.col("tb"), n)
+    out = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "__sh": "__sa"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "__sh": "__sb"}), "id_b")
     )
     jac = F.round(
         F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
