@@ -966,6 +966,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["maxwell_decode"] = maxwell
 
+    # --- Canal envelope decode (the ARRAY-batched format: one envelope
+    # carries several row images → from_json + posexplode; envelope-level
+    # verb, batch id × position as seq, binlog-event ms as ts). Envelopes
+    # are synthesized by grouping events (~4 rows each) so the explode is
+    # genuinely exercised; every 41st group is a DDL envelope (NULL data,
+    # isDdl) → one NULL-op row, kept (quarantine contract).
+    def canal(spark, sf):
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sources.cdc_formats import from_canal
+
+        e = _events(spark, sf).withColumn(
+            "g", F.pmod(F.col("event_id"), F.lit(2500))
+        )
+        img = F.struct(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("val"),
+        )
+        grouped = e.groupBy("g").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("event_id").alias("k"), img.alias("img"))
+                )
+            ).alias("packed"),
+            F.unix_millis(F.min(F.col("ts").cast("timestamp"))).alias("es"),
+        )
+        is_ddl = F.pmod(F.col("g"), F.lit(41)) == 0
+        verb = (
+            F.when(is_ddl, "CREATE")
+            .when(F.pmod(F.col("g"), F.lit(3)) == 0, "INSERT")
+            .when(F.pmod(F.col("g"), F.lit(3)) == 1, "UPDATE")
+            .otherwise("DELETE")
+        )
+        data = F.when(
+            ~is_ddl, F.transform("packed", lambda x: x["img"])
+        )
+        raw = grouped.select(
+            F.to_json(
+                F.struct(
+                    data.alias("data"),
+                    verb.alias("type"),
+                    F.col("es").alias("es"),
+                    F.col("g").alias("id"),
+                    is_ddl.alias("isDdl"),
+                )
+            ).alias("value")
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        chg = from_canal(raw, EVENT_MODEL, row_schema)
+        return chg.select(
+            "seq", "op", "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["canal_decode"] = canal
+
     # --- per-stratum quality filtering (exact percent_rank path)
     def topfrac(spark, sf):
         from diffsync_spark.functions.sampling import filter_top_fraction
@@ -1417,6 +1481,35 @@ FROM events"""
 SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
        epoch_us(ts) AS ts_us
 FROM ({_mxw_decoded})"""
+    from diffsync_spark.sources.cdc_formats import canal_sql
+
+    _cnl_raw = """
+SELECT to_json(struct_pack(
+         data := data, type := type, es := es, id := id, "isDdl" := isDdl
+       )) AS value
+FROM (
+  SELECT g,
+         CASE WHEN g % 41 = 0 THEN NULL
+              ELSE list(struct_pack(user_id := user_id, event_id := event_id,
+                                    event_type := event_type, val := val)
+                        ORDER BY event_id) END AS data,
+         CASE WHEN g % 41 = 0 THEN 'CREATE'
+              WHEN g % 3 = 0 THEN 'INSERT'
+              WHEN g % 3 = 1 THEN 'UPDATE' ELSE 'DELETE' END AS type,
+         epoch_ms(min(ts)) AS es, g AS id, g % 41 = 0 AS isDdl
+  FROM (SELECT user_id, event_id, event_type, round(value, 4) AS val, ts,
+               event_id % 2500 AS g
+        FROM events)
+  GROUP BY g)"""
+    _cnl_decoded = canal_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+        _cnl_raw,
+    )
+    o["canal_decode"] = f"""
+SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
+       epoch_us(ts) AS ts_us
+FROM ({_cnl_decoded})"""
     o["filter_top_fraction"] = """
 WITH r AS (
   SELECT doc_id, lang,

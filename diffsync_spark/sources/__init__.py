@@ -1,5 +1,7 @@
 from diffsync_spark.sources.cdc_formats import (
+    canal_envelope_schema,
     debezium_envelope_schema,
+    from_canal,
     from_debezium,
     from_maxwell,
     maxwell_envelope_schema,
@@ -14,7 +16,9 @@ from diffsync_spark.sources.io import (
 )
 
 __all__ = [
+    "canal_envelope_schema",
     "debezium_envelope_schema",
+    "from_canal",
     "from_debezium",
     "from_maxwell",
     "maxwell_envelope_schema",

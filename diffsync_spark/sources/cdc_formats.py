@@ -165,6 +165,103 @@ SELECT CAST(json_extract_string(value, '$.xid') AS BIGINT) AS seq,
 FROM ({source_expr})"""
 
 
+def canal_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Alibaba Canal's JSON envelope (the third common binlog-tail format,
+    what Flink's ``canal-json`` consumes): ONE envelope carries an ARRAY of
+    row images (``data``), an envelope-level verb (``type``), the binlog
+    event time ``es`` (ms), processing time ``ts`` (ms), a batch ``id``,
+    and ``isDdl``. Spec from the public Canal / Flink canal-json docs."""
+    return T.StructType(
+        [
+            T.StructField("data", T.ArrayType(row_schema)),
+            T.StructField("old", T.ArrayType(row_schema)),
+            T.StructField("database", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("es", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("id", T.LongType()),
+            T.StructField("isDdl", T.BooleanType()),
+        ]
+    )
+
+
+def from_canal(
+    raw: DataFrame,
+    model: ModelSchema,
+    row_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """Decode Canal envelopes into the same changelog contract as
+    :func:`from_debezium` / :func:`from_maxwell`.
+
+    The structural difference: ``data`` is an ARRAY of row images, so the
+    decode is ``from_json`` + one ``posexplode_outer`` (a Generate — still
+    zero shuffle). Mapping:
+
+    - ``seq`` = ``id * 4096 + position`` — the batch id majorized by the
+      row's position inside the envelope, preserving the binlog total
+      order as the LWW tiebreak (Canal emits batch ids monotonically);
+    - ``op``: INSERT/UPDATE/DELETE (envelope-level, applies to every row
+      in ``data``); DDL envelopes (``isDdl`` or unmapped verbs) and
+      corrupt JSON yield NULL ops → merge quarantine, never a drop
+      (``posexplode_outer`` keeps envelopes whose ``data`` is NULL as one
+      NULL row);
+    - ``ts`` = ``es`` (the binlog event clock, not Canal's processing
+      clock) — the LWW version.
+    """
+    env = canal_envelope_schema(row_schema)
+    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    exploded = parsed.select(
+        "e.type", "e.es", "e.id", "e.isDdl",
+        F.posexplode_outer("e.data").alias("pos", "row"),
+    )
+    t = F.upper(F.col("type"))
+    op = (
+        F.when(F.col("isDdl"), F.lit(None).cast("string"))
+        .when(t == "INSERT", "insert")
+        .when(t == "UPDATE", "update")
+        .when(t == "DELETE", "delete")
+    )
+    cols = [
+        (F.col("id") * 4096 + F.coalesce(F.col("pos"), F.lit(0))).alias("seq"),
+        op.alias("op"),
+    ]
+    cols += [
+        F.col("row").getField(f.name).alias(f.name) for f in row_schema.fields
+    ]
+    cols.append(F.timestamp_millis(F.col("es")).alias("ts"))
+    return exploded.select(*cols)
+
+
+def canal_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
+    """DuckDB twin of :func:`from_canal` — unnests a row index over the
+    ``data`` array length (coalesced to 1 so corrupt/DDL envelopes still
+    yield their one NULL-op row, matching ``posexplode_outer``)."""
+    img = "json_extract(value, '$.data[' || i || ']')"
+    fields = ", ".join(
+        f"CAST(json_extract_string({img}, '$.{name}') AS {typ}) AS {name}"
+        for name, typ in row_cols
+    )
+    return f"""
+SELECT CAST(json_extract_string(value, '$.id') AS BIGINT) * 4096 + i AS seq,
+       CASE WHEN coalesce(CAST(json_extract_string(value, '$.isDdl')
+                               AS BOOLEAN), false) THEN NULL
+            WHEN upper(json_extract_string(value, '$.type')) = 'INSERT'
+              THEN 'insert'
+            WHEN upper(json_extract_string(value, '$.type')) = 'UPDATE'
+              THEN 'update'
+            WHEN upper(json_extract_string(value, '$.type')) = 'DELETE'
+              THEN 'delete' END AS op,
+       {fields},
+       epoch_ms(CAST(json_extract_string(value, '$.es') AS BIGINT)) AS ts
+FROM (SELECT value,
+             unnest(range(CAST(greatest(coalesce(
+               json_array_length(json_extract(value, '$.data')), 1), 1)
+               AS BIGINT))) AS i
+      FROM ({source_expr}))"""
+
+
 def debezium_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
     """DuckDB twin of :func:`from_debezium` over a relation with a JSON
     ``value`` column — for the driver's oracle gate. ``row_cols`` is

@@ -167,3 +167,48 @@ def test_debezium_is_pure_projection(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def _canal_env(rows, type_, es, id_, is_ddl=False):
+    import json
+
+    data = None if rows is None else [
+        {"user_id": u, "event_id": e, "event_type": t, "val": v}
+        for (u, e, t, v) in rows
+    ]
+    return json.dumps({"data": data, "type": type_, "es": es, "ts": es + 5,
+                       "id": id_, "isDdl": is_ddl, "database": "app",
+                       "table": "events"})
+
+
+def test_canal_decode_semantics(spark):
+    """Canal: ONE envelope carries an ARRAY of row images; the decode must
+    explode them with stable (id*4096+pos) seqs, keep DDL/corrupt envelopes
+    as NULL-op rows, and take ts from the binlog event clock (es)."""
+    from diffsync_spark.sources.cdc_formats import from_canal
+
+    rows = [
+        (_canal_env([(1, 10, "click", 1.5), (1, 11, "view", 2.0)],
+                    "INSERT", 1_700_000_000_000, 7),),
+        (_canal_env([(2, 20, "click", 3.0)], "UPDATE",
+                    1_700_000_001_000, 8),),
+        (_canal_env([(2, 20, "click", 3.0)], "DELETE",
+                    1_700_000_002_000, 9),),
+        (_canal_env(None, "CREATE", 1_700_000_003_000, 10, is_ddl=True),),
+        ("{corrupt",),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = from_canal(raw, MODEL, ROW).collect()
+    assert len(out) == 6  # 2 + 1 + 1 exploded rows + DDL row + corrupt row
+    by_seq = {r.seq: r for r in out}
+    # array explode: both rows of envelope 7, positions 0 and 1
+    assert by_seq[7 * 4096].op == "insert" and by_seq[7 * 4096].event_id == 10
+    assert by_seq[7 * 4096 + 1].event_id == 11
+    assert by_seq[8 * 4096].op == "update"
+    assert by_seq[9 * 4096].op == "delete"
+    # es (binlog clock) is the version, to the millisecond
+    assert by_seq[8 * 4096].ts.timestamp() == 1_700_000_001.0
+    # DDL envelope → one NULL-op row (quarantine, not drop)
+    assert by_seq[10 * 4096].op is None and by_seq[10 * 4096].user_id is None
+    # corrupt JSON → NULL everything, still one row
+    assert sum(1 for r in out if r.seq is None) == 1
