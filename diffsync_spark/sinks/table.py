@@ -675,6 +675,39 @@ class SnapshotTable:
         return self.merge(batch, checkpoint_id=checkpoint_id, batch_id=batch_id,
                           mode="force")
 
+    def history(self) -> DataFrame:
+        """Snapshot history (the Iceberg ``table.history()`` analog): one
+        row per retained version — snapshot/parent ids, schema width,
+        bucket/file/row counts, checkpoint count, quarantine presence.
+        Driver-side metadata only (one small JSON per retained version)."""
+        rows = []
+        cur = self.current_version()
+        for v in range(1, cur + 1):
+            try:
+                man = self._manifest(v)
+            except FileNotFoundError:
+                continue  # expired
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            rows.append({
+                "version": v,
+                "snapshot_id": man["snapshot_id"],
+                "parent_snapshot_id": man.get("parent_snapshot_id"),
+                "is_current": v == cur,
+                "n_columns": len(schema.fields),
+                "n_buckets_with_data": len(man.get("files", {})),
+                "n_files": sum(len(fl) for fl in man.get("files", {}).values()),
+                "n_rows": sum(man.get("bucket_rows", {}).values()) or None,
+                "n_checkpoints": len(man.get("checkpoints", {})),
+                "has_quarantine": bool(man.get("quarantine_dir")),
+            })
+        return self.spark.createDataFrame(
+            rows,
+            "version int, snapshot_id string, parent_snapshot_id string, "
+            "is_current boolean, n_columns int, n_buckets_with_data int, "
+            "n_files int, n_rows long, n_checkpoints int, "
+            "has_quarantine boolean",
+        )
+
     def quarantine_df(self, version: int | None = None) -> DataFrame | None:
         """Rejected rows of a commit, with per-record ``_status`` (the
         reference's ``DiffSyncStatus`` values, ``enum.py:90-96``) and

@@ -479,3 +479,19 @@ def test_expire_snapshots(spark, tmp_path, target_df, changelog_df):
     assert set(lin.toPandas()["table_version"]) <= {cur - 1, cur}
     # expiring again is a no-op at the same horizon
     assert table.expire_snapshots(keep_last=2)["expired_versions"] == []
+
+
+def test_history(spark, tmp_path, target_df, changelog_df):
+    """history(): one row per retained snapshot with ids, counts, and the
+    current marker; expired versions disappear from the listing."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    table.merge(changelog_df, checkpoint_id="h", batch_id=1)
+    h = table.history().toPandas().sort_values("version").reset_index(drop=True)
+    assert list(h["version"]) == [1, 2, 3]
+    assert list(h["is_current"]) == [False, False, True]
+    # the chain is linked parent → child
+    assert h.loc[2, "parent_snapshot_id"] == h.loc[1, "snapshot_id"]
+    assert h.loc[2, "n_rows"] > 0 and h.loc[2, "n_files"] > 0
+    table.expire_snapshots(keep_last=2)
+    h2 = table.history().toPandas()
+    assert list(sorted(h2["version"])) == [2, 3]
