@@ -275,6 +275,18 @@ class SnapshotTable:
         snapshot_id = uuid.uuid4().hex
         n_buckets = man["n_buckets"]
         bucket_src = self.model.parent_key or self.model.identifiers
+        public = T.StructType.fromJson(json.loads(man["schema"]))
+
+        # ---- key-type normalization BEFORE bucketing: xxhash64 hashes the
+        # column's physical type, so a batch delivering e.g. a LongType key
+        # where the table stores IntegerType would route the same logical
+        # key to a DIFFERENT bucket than its stored row. Keys never widen —
+        # they are cast to the stored type up front (a lossy cast would
+        # null the key and land in quarantine, not corrupt a bucket).
+        stored_types = {f.name: f.dataType for f in public.fields}
+        for k in ids:
+            if k in batch.columns and batch.schema[k].dataType != stored_types.get(k):
+                batch = batch.withColumn(k, F.col(k).cast(stored_types[k]))
 
         # ---- one stats pass: quarantine count + touched buckets (a single
         # aggregate job instead of separate count()/distinct().collect())
@@ -341,14 +353,41 @@ class SnapshotTable:
             batch = batch.dropDuplicates(list(ids))
 
         # ---- schema evolution: widen the stored schema with new batch cols
-        public = T.StructType.fromJson(json.loads(man["schema"]))
+        # AND promote existing payload columns whose batch type is a safe
+        # widening (int family up to long, float→double — exactly the
+        # upcasts the parquet reader performs, verified on Spark 4.1, so
+        # old files read cleanly through the widened schema). Identifier
+        # types never change (cast up front above). A batch column
+        # NARROWER than stored is cast up in b_sel below; an incompatible
+        # type keeps the stored type and the cast yields NULLs (visible in
+        # the data, never a corrupted file).
         known = {f.name for f in public.fields}
         reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid"}
+        batch_types = {f.name: f.dataType for f in batch.schema.fields}
+        _INTS = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
+        _FLOATS = [T.FloatType, T.DoubleType]
+
+        def _wider(stored: T.DataType, incoming: T.DataType | None) -> T.DataType:
+            if incoming is None:
+                return stored
+            for fam in (_INTS, _FLOATS):
+                if type(stored) in fam and type(incoming) in fam:
+                    return (incoming
+                            if fam.index(type(incoming)) > fam.index(type(stored))
+                            else stored)
+            return stored
+
+        evolved_existing = [
+            f if f.name in ids else T.StructField(
+                f.name, _wider(f.dataType, batch_types.get(f.name)), True
+            )
+            for f in public.fields
+        ]
         new_fields = [
             f for f in batch.schema.fields
             if f.name not in known and f.name not in reserved
         ]
-        evolved = T.StructType(list(public.fields) + list(new_fields))
+        evolved = T.StructType(evolved_existing + list(new_fields))
         payload_fields = [f for f in evolved.fields if f.name not in ids]
         payload_cols = [f.name for f in payload_fields]
 
@@ -366,8 +405,11 @@ class SnapshotTable:
             cur = self.spark.createDataFrame([], full)
 
         # ---- the MERGE join: batch (unique keys) vs current rows
+        # batch payload columns are cast to the EVOLVED types: a no-op when
+        # equal, an upcast for narrower batches, NULLs for incompatibles —
+        # the written files then match the manifest schema exactly
         b_sel = [F.col(k) for k in ids] + [
-            (F.col(f.name) if f.name in batch.columns
+            (F.col(f.name).cast(f.dataType) if f.name in batch.columns
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in payload_fields
         ]

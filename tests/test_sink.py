@@ -495,3 +495,46 @@ def test_history(spark, tmp_path, target_df, changelog_df):
     table.expire_snapshots(keep_last=2)
     h2 = table.history().toPandas()
     assert list(sorted(h2["version"])) == [2, 3]
+
+
+def test_type_widening_evolution(spark, tmp_path):
+    """Schema evolution beyond new columns: a batch delivering WIDER
+    payload types (int->long, float->double) widens the stored schema;
+    old files read through the widened schema via parquet upcast. Key
+    types never widen - a long-typed key column is cast to the stored
+    int type BEFORE bucketing, so it updates the same stored row instead
+    of hashing into a different bucket."""
+    import datetime
+
+    from diffsync_spark.model import ModelSchema
+
+    model = ModelSchema(name="m", identifiers=("k",), attributes=("v", "f"),
+                        version_cols=("ts",))
+    t0 = datetime.datetime(2030, 1, 1)
+    boot = spark.createDataFrame(
+        [(1, 10, 1.5, t0), (2, 20, 2.5, t0)],
+        "k int, v int, f float, ts timestamp",
+    )
+    table = SnapshotTable.create(
+        spark, str(tmp_path / "w"), model, schema=boot.schema, n_buckets=4,
+    )
+    table.merge(boot.withColumn("op", F.lit("insert")), mode="force",
+                checkpoint_id="b", batch_id=0)
+    # batch arrives with long key, long v, double f
+    batch = spark.createDataFrame(
+        [(1, 2**40, 3.25, t0 + datetime.timedelta(hours=1), "update", 1),
+         (3, 30, 0.5, t0, "insert", 2)],
+        "k long, v long, f double, ts timestamp, op string, seq long",
+    )
+    res = table.merge(batch, checkpoint_id="w", batch_id=1)
+    assert res["n_update"] == 1 and res["n_create"] == 1
+    got = table.read()
+    types = dict((f.name, f.dataType.simpleString()) for f in got.schema.fields)
+    assert types["k"] == "int"        # identifiers never widen
+    assert types["v"] == "bigint"     # int -> long
+    assert types["f"] == "double"     # float -> double
+    rows = {r.k: (r.v, r.f) for r in got.collect()}
+    assert rows[1] == (2**40, 3.25)   # wide value stored exactly
+    assert rows[2] == (20, 2.5)       # old int/float rows read upcast
+    assert rows[3] == (30, 0.5)
+    assert len(rows) == 3             # the long-key update hit the stored row
