@@ -50,6 +50,21 @@ def cosine_topk(
     )
 
 
+def _directed_flips(qbucket, marginal, n_probe: int):
+    """Probe buckets from the ``n_probe`` most-marginal planes: xor the
+    query bucket with each plane's bit. shiftleft, NOT pow(2.0, p): the
+    double round-trip is exact only for p < 53, so a plane index past 52
+    would silently flip the wrong bit; shiftleft is integral for the full
+    0..63 range (call_function because the Python wrapper of F.shiftleft
+    only takes an int numBits, while the SQL function takes a column)."""
+    return F.transform(
+        F.slice(marginal, 1, n_probe),
+        lambda s: qbucket.bitwiseXOR(
+            F.call_function("shiftleft", F.lit(1).cast("long"), s["p"])
+        ).cast("long"),
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,11 +129,8 @@ def lsh_cosine_topk(
                 )
             ).alias("__marginal"),
         )
-        flips = F.transform(
-            F.slice(F.col("__marginal"), 1, n_probe),
-            lambda s: F.col("qbucket").bitwiseXOR(
-                F.pow(F.lit(2.0), s["p"]).cast("long")
-            ).cast("long"),
+        flips = _directed_flips(
+            F.col("qbucket"), F.col("__marginal"), n_probe
         )
         probe_buckets = F.concat(F.array(F.col("qbucket")), flips)
     elif probe_strategy == "first":

@@ -281,12 +281,16 @@ class SnapshotTable:
         # column's physical type, so a batch delivering e.g. a LongType key
         # where the table stores IntegerType would route the same logical
         # key to a DIFFERENT bucket than its stored row. Keys never widen —
-        # they are cast to the stored type up front (a lossy cast would
-        # null the key and land in quarantine, not corrupt a bucket).
+        # they are try_cast to the stored type up front: a lossy value
+        # (e.g. 2**40 into an int key) becomes NULL and lands in
+        # quarantine below. Plain cast() would THROW under Spark 4.1's
+        # default ANSI mode, turning one bad key into a poison-pill batch
+        # that crashes the whole merge (and stalls a stream_replay on
+        # every restart) instead of honoring the quarantine contract.
         stored_types = {f.name: f.dataType for f in public.fields}
         for k in ids:
             if k in batch.columns and batch.schema[k].dataType != stored_types.get(k):
-                batch = batch.withColumn(k, F.col(k).cast(stored_types[k]))
+                batch = batch.withColumn(k, F.col(k).try_cast(stored_types[k]))
 
         # ---- one stats pass: quarantine count + touched buckets (a single
         # aggregate job instead of separate count()/distinct().collect())
@@ -405,11 +409,14 @@ class SnapshotTable:
             cur = self.spark.createDataFrame([], full)
 
         # ---- the MERGE join: batch (unique keys) vs current rows
-        # batch payload columns are cast to the EVOLVED types: a no-op when
-        # equal, an upcast for narrower batches, NULLs for incompatibles —
-        # the written files then match the manifest schema exactly
+        # batch payload columns are try_cast to the EVOLVED types: a no-op
+        # when equal, an upcast for narrower batches, NULLs for
+        # incompatibles/lossy values — the written files then match the
+        # manifest schema exactly. try_cast (not cast) because ANSI mode
+        # (Spark 4.1 default) makes a plain cast THROW on an unparsable
+        # payload value, crashing the merge instead of nulling the value.
         b_sel = [F.col(k) for k in ids] + [
-            (F.col(f.name).cast(f.dataType) if f.name in batch.columns
+            (F.col(f.name).try_cast(f.dataType) if f.name in batch.columns
              else F.lit(None).cast(f.dataType)).alias(f.name)
             for f in payload_fields
         ]
@@ -889,21 +896,35 @@ class SnapshotTable:
         one — the dir was never committed).
         """
         cur = self.current_version()
-        live_files: set[str] = set()
-        live_dirs: set[str] = set()
+        # Liveness is decided by the v{N}-{sid} dir BASENAME, never by path
+        # prefix: manifests record file paths as spelled at write time, and
+        # a table reopened under an equivalent-but-different spelling
+        # (relative vs absolute, ``./tbl`` vs ``tbl``) would fail a
+        # prefix/startswith comparison for every live file — deleting
+        # committed data the current manifest still references. The uuid
+        # suffix makes each basename globally unique, so basename
+        # membership is both spelling-proof and collision-free.
+        live_data_dirs: set[str] = set()   # basenames of live data dirs
+        live_quar_dirs: set[str] = set()   # basenames of live quarantine dirs
         for v in range(1, cur + 1):
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
                 continue
             for fl in man["files"].values():
-                live_files.update(fl)
+                for p in fl:
+                    # file layout: .../data/v{N}-{sid}/_bucket=K/part-*.parquet
+                    live_data_dirs.add(os.path.basename(
+                        os.path.dirname(os.path.dirname(os.path.normpath(p)))
+                    ))
             if man.get("quarantine_dir"):
-                live_dirs.add(os.path.normpath(man["quarantine_dir"]))
+                live_quar_dirs.add(os.path.basename(
+                    os.path.normpath(man["quarantine_dir"])
+                ))
         removed: list[str] = []
         for root, live in (
-            (os.path.join(self.path, "data"), None),
-            (os.path.join(self.path, "quarantine"), live_dirs),
+            (os.path.join(self.path, "data"), live_data_dirs),
+            (os.path.join(self.path, "quarantine"), live_quar_dirs),
         ):
             for d in self.io.list_dirs(root):
                 if "-" not in d:
@@ -914,14 +935,8 @@ class SnapshotTable:
                     continue
                 if ver > cur - min_versions_old:  # possible in-flight attempt
                     continue
-                full = os.path.join(root, d)
-                if live is None:
-                    referenced = any(
-                        p.startswith(full + os.sep) for p in live_files
-                    )
-                else:
-                    referenced = os.path.normpath(full) in live
-                if not referenced:
+                if d not in live:
+                    full = os.path.join(root, d)
                     self.io.remove_dir(full)
                     removed.append(full)
         return {"removed_dirs": sorted(removed)}

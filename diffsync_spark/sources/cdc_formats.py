@@ -31,6 +31,12 @@ from diffsync_spark.model import ModelSchema
 # is an upsert of current state, same apply semantics as create.
 _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 
+# Canal seq stride: seq = batch_id * STRIDE + position-in-envelope. 2**20
+# positions per envelope — far above any realistic Canal batch (and 2**43
+# batch ids still fit a long), so adjacent envelopes can never interleave
+# in the LWW total order. Shared by from_canal and its DuckDB twin.
+CANAL_SEQ_STRIDE = 2 ** 20
+
 
 def debezium_envelope_schema(model: ModelSchema, row_schema: T.StructType) -> T.StructType:
     """Envelope struct schema for ``F.from_json``: row images typed by the
@@ -199,9 +205,14 @@ def from_canal(
     decode is ``from_json`` + one ``posexplode_outer`` (a Generate — still
     zero shuffle). Mapping:
 
-    - ``seq`` = ``id * 4096 + position`` — the batch id majorized by the
+    - ``seq`` = ``id * 2**20 + position`` — the batch id majorized by the
       row's position inside the envelope, preserving the binlog total
-      order as the LWW tiebreak (Canal emits batch ids monotonically);
+      order as the LWW tiebreak (Canal emits batch ids monotonically).
+      The 2**20 multiplier gives each envelope ~1M positions: a Canal
+      ``data`` array can't realistically exceed that (a 4096 multiplier
+      would let a >4096-image envelope bleed into the next batch id's
+      seq range and perturb the cross-envelope LWW order). Batch ids up
+      to 2**43 still fit a long;
     - ``op``: INSERT/UPDATE/DELETE (envelope-level, applies to every row
       in ``data``); DDL envelopes (``isDdl`` or unmapped verbs) and
       corrupt JSON yield NULL ops → merge quarantine, never a drop
@@ -224,7 +235,8 @@ def from_canal(
         .when(t == "DELETE", "delete")
     )
     cols = [
-        (F.col("id") * 4096 + F.coalesce(F.col("pos"), F.lit(0))).alias("seq"),
+        (F.col("id") * CANAL_SEQ_STRIDE
+         + F.coalesce(F.col("pos"), F.lit(0))).alias("seq"),
         op.alias("op"),
     ]
     cols += [
@@ -244,7 +256,8 @@ def canal_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
         for name, typ in row_cols
     )
     return f"""
-SELECT CAST(json_extract_string(value, '$.id') AS BIGINT) * 4096 + i AS seq,
+SELECT CAST(json_extract_string(value, '$.id') AS BIGINT)
+         * {CANAL_SEQ_STRIDE} + i AS seq,
        CASE WHEN coalesce(CAST(json_extract_string(value, '$.isDdl')
                                AS BOOLEAN), false) THEN NULL
             WHEN upper(json_extract_string(value, '$.type')) = 'INSERT'

@@ -183,9 +183,11 @@ def _canal_env(rows, type_, es, id_, is_ddl=False):
 
 def test_canal_decode_semantics(spark):
     """Canal: ONE envelope carries an ARRAY of row images; the decode must
-    explode them with stable (id*4096+pos) seqs, keep DDL/corrupt envelopes
+    explode them with stable (id*STRIDE+pos) seqs, keep DDL/corrupt envelopes
     as NULL-op rows, and take ts from the binlog event clock (es)."""
-    from diffsync_spark.sources.cdc_formats import from_canal
+    from diffsync_spark.sources.cdc_formats import CANAL_SEQ_STRIDE, from_canal
+
+    S = CANAL_SEQ_STRIDE
 
     rows = [
         (_canal_env([(1, 10, "click", 1.5), (1, 11, "view", 2.0)],
@@ -202,13 +204,52 @@ def test_canal_decode_semantics(spark):
     assert len(out) == 6  # 2 + 1 + 1 exploded rows + DDL row + corrupt row
     by_seq = {r.seq: r for r in out}
     # array explode: both rows of envelope 7, positions 0 and 1
-    assert by_seq[7 * 4096].op == "insert" and by_seq[7 * 4096].event_id == 10
-    assert by_seq[7 * 4096 + 1].event_id == 11
-    assert by_seq[8 * 4096].op == "update"
-    assert by_seq[9 * 4096].op == "delete"
+    assert by_seq[7 * S].op == "insert" and by_seq[7 * S].event_id == 10
+    assert by_seq[7 * S + 1].event_id == 11
+    assert by_seq[8 * S].op == "update"
+    assert by_seq[9 * S].op == "delete"
     # es (binlog clock) is the version, to the millisecond
-    assert by_seq[8 * 4096].ts.timestamp() == 1_700_000_001.0
+    assert by_seq[8 * S].ts.timestamp() == 1_700_000_001.0
     # DDL envelope → one NULL-op row (quarantine, not drop)
-    assert by_seq[10 * 4096].op is None and by_seq[10 * 4096].user_id is None
+    assert by_seq[10 * S].op is None and by_seq[10 * S].user_id is None
     # corrupt JSON → NULL everything, still one row
     assert sum(1 for r in out if r.seq is None) == 1
+
+def test_canal_oversized_envelope_preserves_cross_envelope_order(spark):
+    """ADVICE r3: a Canal envelope with >4096 row images must NOT bleed
+    into the next batch id's seq range (the old 4096 stride did). A
+    5,000-image envelope (id=7) followed by a 1-image envelope (id=8)
+    touching the SAME key must resolve LWW to envelope 8's row."""
+    import json
+
+    from diffsync_spark.operators.lww import lww_dedup
+    from diffsync_spark.sources.cdc_formats import CANAL_SEQ_STRIDE, from_canal
+
+    n = 5000
+    big = json.dumps({
+        "data": [{"user_id": 1, "event_id": i, "event_type": "click",
+                  "val": float(i)} for i in range(n)],
+        "type": "INSERT", "es": 1_700_000_000_000,
+        "ts": 1_700_000_000_005, "id": 7, "isDdl": False,
+        "database": "app", "table": "events"})
+    # same es (version tie) → seq is the tiebreak; same key as image 4500
+    small = json.dumps({
+        "data": [{"user_id": 1, "event_id": 4500, "event_type": "view",
+                  "val": -1.0}],
+        "type": "UPDATE", "es": 1_700_000_000_000,
+        "ts": 1_700_000_000_006, "id": 8, "isDdl": False,
+        "database": "app", "table": "events"})
+    raw = spark.createDataFrame([(big,), (small,)], "value string")
+    out = from_canal(raw, MODEL, ROW)
+    assert out.count() == n + 1
+    # no seq from envelope 7 may reach envelope 8's range
+    import pyspark.sql.functions as F
+    max7 = out.filter(F.col("event_id") != 4500).agg(
+        F.max("seq")).first()[0]
+    assert max7 == 7 * CANAL_SEQ_STRIDE + n - 1
+    assert max7 < 8 * CANAL_SEQ_STRIDE
+    # LWW on (user_id, event_id): envelope 8 (later batch id) must win
+    winner = lww_dedup(out, MODEL).filter(
+        F.col("event_id") == 4500).collect()
+    assert len(winner) == 1
+    assert winner[0].event_type == "view" and winner[0].val == -1.0

@@ -538,3 +538,83 @@ def test_type_widening_evolution(spark, tmp_path):
     assert rows[2] == (20, 2.5)       # old int/float rows read upcast
     assert rows[3] == (30, 0.5)
     assert len(rows) == 3             # the long-key update hit the stored row
+
+def test_lossy_key_cast_quarantines_not_crashes(spark, tmp_path, target_df):
+    """ADVICE r3 (high): Spark 4.1 defaults ANSI mode ON, where a plain
+    cast() THROWS on overflow — one out-of-range key (2**40 into the int
+    turn_idx) would crash the whole merge (and poison-pill a stream).
+    try_cast must null the key and route the row to quarantine while the
+    rest of the batch applies normally."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    before = len(_state(table))
+    ts = datetime.datetime(2024, 1, 1)
+    bad = spark.createDataFrame(
+        [("cv_bad", 2**40, "user", "overflow key", None, ts, "insert"),
+         ("cv_ok", 1, "user", "fine", None, ts, "insert")],
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp, op string",
+    )
+    res = table.merge(bad, checkpoint_id="ansi", batch_id=1)  # must not raise
+    assert res["n_quarantined"] == 1
+    q = table.quarantine_df()
+    assert q.count() == 1
+    row = q.first()
+    assert row["_status"] == "failure" and "null identifier" in row["_status_reason"]
+    got = _state(table)
+    assert len(got) == before + 1
+    assert got[got.conv_id == "cv_ok"]["text"].iloc[0] == "fine"
+
+
+def test_unparsable_payload_value_nulls_not_crashes(spark, tmp_path, target_df):
+    """ADVICE r3 (high), payload side: a batch value that can't cast to the
+    stored payload type (string 'n/a' into an int column) must become NULL
+    in the applied row — under ANSI a plain cast would throw instead."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    ts = datetime.datetime(2024, 1, 1)
+    # evolve: batch 1 adds an int payload column `score`
+    add = spark.createDataFrame(
+        [("cv_s", 1, "user", "scored", None, ts, "insert", 7)],
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp, op string, score int",
+    )
+    table.merge(add, checkpoint_id="evo", batch_id=1)
+    # batch 2 delivers score as an unparsable STRING → stored int kept,
+    # try_cast nulls the value, merge succeeds
+    bad = spark.createDataFrame(
+        [("cv_s", 2, "user", "unscored", None, ts, "insert", "n/a"),
+         ("cv_s", 3, "user", "ok", None, ts, "insert", "11")],
+        "conv_id string, turn_idx long, role string, text string, "
+        "tool string, ts timestamp, op string, score string",
+    )
+    res = table.merge(bad, checkpoint_id="evo", batch_id=2)  # must not raise
+    assert res["n_quarantined"] == 0
+    got = _state(table)
+    mine = got[got.conv_id == "cv_s"].sort_values("turn_idx")
+    assert mine["score"].tolist() == [7.0, None, 11.0] or [
+        None if pd.isna(v) else int(v) for v in mine["score"]
+    ] == [7, None, 11]
+
+
+def test_remove_orphans_survives_path_respelling(spark, tmp_path, target_df,
+                                                 changelog_df):
+    """ADVICE r3 (medium): liveness must not depend on how the table path
+    is spelled. Reopen the table through an equivalent-but-different
+    spelling (`x/./tbl`) and run remove_orphans: genuinely orphaned dirs
+    go, every committed data dir stays, and the table still reads."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    replay_batches(table, changelog_df, n_batches=2)
+    assert table.current_version() >= 3
+    rows_before = table.read().count()
+    # plant a genuine orphan (a crashed writer's dir no manifest references)
+    import os
+    orphan = tmp_path / "table" / "data" / "v1-deadbeefdead"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
+
+    respelled = str(tmp_path / "." / "table")
+    reopened = SnapshotTable.load(spark, respelled, TRANSCRIPT_MODEL)
+    res = reopened.remove_orphans(min_versions_old=1)
+    assert [os.path.basename(d) for d in res["removed_dirs"]] == ["v1-deadbeefdead"]
+    # all committed data survives under both spellings
+    assert table.read().count() == rows_before
+    assert reopened.read().count() == rows_before
