@@ -1,15 +1,24 @@
 """Benchmark harness — prints ONE JSON line.
 
 Headline numbers:
-- ``queries``: wall seconds per headline operator at $SPARK_GRAFT_SF_DIR
-  (default /root/testdata/sf0.1), forced to full materialization via the
-  noop writer (so column pruning can't skip the work).
 - ``events_per_sec``: sustained change-events/sec of the CDC replay — a
   synthetic transcript changelog (seeded, deterministic) merged into a
   SnapshotTable in micro-batches; this is the BASELINE.md primary metric.
+- ``queries``: wall seconds per headline operator at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1), forced to full materialization via the
+  noop writer (so column pruning can't skip the work).
+
+Contention-proofing (round-4): the replay runs FIRST (before the query
+sweep can heat the host), takes the best of 5 reps, and embeds per-rep
+evidence — wall seconds, host loadavg, per-rep JVM GC time and task skew
+from Spark's REST API — so an externally-contended run is self-evident in
+the artifact instead of reading as a code regression (the r3 lesson:
+this host shows ~5x run-to-run swings from external load with zero local
+processes; see BENCH/BASELINE.md).
 
 Config via env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_EVENTS (default 200000), SPARK_GRAFT_BENCH_CONVS (2000).
+SPARK_GRAFT_BENCH_EVENTS (default 4000000), SPARK_GRAFT_BENCH_CONVS (8000),
+SPARK_GRAFT_BENCH_REPS (5).
 """
 
 from __future__ import annotations
@@ -20,8 +29,51 @@ import shutil
 import sys
 import tempfile
 import time
+import urllib.request
 
 from pyspark.sql import functions as F
+
+
+def _stage_rows(spark, min_stage: int, min_run_ms: int = 1000) -> list[dict]:
+    """Completed-stage metrics (run/GC seconds, shuffle bytes, task skew)
+    for stages with id >= min_stage — the per-rep slice of the app's
+    accumulating stage list. Same REST endpoint as scripts/stage_stats.py."""
+    try:
+        app = spark.sparkContext.applicationId
+        port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+        url = (f"http://localhost:{port}/api/v1/applications/{app}/stages"
+               f"?status=complete&withSummaries=true")
+        stages = json.load(urllib.request.urlopen(url, timeout=30))
+    except Exception:  # UI disabled / endpoint unavailable: evidence-only path
+        return []
+    rows = []
+    for s in stages:
+        if s["stageId"] < min_stage or s["executorRunTime"] < min_run_ms:
+            continue
+        dist = s.get("taskMetricsDistributions") or {}
+        q = dist.get("executorRunTime") or []
+        med, mx = (q[2] / 1000, q[4] / 1000) if len(q) == 5 else (None, None)
+        rows.append({
+            "stage": s["stageId"],
+            "tasks": s["numCompleteTasks"],
+            "run_s": round(s["executorRunTime"] / 1000, 1),
+            "gc_s": round(s.get("jvmGcTime", 0) / 1000, 1),
+            "shuffle_write_mb": round(s.get("shuffleWriteBytes", 0) / 1e6, 1),
+            "shuffle_read_mb": round(s.get("shuffleReadBytes", 0) / 1e6, 1),
+            "task_median_s": round(med, 2) if med is not None else None,
+            "task_max_s": round(mx, 2) if mx is not None else None,
+            "skew_max_over_median": (round(mx / med, 2)
+                                     if med and mx is not None else None),
+        })
+    rows.sort(key=lambda r: -r["run_s"])
+    return rows
+
+
+def _loadavg() -> float:
+    try:
+        return round(os.getloadavg()[0], 1)
+    except OSError:
+        return -1.0
 
 
 def main() -> None:
@@ -33,8 +85,11 @@ def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "8000"))
     n_batches = int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "2"))
+    # best-of-5 (r4, was 3): the headline is the primary metric and a single
+    # contended window must not be able to masquerade as a code regression
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
 
-    from diffsync_spark import build_session, diff, lww_dedup
+    from diffsync_spark import build_session
     from diffsync_spark import fixtures
     from diffsync_spark.model import TRANSCRIPT_MODEL
     from diffsync_spark.plans.threeway import patch_snapshot
@@ -49,8 +104,11 @@ def main() -> None:
         app_name="diffsync_spark_bench",
         shuffle_partitions=cpus,
         # shuffle/spill co-located with the staged input (tmpfs when present)
-        # — same methodology as scripts/scaling_run.py
-        extra_conf={"spark.local.dir": f"{work}/sparktmp"},
+        # — same methodology as scripts/scaling_run.py; UI on for the
+        # per-rep stage evidence
+        extra_conf={"spark.local.dir": f"{work}/sparktmp",
+                    "spark.ui.enabled": "true",
+                    "spark.ui.showConsoleProgress": "false"},
     )
 
     def noop_write(df) -> None:
@@ -63,16 +121,83 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # warmup: JVM/codegen JIT + input page cache, so per-query numbers
-    # measure the operators, not cold-start (standard benchmarking practice;
-    # the replay metric below has its own bootstrap)
+    # warmup: JVM/codegen JIT, so the replay (and the per-query numbers)
+    # measure the operators, not cold-start
     spark.range(0, 50_000_000, 1, cpus).select(
         F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))
     ).collect()
+
+    # --- the CDC replay FIRST (primary metric): bootstrap + batched LWW
+    # merge. Inputs are generated DISTRIBUTED (spark-side fixtures) and
+    # staged to parquet first, so generation never pollutes the replay
+    # timing.
+    src_raw = fixtures.gen_source_spark(spark, n_convs=n_convs,
+                                        turns_per_conv=20, text_bytes=256)
+    chg_raw = fixtures.gen_changelog_spark(spark, n_events, n_convs=n_convs,
+                                           turns_per_conv=20, text_bytes=256)
+    src_raw.repartition(cpus).write.mode("overwrite").parquet(f"{work}/src")
+    chg_raw.repartition(max(cpus, 64)).write.mode("overwrite").parquet(f"{work}/chg")
+    src_df = spark.read.parquet(f"{work}/src")
+    chg_df = spark.read.parquet(f"{work}/chg")
+    # table layout fixed regardless of parallelism so the N-vs-4N scaling
+    # runs execute the identical job (only --master differs)
+    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
+    total_events = chg_df.count()
+    replay_s = float("inf")
+    final_rows = 0
+    reps: list[dict] = []
+    best_stages: list[dict] = []
+
+    def _max_stage_id() -> int:
+        try:
+            app = spark.sparkContext.applicationId
+            port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+            url = f"http://localhost:{port}/api/v1/applications/{app}/stages"
+            stages = json.load(urllib.request.urlopen(url, timeout=30))
+            return max((s["stageId"] for s in stages), default=-1) + 1
+        except Exception:
+            return 0
+
+    for rep in range(n_reps):
+        tbl_dir = tempfile.mkdtemp(prefix=f"bench_tbl_{rep}_", dir=base)
+        shutil.rmtree(tbl_dir)
+        table = SnapshotTable.create(
+            spark, tbl_dir, TRANSCRIPT_MODEL, schema=src_df.schema,
+            n_buckets=n_buckets,
+        )
+        table.merge(
+            src_df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        first_stage = _max_stage_id()
+        load0 = _loadavg()
+        t0 = time.perf_counter()
+        replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="bench")
+        dt = time.perf_counter() - t0
+        stages = _stage_rows(spark, first_stage)
+        rep_row = {
+            "sec": round(dt, 3),
+            "events_per_sec": round(total_events / dt, 1),
+            "loadavg_before": load0,
+            "loadavg_after": _loadavg(),
+            "gc_s_total": round(sum(s["gc_s"] for s in stages), 1),
+            "worst_skew": max(
+                (s["skew_max_over_median"] or 0 for s in stages), default=None
+            ),
+        }
+        reps.append(rep_row)
+        if dt < replay_s:
+            replay_s = dt
+            best_stages = stages[:8]
+        final_rows = table.read().count()
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+    timings["replay"] = round(replay_s, 3)
+    events_per_sec = round(total_events / replay_s, 1)
+
+    # --- headline operators over the driver sf tables (after the replay:
+    # the primary metric gets the coolest host window available)
     for t in ("events", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
-
-    # --- headline operators over the driver sf tables
     timed("diff_classify", lambda: noop_write(entry_mod._diff_classify(spark, sf_dir)))
     timed("lww_dedup", lambda: noop_write(entry_mod.queries()["lww_dedup"](spark, sf_dir)))
     timed(
@@ -106,51 +231,6 @@ def main() -> None:
         "neardup_dedup",
         lambda: noop_write(entry_mod.queries()["neardup_dedup"](spark, sf_dir)),
     )
-
-    # --- the CDC replay (primary metric): bootstrap + batched LWW merge.
-    # Inputs are generated DISTRIBUTED (spark-side fixtures) and staged to
-    # parquet first, so generation never pollutes the replay timing.
-    src_raw = fixtures.gen_source_spark(spark, n_convs=n_convs,
-                                        turns_per_conv=20, text_bytes=256)
-    chg_raw = fixtures.gen_changelog_spark(spark, n_events, n_convs=n_convs,
-                                           turns_per_conv=20, text_bytes=256)
-    src_raw.repartition(cpus).write.mode("overwrite").parquet(f"{work}/src")
-    chg_raw.repartition(max(cpus, 64)).write.mode("overwrite").parquet(f"{work}/chg")
-    src_df = spark.read.parquet(f"{work}/src")
-    chg_df = spark.read.parquet(f"{work}/chg")
-    chg_dir = work
-    # table layout fixed regardless of parallelism so the N-vs-4N scaling
-    # runs execute the identical job (only --master differs)
-    n_buckets = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
-    # best-of-3: this host shows ~5x run-to-run swings from external load
-    # (documented in BENCH/BASELINE.md); a third rep materially improves the
-    # odds of measuring a quiet window at ~1 min/rep
-    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    total_events = chg_df.count()
-    # best-of-N replays: this sandbox host shows ~5x run-to-run swings from
-    # external load (D-state pressure with zero local processes); the best
-    # run is the least-contended measurement of the same deterministic job
-    # (same policy as scripts/scaling_run.py)
-    replay_s = float("inf")
-    final_rows = 0
-    for rep in range(n_reps):
-        tbl_dir = tempfile.mkdtemp(prefix=f"bench_tbl_{rep}_", dir=base)
-        shutil.rmtree(tbl_dir)
-        table = SnapshotTable.create(
-            spark, tbl_dir, TRANSCRIPT_MODEL, schema=src_df.schema,
-            n_buckets=n_buckets,
-        )
-        table.merge(
-            src_df.withColumn("op", F.lit("insert")), mode="force",
-            checkpoint_id="boot", batch_id=0,
-        )
-        t0 = time.perf_counter()
-        replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="bench")
-        replay_s = min(replay_s, time.perf_counter() - t0)
-        final_rows = table.read().count()
-        shutil.rmtree(tbl_dir, ignore_errors=True)
-    timings["replay"] = round(replay_s, 3)
-    events_per_sec = round(total_events / replay_s, 1)
 
     # --- stateful pre-filter (streaming path): MERGE-input reduction on the
     # changelog's HOT-CONVERSATION subset — the documented use case (the
@@ -196,7 +276,7 @@ def main() -> None:
             "feed_events": pf_n,
         }
     shutil.rmtree(pf_dir, ignore_errors=True)
-    shutil.rmtree(chg_dir, ignore_errors=True)
+    shutil.rmtree(work, ignore_errors=True)
 
     result = {
         "metric": "cdc_replay_events_per_sec",
@@ -206,6 +286,8 @@ def main() -> None:
         "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
         "replay_events": total_events,
         "replay_batches": n_batches,
+        "replay_reps": reps,
+        "replay_best_stages": best_stages,
         "final_rows": final_rows,
         "cpus": cpus,
         "prefilter": {

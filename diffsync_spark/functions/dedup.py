@@ -515,6 +515,7 @@ def neardup_components(
         )
         stepped = labels.join(nbr, labels["id"] == nbr["a"], "left").select(
             "id",
+            F.col("comp").alias("__old"),
             F.least(
                 F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
             ).alias("comp"),
@@ -524,6 +525,12 @@ def neardup_components(
         jump = labels.select(
             F.col("id").alias("__jid"), F.col("comp").alias("__jcomp")
         )
+        # the convergence signal rides the SAME frame the round already
+        # materializes (localCheckpoint): __changed is computed against the
+        # carried-along old label, and reading max(__changed) afterwards is
+        # one tiny scan of the checkpointed partitions — not the extra
+        # join + limit + count job chain of the r3 implementation, which
+        # roughly doubled per-round job count on the driver
         new_labels = (
             stepped.join(jump, stepped["comp"] == jump["__jid"], "left")
             .select(
@@ -531,17 +538,18 @@ def neardup_components(
                 F.least(
                     F.col("comp"), F.coalesce("__jcomp", F.col("comp"))
                 ).alias("comp"),
+                F.col("__old"),
             )
+            .withColumn(
+                "__changed", (F.col("comp") != F.col("__old")).cast("int")
+            )
+            .drop("__old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(
+            F.coalesce(F.max("__changed"), F.lit(0))
+        ).first()[0]
+        labels = new_labels.drop("__changed")
         if changed == 0:
             converged = True
             break
