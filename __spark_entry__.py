@@ -594,11 +594,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["cosine_topk"] = topk
 
     def ann_topk(spark, sf):
+        # through the PERSISTED index path (the 100 TB shape): bucket the
+        # corpus once with build_ann_index, then probe via partition-pruned
+        # scans — same results as the inline path by construction (identical
+        # seeded planes), which the shared oracle SQL twin still checks
+        import tempfile
+
+        from diffsync_spark.functions.similarity import build_ann_index
+
         emb = _emb(spark, sf)
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = lsh_cosine_topk(emb, queries_df, k=5, n_planes=12, probes=4, seed=42)
+        idx = tempfile.mkdtemp(prefix="ann_idx_") + "/index"
+        build_ann_index(emb, idx, n_planes=12, seed=42)
+        out = lsh_cosine_topk(None, queries_df, k=5, probes=4,
+                              index_path=idx)
         return out.select(
             "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
         )

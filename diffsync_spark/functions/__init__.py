@@ -23,7 +23,11 @@ from diffsync_spark.functions.dedup import (
     simhash,
     embedding_neardup_pairs,
 )
-from diffsync_spark.functions.similarity import cosine_topk, lsh_cosine_topk
+from diffsync_spark.functions.similarity import (
+    build_ann_index,
+    cosine_topk,
+    lsh_cosine_topk,
+)
 from diffsync_spark.functions.sampling import (
     filter_top_fraction,
     hash_sample,
@@ -64,6 +68,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "embedding_neardup_pairs",
+    "build_ann_index",
     "cosine_topk",
     "lsh_cosine_topk",
 ]

@@ -12,6 +12,9 @@
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -65,8 +68,49 @@ def _directed_flips(qbucket, marginal, n_probe: int):
     )
 
 
-def lsh_cosine_topk(
+ANN_META_FILE = "_ann_meta.json"
+
+
+def build_ann_index(
     corpus: DataFrame,
+    path: str,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist the LSH-bucketed corpus ONCE — the compute-once/look-up-many
+    contract of the reference's durable store
+    (``/root/reference/diffsync/store/redis.py:24-220``), re-expressed as a
+    bucket-partitioned parquet layout: each corpus row's sign signature is
+    computed a single time and the rows are written partitioned by
+    ``bucket``, so every subsequent :func:`lsh_cosine_topk` probe is a
+    PARTITION-PRUNED scan of just the probed buckets — no corpus re-scan,
+    no signature re-compute per query call.
+
+    Sizing at scale: bucket count is 2^n_planes; pick ``n_planes`` so the
+    expected rows-per-bucket (N / 2^n_planes) fills healthy parquet files
+    (e.g. 10^10 vectors at n_planes=16 → ~150k rows/bucket). The plane
+    matrix is derived from ``(seed, dim)`` and recorded in a sidecar
+    ``_ann_meta.json`` so probes rebuild bit-identical planes."""
+    dim = corpus.select(F.size(vec_col).alias("d")).first().d
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _plane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
+            "format": "diffsync_spark/ann-v1"}
+    with open(os.path.join(path, ANN_META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 12,
@@ -76,12 +120,23 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     probe_strategy: str = "directed",
+    index_path: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: corpus rows hash once into sign buckets; each query
     probes its own bucket plus ``probes`` single-bit-flip buckets, reranking
-    exactly within probed buckets. At 100 TB the bucketed corpus is written
-    once (partitioned by bucket) and each probe is a partition-pruned scan;
-    here both sides are computed inline.
+    exactly within probed buckets.
+
+    Two corpus modes:
+
+    - ``corpus=`` (inline): signatures and buckets are computed in the same
+      job — right for one-shot queries.
+    - ``index_path=`` (persisted, the 100 TB shape): probe a corpus
+      previously written by :func:`build_ann_index`. The union of all probe
+      buckets across the query set is pushed into the parquet scan as a
+      partition filter, so only the probed buckets' files are read
+      (``PartitionFilters`` in the plan — asserted by
+      ``tests/test_plan_shapes.py``). ``n_planes``/``seed`` come from the
+      index's sidecar metadata, guaranteeing probe/plane agreement.
 
     ``probe_strategy='directed'`` (default) is query-directed multi-probe:
     flip the planes with the smallest ``|dot(query, plane)|`` — the bits a
@@ -89,15 +144,23 @@ def lsh_cosine_topk(
     strictly better expected recall than flipping arbitrary bits at the
     same probe count. ``'first'`` keeps the naive first-``probes``-planes
     flips (the recall baseline the tests compare against)."""
-    dim = corpus.select(F.size(vec_col).alias("d")).first().d
+    if index_path is not None:
+        with open(os.path.join(index_path, ANN_META_FILE)) as f:
+            meta = json.load(f)
+        n_planes, seed, dim = meta["n_planes"], meta["seed"], meta["dim"]
+    elif corpus is not None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first().d
+    else:
+        raise ValueError("pass either corpus= or index_path=")
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        _plane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    if index_path is None:
+        c = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            _plane_signature(F.col(vec_col), planes).alias("bucket"),
+        )
     n_probe = min(probes, n_planes)
     if probe_strategy == "directed":
         # materialize each plane dot ONCE (split projection): the signature
@@ -151,6 +214,16 @@ def lsh_cosine_topk(
     q = q0.select(
         "query_id", "qv", F.explode(probe_buckets).alias("bucket")
     )
+    if index_path is not None:
+        # the query set is small by contract (same reason the exact path
+        # broadcasts it), so the union of its probe buckets is a bounded
+        # driver-side list: |Q|·(probes+1) longs, pushed into the scan as
+        # a partition filter — only probed buckets' files are read
+        buckets = [r.bucket for r in q.select("bucket").distinct().collect()]
+        c = (
+            queries.sparkSession.read.parquet(index_path)
+            .filter(F.col("bucket").isin(buckets))
+        )
     scored = (
         c.join(q, "bucket")
         .select(

@@ -481,3 +481,26 @@ def test_scrub_text(spark):
     assert "<|phone|>" in got[2] and "<|card|>" in got[2]
     assert got[3] == "clean text stays clean"
     assert got[4] is None
+
+def test_ann_index_path_matches_inline(spark, tmp_path):
+    """The persisted-index probe must return EXACTLY the inline path's
+    results — identical seeded planes, identical buckets, identical rerank."""
+    from diffsync_spark.functions.similarity import build_ann_index
+
+    rng = np.random.default_rng(9)
+    rows = [(i, rng.standard_normal(24).astype(float).tolist())
+            for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    inline = lsh_cosine_topk(
+        corpus, queries, k=5, n_planes=10, probes=4, seed=13
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    idx = str(tmp_path / "idx")
+    meta = build_ann_index(corpus, idx, n_planes=10, seed=13)
+    assert meta["n_planes"] == 10 and meta["dim"] == 24
+    via_index = lsh_cosine_topk(
+        None, queries, k=5, probes=4, index_path=idx
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert inline["vec_id"].tolist() == via_index["vec_id"].tolist()
+    assert np.allclose(inline["cosine"], via_index["cosine"])

@@ -142,3 +142,29 @@ def test_minhash_bucket_cap_shares_band_exchange(spark):
     # extra shuffle total vs the uncapped plan (the post-window re-shuffle
     # of the filtered side), never one per side
     assert n_capped <= n_uncapped + 1
+
+def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
+    """lsh_cosine_topk(index_path=...): the probe scan of a persisted
+    build_ann_index corpus must carry the probed buckets as
+    PartitionFilters — only probed buckets' files are read, never the
+    whole index (the compute-once/look-up-many 100 TB shape)."""
+    from diffsync_spark.functions.similarity import (
+        build_ann_index, lsh_cosine_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ann_index")
+    build_ann_index(corpus, idx, n_planes=6, seed=11)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_cosine_topk(None, queries, k=3, probes=3, index_path=idx)
+    plan = _plan(out)
+    scan = [s for s in plan.split("\n")
+            if ("FileScan" in s or "Scan parquet" in s) and "ann_index" in s]
+    joined = " ".join(scan)
+    pf = joined.split("PartitionFilters")[1].split("]")[0]
+    assert "bucket" in pf and "IN" in pf.upper()
