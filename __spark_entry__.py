@@ -668,6 +668,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_changes"] = table_changes
 
+    # --- two-table cascade: downstream tails upstream's snapshot chain via
+    # pipe_changes (bootstrap hop + incremental delta hop). The oracle is
+    # the SAME three-way LWW algebra as merge_state: after both hops the
+    # downstream must equal the patched upstream state — certifying
+    # changes() + apply_diff compose across tables, not just within one.
+    def pipe_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import pipe_changes
+
+        tmp = tempfile.mkdtemp(prefix="pipe_state_")
+        snap = _src(spark, sf)
+        up = SnapshotTable.create(
+            spark, f"{tmp}/up", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        up.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        down = SnapshotTable.create(
+            spark, f"{tmp}/down", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        pipe_changes(up, down, checkpoint_id="pipe")   # hop 1: bootstrap
+        up.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        pipe_changes(up, down, checkpoint_id="pipe")   # hop 2: delta
+        return down.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["pipe_state"] = pipe_state
+
     # --- two-table hierarchy sync end-to-end: parent (per-user bookkeeping)
     # + child (events) engines bootstrapped from the TARGET derivation, then
     # HierarchySync'd to the SOURCE derivation with natural deletion order +
@@ -1216,6 +1250,8 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["patch_snapshot"] = _patch_core
     o["merge_state"] = _patch_core
+    # the cascade must land exactly the merge_state final state downstream
+    o["pipe_state"] = _patch_core
     # raw (unrounded) values here: the Spark side compares exact doubles
     o["table_changes"] = _patch_prefix + """,
 new_state AS (

@@ -798,6 +798,13 @@ class SnapshotTable:
                 out.append(int(b))
         return sorted(out)
 
+    def committed_batch(self, checkpoint_id: str) -> int:
+        """Highest batch_id committed under ``checkpoint_id`` (-1 if none) —
+        the resume point for exactly-once consumers (``stream_changes`` /
+        ``pipe_changes`` store the upstream version they last applied as
+        their batch id here)."""
+        return int(self._manifest()["checkpoints"].get(checkpoint_id, -1))
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Incremental (CDC) read: the net row-level changes that turn
         snapshot ``from_version`` into ``to_version`` (default: current) —

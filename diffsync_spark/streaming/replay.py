@@ -14,7 +14,8 @@ transactional micro-batch epilogue.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable
+import time
+from typing import Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -111,3 +112,95 @@ def stream_replay(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_changes(
+    table: SnapshotTable,
+    from_version: int | None = None,
+    poll_interval: float = 1.0,
+    until_version: int | None = None,
+    max_idle_polls: int = 1,
+) -> Iterator[tuple[int, int, DataFrame]]:
+    """Tail a SnapshotTable's OWN snapshot chain: yields
+    ``(from_version, to_version, changes_df)`` hops as new commits land —
+    the streaming surface over :meth:`SnapshotTable.changes`, so a
+    downstream consumer subscribes to this table the way ``stream_replay``
+    tails a changelog directory (the north rule's pipeline composition:
+    table → table chaining without re-reading full snapshots).
+
+    Each hop coalesces every version committed since the last poll into a
+    single manifest-pruned diff (``changes(v, cur)``) — a burst of N
+    upstream commits costs one delta read, not N. Hops are yielded lazily:
+    the caller decides what to do with each delta (merge downstream,
+    publish, alert) and when to resume polling.
+
+    Termination: stops after ``max_idle_polls`` consecutive polls with no
+    new version once ``until_version`` (default: the version current at
+    first poll) has been reached — availableNow semantics. Pass
+    ``until_version=None, max_idle_polls=None`` to tail forever.
+    """
+    v = table.current_version() if from_version is None else from_version
+    if until_version is None and max_idle_polls is not None:
+        until_version = table.current_version()
+    idle = 0
+    while True:
+        cur = table.current_version()
+        if cur > v:
+            idle = 0
+            yield (v, cur, table.changes(v, cur))
+            v = cur
+        else:
+            if (
+                max_idle_polls is not None
+                and (until_version is None or v >= until_version)
+            ):
+                idle += 1
+                if idle >= max_idle_polls:
+                    return
+            time.sleep(poll_interval)
+
+
+def pipe_changes(
+    upstream: SnapshotTable,
+    downstream: SnapshotTable,
+    checkpoint_id: str = "pipe",
+    poll_interval: float = 1.0,
+    until_version: int | None = None,
+    max_idle_polls: int = 1,
+) -> list[dict]:
+    """Cascade one table into another: bootstrap ``downstream`` from
+    ``upstream``'s current snapshot if this checkpoint has never run, then
+    apply each :func:`stream_changes` hop via ``apply_diff``.
+
+    Exactly-once across restarts WITHOUT an external checkpoint store: the
+    upstream version each hop ends at is committed as the downstream batch
+    id under ``checkpoint_id``, so on restart the pipe resumes from
+    ``downstream.committed_batch(checkpoint_id)`` — a hop re-delivered
+    after a crash between apply and the next poll is skipped by the
+    downstream's own (checkpoint_id, batch_id) commit metadata, and a hop
+    that never applied is recomputed (``changes`` is deterministic for a
+    pinned version range).
+
+    Scale shape: each hop reads only buckets whose file sets changed
+    (manifest pruning in ``changes``) and writes only buckets the delta
+    touches (MERGE pruning in ``apply_diff``) — a small upstream commit
+    flows through as a small downstream commit, never a table rewrite.
+    """
+    results: list[dict] = []
+    resume = downstream.committed_batch(checkpoint_id)
+    if resume < 0:
+        boot_v = upstream.current_version()
+        snap = upstream.read(boot_v)
+        results.append(downstream.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id=checkpoint_id, batch_id=boot_v,
+        ))
+        resume = boot_v
+    for _, v_to, delta in stream_changes(
+        upstream, from_version=resume, poll_interval=poll_interval,
+        until_version=until_version, max_idle_polls=max_idle_polls,
+    ):
+        results.append(downstream.apply_diff(
+            delta, checkpoint_id=checkpoint_id, batch_id=v_to
+        ))
+    return results

@@ -360,3 +360,55 @@ def test_windowed_change_rate_watermark(spark, tmp_path):
     # the late minute-0 event was dropped by the watermark: 2 events, not 3
     assert int(m0.n_changes.iloc[0]) == 2
     assert int(m0.n_deletes.iloc[0]) == 1
+
+def test_pipe_changes_cascade(spark, tmp_path, target_df, changelog_df):
+    """Two-table cascade (r3 verdict item 5): downstream tails upstream's
+    own snapshot chain via stream_changes/pipe_changes — bootstrap, then
+    incremental hops — and converges to the upstream state after every
+    round, with exactly-once resume riding the downstream's own commit
+    metadata (no external checkpoint store)."""
+    import pandas as pd
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import pipe_changes, replay_batches
+
+    up = SnapshotTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=8)
+    up.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="boot", batch_id=0)
+    down = SnapshotTable.create(
+        spark, str(tmp_path / "down"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=8)
+
+    def state(t):
+        return (t.read().toPandas()
+                .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    # hop 1: first pipe bootstraps downstream from upstream's snapshot
+    r1 = pipe_changes(up, down, checkpoint_id="cascade")
+    assert len(r1) >= 1 and not r1[0]["skipped"]
+    pd.testing.assert_frame_equal(state(down), state(up))
+
+    # hop 2: upstream advances by several commits; one pipe call coalesces
+    # them into incremental hops and downstream converges again
+    replay_batches(up, changelog_df, n_batches=3, checkpoint_id="chg")
+    v_before = down.current_version()
+    r2 = pipe_changes(up, down, checkpoint_id="cascade")
+    assert len(r2) >= 1
+    pd.testing.assert_frame_equal(state(down), state(up))
+    assert down.current_version() > v_before
+
+    # idempotent resume: nothing new upstream → no state change downstream
+    s = state(down)
+    pipe_changes(up, down, checkpoint_id="cascade")
+    pd.testing.assert_frame_equal(state(down), s)
+
+    # crash-replay: re-delivering the last hop's batch id is skipped by the
+    # downstream commit metadata (exactly-once without external checkpoints)
+    last_v = up.current_version()
+    res = down.apply_diff(up.changes(1, last_v), checkpoint_id="cascade",
+                          batch_id=down.committed_batch("cascade"))
+    assert res["skipped"]
+    pd.testing.assert_frame_equal(state(down), s)
