@@ -1,12 +1,15 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns.
 
 The Spark-side machinery (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested. Two codecs are REAL and dependency-free:
+signatures) is real and tested. Three codecs are REAL and dependency-free:
 
 - ``audio/wav``  — RIFF/PCM parsed with the stdlib ``wave`` module; features
   are per-window RMS energies over the int16 signal.
 - ``image/x-portable-pixmap`` — P6 PPM parsed by hand (header + raw RGB);
   features are per-band mean intensities.
+- ``image/png`` — chunk walk + stdlib ``zlib`` inflate + per-scanline
+  unfilter (all five PNG filter types), for 8-bit gray / gray+alpha / RGB /
+  RGBA, non-interlaced; same band-mean features as PPM.
 
 Everything else (JPEG, MP4, ...) needs PIL/ffmpeg, absent in this container:
 those payloads go through the clearly-marked stub boundary — either the
@@ -26,6 +29,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -40,7 +44,7 @@ except Exception:  # pragma: no cover
     _HAS_EXTERNAL_CODECS = False
 
 # formats decodable with the built-in pure-Python parsers below
-BUILTIN_MIMES = {"audio/wav", "image/x-portable-pixmap"}
+BUILTIN_MIMES = {"audio/wav", "image/x-portable-pixmap", "image/png"}
 
 ASSET_SCHEMA = (
     "asset_id long, kind string, payload binary, width int, height int, "
@@ -98,6 +102,138 @@ def decode_ppm(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (3 = palette, unsupported: needs PLTE
+# indirection; an indexed payload yields an honest decode_ok=False row)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes, feat_dim: int) -> tuple[int, int, list[float]]:
+    """Parse a non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA)
+    with the stdlib only: chunk walk, concatenated-IDAT zlib inflate, and
+    per-scanline unfilter of all five filter types (spec §6,
+    https://www.w3.org/TR/png-3/). Returns (width, height, band-mean
+    features over the non-alpha channels) — same feature contract as
+    :func:`decode_ppm`."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, width, height, color_type = 8, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated chunk")
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if bit_depth != 8:
+                raise ValueError("only 8-bit PNG supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1).copy()
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: per-lane running sum, uint8 wrap = mod 256
+            rec = line
+            for lane in range(ch):
+                rec[lane::ch] = np.add.accumulate(rec[lane::ch],
+                                                  dtype=np.uint8)
+        elif ftype == 2:  # Up (uint8 addition wraps mod 256)
+            rec = line + prev
+        elif ftype == 3:  # Average — sequential within the row
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                rec[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — sequential within the row
+            rec = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(rec[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad scanline filter {ftype}")
+        img[y] = rec
+        prev = rec
+    px = img.reshape(height, width, ch)
+    color = px[:, :, :3] if ch >= 3 else px[:, :, :1]
+    bands = np.array_split(color.astype(np.float64) / 255.0, feat_dim, axis=0)
+    feat = [float(b.mean()) if b.size else 0.0 for b in bands]
+    return width, height, feat
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """PNG bytes from an (h, w, ch) uint8 array, ch in {1, 2, 3, 4}
+    (fixture helper). ``filter_type`` applies that scanline filter to every
+    row so tests can exercise each unfilter path in :func:`decode_png`."""
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    flat = px.reshape(h, w * ch).astype(np.uint8)
+    prev = np.zeros(w * ch, np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        left = np.concatenate([np.zeros(ch, np.uint8), cur[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (
+                (left.astype(np.uint16) + prev.astype(np.uint16)) >> 1
+            ).astype(np.uint8)
+        elif filter_type == 4:
+            filt = np.empty(w * ch, np.uint8)
+            for i in range(w * ch):
+                a, b = int(left[i]), int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (int(cur[i]) - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        lines.append(filter_type)
+        lines += filt.tobytes()
+        prev = cur
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """PCM16 mono WAV bytes (test/fixture helper)."""
     buf = io.BytesIO()
@@ -117,18 +253,29 @@ def encode_ppm(px: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------------ fixtures
 def fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic asset table. WAV and PPM payloads are REAL
-    encodings (decodable by the built-in codecs); video stays an opaque blob
-    (no container-side codec — the stub boundary)."""
+    """Deterministic synthetic asset table. WAV, PPM and PNG payloads are
+    REAL encodings (decodable by the built-in codecs; PNG alternates RGB and
+    RGBA with a rotating scanline filter, so every unfilter path runs);
+    video stays an opaque blob (no container-side codec — the stub
+    boundary)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
-            payload = encode_ppm(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
-            rows.append((i, kind, bytearray(payload), w, h, None,
-                         "image/x-portable-pixmap"))
+            if (i // 3) % 2 == 0:
+                payload = encode_ppm(
+                    rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
+                mime = "image/x-portable-pixmap"
+            else:
+                ch = 3 if (i // 6) % 2 == 0 else 4
+                payload = encode_png(
+                    rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8),
+                    filter_type=(i // 3) % 5,
+                )
+                mime = "image/png"
+            rows.append((i, kind, bytearray(payload), w, h, None, mime))
         elif kind == "audio":
             n_samp = int(rng.integers(400, 4000))
             payload = encode_wav(rng.standard_normal(n_samp) * 0.2, rate=8000)
@@ -179,6 +326,12 @@ def decode_assets(assets: DataFrame, feat_dim: int = 8, fake: bool | None = None
                 elif mime == "image/x-portable-pixmap":
                     try:
                         width, height, feat = decode_ppm(data, feat_dim)
+                        ok = True
+                    except Exception:
+                        ok = False
+                elif mime == "image/png":
+                    try:
+                        width, height, feat = decode_png(data, feat_dim)
                         ok = True
                     except Exception:
                         ok = False

@@ -504,3 +504,60 @@ def test_ann_index_path_matches_inline(spark, tmp_path):
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert inline["vec_id"].tolist() == via_index["vec_id"].tolist()
     assert np.allclose(inline["cosine"], via_index["cosine"])
+
+def test_png_decode_all_filters(spark):
+    """PNG unfilter correctness without PIL: filter 0 (None) stores raw
+    scanlines, so its decode is trivially correct — every other filter type
+    encoding the SAME pixels must decode to identical width/height/features,
+    across gray, gray+alpha, RGB and RGBA."""
+    from diffsync_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(17)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(13, 9, ch)).astype(np.uint8)
+        w0, h0, f0 = decode_png(encode_png(px, filter_type=0), feat_dim=4)
+        assert (w0, h0) == (9, 13)
+        # filter-0 features equal the direct band means of the raw pixels
+        color = px[:, :, :3] if ch >= 3 else px[:, :, :1]
+        want = [float(b.mean()) for b in
+                np.array_split(color.astype(np.float64) / 255.0, 4, axis=0)]
+        assert np.allclose(f0, want)
+        for ft in (1, 2, 3, 4):
+            w, h, f = decode_png(encode_png(px, filter_type=ft), feat_dim=4)
+            assert (w, h, f) == (w0, h0, f0), f"filter {ft}, ch {ch}"
+
+
+def test_png_decode_rejects_bad_payloads(spark):
+    from diffsync_spark.functions.multimodal import decode_png, encode_png
+
+    px = np.zeros((4, 4, 3), np.uint8)
+    good = encode_png(px)
+    for bad in (b"", b"\x89PNG\r\n\x1a\n", good[:20], b"JUNK" + good,
+                good[:33] + good[41:]):  # last: IDAT length corrupted
+        try:
+            decode_png(bad, feat_dim=2)
+            raise AssertionError("should have raised")
+        except ValueError:
+            pass
+        except Exception:
+            pass  # struct/zlib errors are also caught by decode_assets
+
+
+def test_png_through_decode_assets(spark):
+    """fake_assets now emits real PNG payloads (RGB+RGBA, rotating filters);
+    every image row must decode with recovered dims equal to the metadata."""
+    from diffsync_spark.functions.multimodal import decode_assets, fake_assets
+
+    assets = fake_assets(spark, n=60)
+    feats = decode_assets(assets, feat_dim=4).toPandas()
+    png_meta = assets.filter(F.col("mime") == "image/png").select(
+        "asset_id", "width", "height").toPandas().set_index("asset_id")
+    assert len(png_meta) > 0
+    got = feats.set_index("asset_id")
+    for aid, row in png_meta.iterrows():
+        assert bool(got.loc[aid, "decode_ok"]) is True
+        assert got.loc[aid, "width"] == row["width"]
+        assert got.loc[aid, "height"] == row["height"]
+    # video remains the honest stub boundary
+    vids = feats[feats.kind == "video"]
+    assert (~vids["decode_ok"]).all()
