@@ -1139,6 +1139,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = pack
 
+    # --- the COMPOSED pipeline gate: corpus → exact_dedup →
+    # dedup_near_duplicates → decontaminate → filter_top_fraction →
+    # pack_sequences as ONE chain. Each stage is individually gated above;
+    # this entry proves they COMPOSE (column contracts, survivor sets and
+    # ordering flowing stage to stage), against a DuckDB twin of the whole
+    # chain built from the same per-stage twins.
+    def pipeline(spark, sf):
+        from diffsync_spark.functions.assemble import pack_sequences
+        from diffsync_spark.functions.decontaminate import flag_exact
+        from diffsync_spark.functions.dedup import (
+            dedup_near_duplicates,
+            exact_dedup,
+        )
+        from diffsync_spark.functions.sampling import filter_top_fraction
+
+        docs = _docs(spark, sf)
+        d1 = exact_dedup(docs)
+        pairs = minhash_lsh_pairs(d1, threshold=0.7)
+        d2 = dedup_near_duplicates(d1, pairs)
+        block = docs.filter(F.col("doc_id") % 23 == 0)
+        d3 = (flag_exact(d2, block)
+              .filter(~F.col("contaminated_exact"))
+              .drop("contaminated_exact"))
+        d4 = filter_top_fraction(d3, "n_chars", 0.5, ["lang"],
+                                 tiebreak_cols=("doc_id",))
+        p = pack_sequences(d4.select("doc_id", "lang", "n_chars"),
+                           "n_chars", 2000, "lang", ("doc_id",))
+        return p.select(
+            F.col("lang").alias("bkt"), "doc_id",
+            F.col("n_chars").cast("long").alias("sz"),
+            "pack_id", "pack_fill",
+        )
+
+    q["pipeline_dedup_pack"] = pipeline
+
     # --- session-window agg (ST): F.session_window on a batch frame must
     # equal grouping the row-level sessionize labels — the stream op and
     # the batch op cross-validate each other
@@ -1574,6 +1609,41 @@ FROM documents GROUP BY lang"""
     o["pack_sequences"] = pack_sql(
         "SELECT doc_id, n_chars, doc_id % 8 AS bkt FROM documents",
         "n_chars", 2000, "bkt", ("doc_id",), payload_cols=("doc_id",),
+    )
+    # the composed chain's twin: per-stage twins nested stage-into-stage
+    # (exact keep-min-id → jaccard pairs restricted to survivors →
+    # recursive-CTE closure → exact-contamination anti-filter → per-lang
+    # percent_rank → recursive-CTE next-fit packing)
+    _pipe_d4 = f"""
+WITH RECURSIVE
+d1 AS (SELECT * FROM documents WHERE doc_id IN (
+         SELECT min(doc_id) FROM documents GROUP BY {_norm_sql('text')})),
+pairs AS (SELECT * FROM ({_SQL_JACCARD_PAIRS})
+          WHERE id_a IN (SELECT doc_id FROM d1)
+            AND id_b IN (SELECT doc_id FROM d1)),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+cc(id, comp) AS (
+    SELECT a, a FROM edges
+  UNION
+    SELECT e.a, cc.comp FROM edges e JOIN cc ON cc.id = e.b),
+victims AS (SELECT id FROM (SELECT id, min(comp) AS comp FROM cc GROUP BY id)
+            WHERE comp <> id),
+d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT id FROM victims)),
+d3 AS (SELECT * FROM d2 WHERE {_norm_sql('text')} NOT IN (
+         SELECT {_norm_sql('text')} FROM documents WHERE doc_id % 23 = 0)),
+d4 AS (SELECT doc_id, lang, n_chars FROM (
+         SELECT doc_id, lang, n_chars,
+                percent_rank() OVER (PARTITION BY lang
+                                     ORDER BY n_chars DESC, doc_id) AS pr
+         FROM d3) WHERE pr < 0.5)
+SELECT doc_id, lang, n_chars FROM d4"""
+    _pipe_packed = pack_sql(
+        _pipe_d4, "n_chars", 2000, "lang", ("doc_id",),
+        payload_cols=("doc_id",),
+    )
+    o["pipeline_dedup_pack"] = (
+        f"SELECT bkt, doc_id, sz, pack_id, pack_fill FROM ({_pipe_packed})"
     )
     # session-window agg ≡ group-by over row-level sessionize labels
     _sess_rows = sessionize_sql(
