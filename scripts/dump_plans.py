@@ -44,6 +44,25 @@ def _debezium_decode_case(s):
     return from_debezium(raw, entry.EVENT_MODEL, row)
 
 
+def _ann_index_case(s):
+    import tempfile
+
+    from diffsync_spark.functions.similarity import (
+        build_ann_index,
+        lsh_cosine_topk,
+    )
+
+    idx = tempfile.mkdtemp(prefix="plans_ann_") + "/index"
+    build_ann_index(s.read.parquet(f"{SF}/embeddings.parquet"), idx,
+                    n_planes=8, seed=42)
+    queries = (
+        s.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return lsh_cosine_topk(None, queries, k=5, probes=4, index_path=idx)
+
+
 CASES = [
     (
         "diff (keyed full-outer classify)",
@@ -160,6 +179,14 @@ CASES = [
             .select(F.col("vec_id").alias("query_id"), "embedding"),
             k=5,
         ),
+    ),
+    (
+        "lsh_cosine_topk via persisted index (partition-pruned probe)",
+        "The probe scan of a build_ann_index corpus carries the query set's "
+        "probe buckets as PartitionFilters — only probed buckets' files are "
+        "read; signatures were computed ONCE at index-build time, so the "
+        "per-query cost is a pruned scan + rerank, never a corpus pass.",
+        lambda s: _ann_index_case(s),
     ),
     (
         "simhash_neardup_pairs (capped pigeonhole banding)",
