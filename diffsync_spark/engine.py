@@ -61,10 +61,17 @@ class Engine:
         return self.table.read()
 
     def get(self, key: Sequence[Any]) -> dict:
-        return store_ops.get(self.read(), self.model, key)
+        # bucket-pruned path: the manifest restricts the scan to the key's
+        # single bucket (table.lookup), instead of filtering a full read
+        row = self.table.lookup(key)
+        if row is None:
+            from diffsync_spark.errors import ObjectNotFound
+
+            raise ObjectNotFound(f"{self.model.name} {tuple(key)!r} not found")
+        return row
 
     def get_or_none(self, key: Sequence[Any]) -> dict | None:
-        return store_ops.get_or_none(self.read(), self.model, key)
+        return self.table.lookup(key)
 
     def get_all(self) -> DataFrame:
         return store_ops.get_all(self.read(), self.model)

@@ -50,7 +50,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
-from typing import Any
+from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -197,6 +197,38 @@ class SnapshotTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self._manifest()["n_buckets"])).cast(
             "int"
         )
+
+    def lookup(self, key: Sequence[Any], version: int | None = None) -> dict | None:
+        """Point lookup that reads ONLY the key's bucket files (the durable
+        analog of the reference's ``store.get``, ``store/local.py:30-49``).
+
+        The key's bucket is computed with the same xxhash64-over-stored-types
+        expression the MERGE routes writes with (a one-row local job — no
+        table scan), then the manifest prunes the read to that single
+        bucket's file set: at 1,024 buckets a lookup touches ~0.1% of the
+        table regardless of total size. Returns the row dict or None."""
+        ids = list(self.model.identifiers)
+        if len(key) != len(ids):
+            raise DiffSyncSparkError(
+                f"key {key!r} does not match identifiers {ids}"
+            )
+        man = self._manifest(version)
+        public = T.StructType.fromJson(json.loads(man["schema"]))
+        stored = {f.name: f.dataType for f in public.fields}
+        probe = self.spark.createDataFrame(
+            [tuple(key)],
+            T.StructType([T.StructField(k, stored[k]) for k in ids]),
+        )
+        bucket_src = self.model.parent_key or ids
+        b = probe.select(
+            F.pmod(F.xxhash64(*bucket_src), F.lit(man["n_buckets"]))
+            .cast("int").alias("b")
+        ).first().b
+        cond = F.lit(True)
+        for k, v in zip(ids, key):
+            cond = cond & (F.col(k) == F.lit(v))
+        rows = self.read(version, buckets=[b]).filter(cond).take(1)
+        return rows[0].asDict() if rows else None
 
     # ---------------------------------------------------------------- merge
     def merge(

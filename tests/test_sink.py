@@ -692,3 +692,29 @@ def test_threaded_writer_soak(spark, tmp_path, target_df):
     # manifest — re-running GC finds nothing new (idempotent)
     assert table.remove_orphans()["removed_dirs"] == []
     print(f"soak: retries={total_retries}, orphans_removed={len(removed)}")
+
+def test_bucket_pruned_lookup(spark, tmp_path, target_df, target_pdf):
+    """SnapshotTable.lookup reads ONLY the key's bucket files: hit returns
+    the row, miss returns None, a tombstoned key returns None, and the scan
+    actually prunes (file count < total file count)."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    first = target_pdf.iloc[0]
+    key = (first["conv_id"], int(first["turn_idx"]))
+    got = table.lookup(key)
+    assert got is not None and got["text"] == first["text"]
+    assert table.lookup(("no_such_conv", 0)) is None
+    # delete the key, lookup must see the tombstone
+    ts = datetime.datetime(2030, 1, 1)
+    table.merge(spark.createDataFrame(
+        [(key[0], key[1], None, None, None, ts, "delete")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"), checkpoint_id="del",
+        batch_id=1)
+    assert table.lookup(key) is None
+    # pruning evidence: the bucket read touches strictly fewer files
+    man = table._manifest()
+    total_files = sum(len(fl) for fl in man["files"].values())
+    assert total_files > 1
+    probe = table.read(buckets=[0])
+    n_b0 = len(probe.inputFiles())
+    assert 0 < n_b0 < total_files
