@@ -865,32 +865,70 @@ class SnapshotTable:
         )
         return d.filter(F.col("op") != "noop")
 
-    def compact(self, max_commit_retries: int = 5) -> dict[str, Any]:
-        """Rewrite every bucket into fresh files (small-file maintenance,
-        like Iceberg rewrite_data_files). New snapshot; no logical change.
-        Loses any commit race gracefully: rebase = re-read the (new) current
-        snapshot and rewrite that, bounded by ``max_commit_retries``."""
+    def compact(
+        self,
+        max_commit_retries: int = 5,
+        min_files: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> dict[str, Any]:
+        """Rewrite buckets into fresh files (small-file maintenance, like
+        Iceberg ``rewrite_data_files``). New snapshot; no logical change.
+
+        Targeting — the 100 TB shape, where a full-table rewrite is not an
+        option:
+
+        - ``min_files=N``: only buckets whose manifest lists >= N files are
+          rewritten (binpack the fragmented buckets, leave healthy ones
+          byte-untouched — their file lists carry over into the new
+          manifest, copy-on-write style);
+        - ``buckets=[...]``: an explicit bucket subset;
+        - neither: every bucket (the original full rewrite).
+
+        A no-op selection (nothing fragmented) commits NOTHING and returns
+        ``{"skipped": True}``. Loses any commit race gracefully: rebase =
+        re-read the (new) current snapshot and re-select, bounded by
+        ``max_commit_retries``."""
         attempt = 0
         while True:
             try:
-                return self._compact_attempt()
+                return self._compact_attempt(min_files, buckets)
             except CommitConflict:
                 attempt += 1
                 if attempt > max_commit_retries:
                     raise
 
-    def _compact_attempt(self) -> dict[str, Any]:
+    def _compact_attempt(
+        self,
+        min_files: int | None = None,
+        buckets: list[int] | None = None,
+    ) -> dict[str, Any]:
         man = self._manifest()
+        if buckets is not None:
+            targets = sorted(set(int(b) for b in buckets))
+        elif min_files is not None:
+            targets = sorted(
+                int(b) for b, fl in man["files"].items()
+                if len(fl) >= min_files
+            )
+        else:
+            targets = sorted(int(b) for b in man["files"])
+        if not targets:
+            return {"skipped": True, "version": man["version"],
+                    "compacted_buckets": [], "n_files": 0}
         new_version = man["version"] + 1
         snapshot_id = uuid.uuid4().hex
-        raw = self.read_raw(man["version"]).withColumn(BUCKET, self._bucket_col())
+        raw = self.read_raw(man["version"], buckets=targets).withColumn(
+            BUCKET, self._bucket_col()
+        )
         data_dir = os.path.join(
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
-        raw.repartition(man["n_buckets"], BUCKET).write.mode("overwrite").partitionBy(
+        raw.repartition(len(targets), BUCKET).write.mode("overwrite").partitionBy(
             BUCKET
         ).parquet(data_dir)
-        files = {}
+        # untouched buckets carry their existing file lists forward
+        files = {b: fl for b, fl in man["files"].items()
+                 if int(b) not in set(targets)}
         for entry in self.io.list_dirs(data_dir):
             if entry.startswith(f"{BUCKET}="):
                 bk = entry.split("=", 1)[1]
@@ -910,7 +948,12 @@ class SnapshotTable:
             "quarantine_dir": None,  # a compaction rejects nothing
         }
         self._commit(manifest)
-        return {"version": new_version, "n_files": sum(map(len, files.values()))}
+        return {
+            "skipped": False,
+            "version": new_version,
+            "compacted_buckets": targets,
+            "n_files": sum(map(len, files.values())),
+        }
 
     # ---------------------------------------------------------- maintenance
     def remove_orphans(self, min_versions_old: int = 1) -> dict[str, Any]:

@@ -718,3 +718,32 @@ def test_bucket_pruned_lookup(spark, tmp_path, target_df, target_pdf):
     probe = table.read(buckets=[0])
     n_b0 = len(probe.inputFiles())
     assert 0 < n_b0 < total_files
+
+def test_targeted_compaction(spark, tmp_path, target_df, changelog_df):
+    """compact(buckets=[...]) rewrites ONLY the targeted buckets: untouched
+    buckets' file lists carry over byte-identical (copy-on-write), state is
+    unchanged, changes() across the compaction is empty, and a min_files
+    selection that matches nothing commits nothing."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    replay_batches(table, changelog_df, n_batches=2, checkpoint_id="frag")
+    man = table._manifest()
+    present = sorted(int(b) for b in man["files"])
+    targets = present[:2]
+    untouched = present[2:]
+    assert targets and untouched
+    before = _state(table)
+    v_before = table.current_version()
+
+    res = table.compact(buckets=targets)
+    assert not res["skipped"] and res["compacted_buckets"] == targets
+    man2 = table._manifest()
+    for b in untouched:  # byte-identical carry-over
+        assert man2["files"][str(b)] == man["files"][str(b)]
+    for b in targets:    # rewritten into the new snapshot dir
+        assert man2["files"][str(b)] != man["files"][str(b)]
+        assert len(man2["files"][str(b)]) == 1
+    pd.testing.assert_frame_equal(_state(table), before)
+    assert table.changes(v_before).count() == 0  # no logical change
+    # nothing has >= 99 files -> no-op, no commit
+    res2 = table.compact(min_files=99)
+    assert res2["skipped"] and table.current_version() == res["version"]
