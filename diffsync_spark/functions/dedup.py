@@ -497,9 +497,15 @@ def neardup_components(
     each round shuffles edges + one (id, comp) pair per non-singleton
     node, never documents.
     """
-    edges = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    # materialize the directed pair list ONCE before symmetrizing: the
+    # union's two branches would otherwise each evaluate the full upstream
+    # pair-generation pipeline (minhash signatures + banding + verify) —
+    # measured ~2x the candidate-generation cost on the neardup_dedup bench
+    base = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint()
+    edges = base.union(
+        base.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
