@@ -1226,6 +1226,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "lang", "copy_idx")
 
     q["repeat_dataset"] = repeat
+
+    # --- weighted multi-corpus training mix (per-source epochs in one
+    # Generate pass; md5-slice fractional membership, engine-portable)
+    def mix(spark, sf):
+        from diffsync_spark.functions.sampling import mix_weighted
+
+        return mix_weighted(
+            _docs(spark, sf).select("doc_id", "source", "lang"),
+            "source",
+            {"src0": 2.3, "src1": 1.0, "src2": 0.4, "src3": 0.0},
+            ["doc_id"], salt="mixgate", default_weight=0.5,
+        ).select("doc_id", "source", "lang", "copy_idx")
+
+    q["mix_weighted"] = mix
     return q
 
 
@@ -1670,7 +1684,13 @@ GROUP BY user_id, session_idx"""
 SELECT "column", n_rows, n_nulls, round(null_frac, 6) AS null_frac,
        n_distinct, min_str, max_str, round(avg_len, 6) AS avg_len
 FROM ({_prof})"""
-    from diffsync_spark.functions.sampling import repeat_sql
+    from diffsync_spark.functions.sampling import mix_sql, repeat_sql
+
+    o["mix_weighted"] = mix_sql(
+        "SELECT doc_id, source, lang FROM documents", "source",
+        {"src0": 2.3, "src1": 1.0, "src2": 0.4, "src3": 0.0},
+        ["doc_id"], salt="mixgate", default_weight=0.5,
+    )
 
     o["repeat_dataset"] = repeat_sql(
         "SELECT doc_id, lang FROM documents", 2.3, ["doc_id"], salt="mix"

@@ -31,6 +31,7 @@ from diffsync_spark.functions.similarity import (
 from diffsync_spark.functions.sampling import (
     filter_top_fraction,
     hash_sample,
+    mix_weighted,
     repeat_dataset,
     split_column,
     stratified_sample,
@@ -53,6 +54,7 @@ __all__ = [
     "profile",
     "filter_top_fraction",
     "hash_sample",
+    "mix_weighted",
     "repeat_dataset",
     "split_column",
     "stratified_sample",

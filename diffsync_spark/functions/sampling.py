@@ -269,3 +269,79 @@ def split_sql(
         cutoff = format(min(int(acc * _SPACE), _SPACE - 1), "08x")
         clauses.append(f"WHEN {h} < '{cutoff}' THEN '{name}'")
     return f"CASE {' '.join(clauses)} ELSE '{names[-1]}' END"
+
+def mix_weighted(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    salt: str = "mix",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Weighted multi-corpus training mix in ONE Generate pass: each row's
+    expected multiplicity is its source's weight ("2.3 epochs of src A,
+    0.5 of src B, drop the rest"). Per row: ``floor(w)`` guaranteed copies
+    plus one more for the deterministic md5-slice of size ``frac(w)`` —
+    the same engine-portable membership rule as :func:`hash_sample` /
+    :func:`repeat_dataset`, so membership is stable across reruns and
+    engines. Adds ``copy_idx`` (0-based); weight-0 sources drop out.
+
+    Scale shape: a literal ``create_map`` lookup + Generate — no shuffle,
+    no per-source scans, no union of N filtered branches; one pass over
+    the corpus regardless of source count. Sources absent from
+    ``weights`` get ``default_weight``.
+    """
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0, got {default_weight}")
+    base_map = F.create_map(
+        *[F.lit(x) for s, w in weights.items() for x in (s, int(w))]
+    )
+    cut_map = F.create_map(
+        *[F.lit(x) for s, w in weights.items()
+          for x in (s, _hex_threshold(w - int(w)))]
+    )
+    src = F.col(source_col).cast("string")
+    base = F.coalesce(base_map[src], F.lit(int(default_weight)))
+    cutoff = F.coalesce(
+        cut_map[src],
+        F.lit(_hex_threshold(default_weight - int(default_weight))),
+    )
+    extra = (F.substring(_key_hash(key_cols, salt), 1, 8) < cutoff).cast("int")
+    n_copies = (base + extra).cast("int")
+    idx = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(idx))
+
+
+def mix_sql(
+    table_expr: str,
+    source_col: str,
+    weights: dict[str, float],
+    key_cols: list[str],
+    salt: str = "mix",
+    default_weight: float = 0.0,
+) -> str:
+    """DuckDB twin of :func:`mix_weighted` (bit-exact copies)."""
+    h = f"substr({_key_hash_sql(key_cols, salt)}, 1, 8)"
+    base_case = (
+        f"CASE CAST({source_col} AS VARCHAR) "
+        + " ".join(f"WHEN '{s}' THEN {int(w)}" for s, w in weights.items())
+        + f" ELSE {int(default_weight)} END"
+    )
+    cut_case = (
+        f"CASE CAST({source_col} AS VARCHAR) "
+        + " ".join(
+            f"WHEN '{s}' THEN '{_hex_threshold(w - int(w))}'"
+            for s, w in weights.items()
+        )
+        + f" ELSE '{_hex_threshold(default_weight - int(default_weight))}' END"
+    )
+    return f"""
+SELECT t.*, CAST(unnest(range(0,
+         {base_case} + CASE WHEN {h} < {cut_case} THEN 1 ELSE 0 END)) AS INT)
+       AS copy_idx
+FROM ({table_expr}) t"""

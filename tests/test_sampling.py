@@ -417,3 +417,53 @@ def test_sessionize_single_shuffle(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert plan.count("Sort") == 1
+
+def test_mix_weighted(spark):
+    """Per-source multiplicities: weight 2.0 -> exactly 2 copies of every
+    row; 0 -> dropped; default applies to unlisted sources; fractional
+    weights select the SAME deterministic md5-slice as repeat_dataset; one
+    Generate, no shuffle."""
+    from diffsync_spark.functions.sampling import mix_weighted, repeat_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}") for i in range(400)], "doc_id long, source string"
+    )
+    out = mix_weighted(df, "source", {"src0": 2.0, "src1": 0.0, "src2": 0.5},
+                       ["doc_id"], salt="t")
+    pdf = out.toPandas()
+    by_src = pdf.groupby("source")["doc_id"].count().to_dict()
+    assert by_src.get("src0") == 200           # 2.0 -> every row twice
+    assert "src1" not in by_src                # 0.0 -> dropped
+    assert 20 <= by_src.get("src2", 0) <= 80   # 0.5-slice of 100
+    assert "src3" not in by_src                # default_weight 0
+    # fractional membership == repeat_dataset's slice (same rule, same salt)
+    want = {r.doc_id for r in repeat_dataset(
+        df.filter("source = 'src2'"), 0.5, ["doc_id"], salt="t").collect()}
+    got = {r.doc_id for r in out.filter("source = 'src2'").collect()}
+    assert got == want
+    # copy_idx is 0..n-1 per row
+    assert set(pdf[pdf.source == "src0"]["copy_idx"]) == {0, 1}
+    # plan: pure Generate, no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Generate" in plan
+
+
+def test_mix_weighted_matches_duckdb(spark):
+    import duckdb
+
+    from diffsync_spark.functions.sampling import mix_sql, mix_weighted
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "source")
+    w = {"src0": 2.3, "src1": 1.0, "src2": 0.4}
+    got = (mix_weighted(docs, "source", w, ["doc_id"], default_weight=0.25)
+           .toPandas().sort_values(["doc_id", "copy_idx"]).reset_index(drop=True))
+    sql = mix_sql("SELECT doc_id, source FROM "
+                  f"'{sf}/documents.parquet'", "source", w, ["doc_id"],
+                  default_weight=0.25)
+    want = (duckdb.sql(sql).df()
+            .sort_values(["doc_id", "copy_idx"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["doc_id"].values == want["doc_id"].values).all()
+    assert (got["copy_idx"].values == want["copy_idx"].values).all()

@@ -412,3 +412,41 @@ def test_pipe_changes_cascade(spark, tmp_path, target_df, changelog_df):
                           batch_id=down.committed_batch("cascade"))
     assert res["skipped"]
     pd.testing.assert_frame_equal(state(down), s)
+
+def test_pipe_changes_propagates_schema_evolution(spark, tmp_path, target_df):
+    """An upstream commit that ADDS a column must flow through the cascade:
+    changes() carries the evolved after-struct, apply_diff maps it into the
+    downstream merge, and the downstream table widens its schema — the
+    bronze->silver evolution path, no manual DDL."""
+    import datetime
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import pipe_changes
+
+    up = SnapshotTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    up.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="boot", batch_id=0)
+    down = SnapshotTable.create(
+        spark, str(tmp_path / "down"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    pipe_changes(up, down, checkpoint_id="evo")
+    assert "tool_call_id" not in down.read().columns
+
+    ts = datetime.datetime(2031, 1, 1)
+    evolved = spark.createDataFrame(
+        [("ev_conv", 1, "assistant", "calls a tool", None, ts, "insert",
+          "call_abc123")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string, tool_call_id string",
+    )
+    up.merge(evolved, checkpoint_id="chg", batch_id=1)
+    pipe_changes(up, down, checkpoint_id="evo")
+    got = down.read()
+    assert "tool_call_id" in got.columns          # downstream widened
+    row = got.filter(F.col("conv_id") == "ev_conv").first()
+    assert row.tool_call_id == "call_abc123"
+    # pre-existing rows read NULL through the widened schema
+    assert got.filter(F.col("tool_call_id").isNull()).count() == target_df.count()
