@@ -26,6 +26,7 @@ from diffsync_spark.functions.dedup import (
 from diffsync_spark.functions.similarity import (
     build_ann_index,
     cosine_topk,
+    extend_ann_index,
     lsh_cosine_topk,
 )
 from diffsync_spark.functions.sampling import (
@@ -72,5 +73,6 @@ __all__ = [
     "embedding_neardup_pairs",
     "build_ann_index",
     "cosine_topk",
+    "extend_ann_index",
     "lsh_cosine_topk",
 ]

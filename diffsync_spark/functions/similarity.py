@@ -109,6 +109,35 @@ def build_ann_index(
     return meta
 
 
+def extend_ann_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incrementally add vectors to an existing :func:`build_ann_index`
+    layout: signatures are computed with the INDEX'S recorded planes
+    (``(seed, dim)`` from the sidecar — never the caller's parameters, so
+    an extension can't silently fork the plane family) and appended as new
+    files inside the same bucket partitions. Probes see old + new rows
+    with no rebuild; cost is O(new vectors), not O(corpus).
+
+    Dedup responsibility stays with the caller (append-only, like the
+    reference store's ``add``); for replace semantics rebuild or dedup at
+    probe time."""
+    with open(os.path.join(path, ANN_META_FILE)) as f:
+        meta = json.load(f)
+    rng = np.random.default_rng(meta["seed"])
+    planes = rng.standard_normal((meta["n_planes"], meta["dim"]))
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        _plane_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    c.write.mode("append").partitionBy("bucket").parquet(path)
+    return meta
+
+
 def lsh_cosine_topk(
     corpus: DataFrame | None,
     queries: DataFrame,

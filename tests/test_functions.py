@@ -561,3 +561,36 @@ def test_png_through_decode_assets(spark):
     # video remains the honest stub boundary
     vids = feats[feats.kind == "video"]
     assert (~vids["decode_ok"]).all()
+
+def test_extend_ann_index(spark, tmp_path):
+    """Incremental index maintenance: extended vectors use the INDEX'S
+    planes (from the sidecar), land in the right bucket partitions, and
+    are found by subsequent probes with no rebuild. The extended index
+    must equal a from-scratch build over the full corpus."""
+    from diffsync_spark.functions.similarity import (
+        build_ann_index, extend_ann_index,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = [(i, rng.standard_normal(16).astype(float).tolist())
+            for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old, new = corpus.filter("vec_id < 100"), corpus.filter("vec_id >= 100")
+    idx = str(tmp_path / "idx")
+    build_ann_index(old, idx, n_planes=8, seed=4)
+    meta = extend_ann_index(new, idx)
+    assert meta["n_planes"] == 8 and meta["seed"] == 4
+    # probing for a NEW vector finds itself at rank 1
+    q = new.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_cosine_topk(None, q, k=3, probes=4, index_path=idx).toPandas()
+    for qid in got["query_id"].unique():
+        top = got[(got.query_id == qid) & (got["rank"] == 1)]
+        assert top.iloc[0]["vec_id"] == qid
+    # extended layout == from-scratch build over the full corpus
+    full = str(tmp_path / "full")
+    build_ann_index(corpus, full, n_planes=8, seed=4)
+    a = spark.read.parquet(idx).select("vec_id", "bucket").toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = spark.read.parquet(full).select("vec_id", "bucket").toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (a["bucket"].values == b["bucket"].values).all()
