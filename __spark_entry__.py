@@ -1240,6 +1240,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source", "lang", "copy_idx")
 
     q["mix_weighted"] = mix
+
+    # --- corpus-wide line-level boilerplate removal (RefinedWeb/CCNet
+    # pass). The fixture docs are single-line, so both sides append the
+    # same deterministic footer (shared across all docs → dropped) and a
+    # per-doc unique line (kept) before the pass.
+    def boiler(spark, sf):
+        from diffsync_spark.functions.text import remove_boilerplate_lines
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.coalesce("text", F.lit("")),
+                F.lit("\ncookie consent banner text"),
+                F.lit("\nunique line "), F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        out = remove_boilerplate_lines(docs, max_docs=25)
+        return out.select("doc_id", "clean_text", "n_lines", "n_dropped")
+
+    q["boilerplate_lines"] = boiler
     return q
 
 
@@ -1690,6 +1710,14 @@ FROM ({_prof})"""
         "SELECT doc_id, source, lang FROM documents", "source",
         {"src0": 2.3, "src1": 1.0, "src2": 0.4, "src3": 0.0},
         ["doc_id"], salt="mixgate", default_weight=0.5,
+    )
+    from diffsync_spark.functions.text import boilerplate_sql
+
+    o["boilerplate_lines"] = boilerplate_sql(
+        "SELECT doc_id, coalesce(text, '') || chr(10) || "
+        "'cookie consent banner text' || chr(10) || 'unique line ' || "
+        "CAST(doc_id AS VARCHAR) AS text FROM documents",
+        max_docs=25,
     )
 
     o["repeat_dataset"] = repeat_sql(

@@ -13,6 +13,7 @@ from diffsync_spark.functions.text import (
     quality_features,
     lang_id,
     fingerprint_col,
+    remove_boilerplate_lines,
 )
 from diffsync_spark.functions.dedup import (
     dedup_near_duplicates,
@@ -62,6 +63,7 @@ __all__ = [
     "sessionize",
     "token_count_col",
     "quality_features",
+    "remove_boilerplate_lines",
     "lang_id",
     "fingerprint_col",
     "dedup_near_duplicates",

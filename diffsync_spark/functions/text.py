@@ -178,3 +178,117 @@ def scrub_sql(text_expr: str) -> str:
     for _, pattern, token in _SCRUB_RULES:
         out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
     return out
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int | None = None,
+    max_doc_frac: float = 0.05,
+    min_line_chars: int = 6,
+) -> DataFrame:
+    """Corpus-wide line-level dedup (the RefinedWeb/CCNet boilerplate
+    pass): a line whose normalized form appears in more than ``max_docs``
+    distinct documents (default: ``max_doc_frac`` of the corpus) is
+    navigation/footer/cookie-wall boilerplate and is dropped from EVERY
+    document; remaining lines are reassembled in original order. Lines
+    shorter than ``min_line_chars`` after trimming are always kept (short
+    common lines — list bullets, closings — are content, and counting
+    them would make the frequency table needlessly hot).
+
+    Output: ``(id_col, clean_text, n_lines, n_dropped)``.
+
+    Scale shape: lines shuffle as 8-byte xxhash64 keys (never the line
+    text) for the distinct-doc count; the resulting boilerplate key set is
+    tiny by construction (only keys above the frequency threshold) and
+    broadcast back — the corpus itself is scanned twice but never
+    shuffled by line, and the reassembly groups by ``id_col`` only.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    countable = F.length(norm) >= min_line_chars
+    lk = F.xxhash64(norm)
+    if max_docs is None:
+        n_total = df.count()  # one tiny agg job, a driver scalar like the
+        # dim probes — the threshold must be a literal for the broadcast
+        max_docs = max(1, int(max_doc_frac * n_total))
+    boiler = (
+        lines.filter(countable)
+        .select(lk.alias("lk"), id_col)
+        .distinct()
+        .groupBy("lk")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("lk")
+    )
+    tagged = lines.withColumn(
+        "__lk", F.when(countable, lk)  # NULL for always-kept short lines
+    )
+    kept = tagged.join(
+        F.broadcast(boiler), tagged["__lk"] == boiler["lk"], "left_anti"
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+            F.count("*").alias("n_lines"),
+        )
+        .join(
+            lines.groupBy(id_col).agg(F.count("*").alias("__n0")), id_col
+        )
+        .select(
+            id_col, "clean_text", "n_lines",
+            (F.col("__n0") - F.col("n_lines")).alias("n_dropped"),
+        )
+    )
+
+
+def boilerplate_sql(
+    table_expr: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 10,
+    min_line_chars: int = 6,
+) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_lines` (explicit
+    ``max_docs`` — the caller pins the threshold so both engines share a
+    literal)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col}, u.line, u.pos
+  FROM ({table_expr}) t,
+       LATERAL (SELECT unnest(string_split(coalesce({text_col}, ''),
+                                           chr(10))) AS line,
+                       generate_subscripts(string_split(
+                         coalesce({text_col}, ''), chr(10)), 1) AS pos) u),
+boiler AS (
+  SELECT lower(trim(line)) AS nl
+  FROM (SELECT DISTINCT lower(trim(line)) AS line, {id_col}
+        FROM lines WHERE length(trim(line)) >= {min_line_chars})
+  GROUP BY 1 HAVING count(*) > {max_docs}),
+kept AS (
+  SELECT l.* FROM lines l
+  WHERE length(trim(l.line)) < {min_line_chars}
+     OR lower(trim(l.line)) NOT IN (SELECT nl FROM boiler))
+SELECT k.{id_col},
+       string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+       count(*) AS n_lines,
+       n0.n - count(*) AS n_dropped
+FROM kept k
+JOIN (SELECT {id_col}, count(*) AS n FROM lines GROUP BY 1) n0
+  USING ({id_col})
+GROUP BY k.{id_col}, n0.n"""

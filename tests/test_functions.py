@@ -594,3 +594,41 @@ def test_extend_ann_index(spark, tmp_path):
     b = spark.read.parquet(full).select("vec_id", "bucket").toPandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert (a["bucket"].values == b["bucket"].values).all()
+
+def test_remove_boilerplate_lines(spark):
+    """Corpus-wide line dedup: the shared footer (in every doc) drops, the
+    unique content stays, short lines are never counted, order preserved."""
+    from diffsync_spark.functions.text import remove_boilerplate_lines
+
+    rows = [(i, f"real content of doc {i}\n- a\nsubscribe to our newsletter\n"
+                f"second line {i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_lines(df, max_docs=5).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert len(out) == 50
+    r = out.loc[7]
+    assert r["clean_text"] == "real content of doc 7\n- a\nsecond line 7"
+    assert r["n_lines"] == 3 and r["n_dropped"] == 1
+
+
+def test_boilerplate_matches_duckdb(spark):
+    import duckdb
+
+    from diffsync_spark.functions.text import (
+        boilerplate_sql,
+        remove_boilerplate_lines,
+    )
+
+    rows = [(i, f"alpha {i % 3}\nthe cookie banner text\nbody {i}\nx")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = remove_boilerplate_lines(df, max_docs=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(
+        boilerplate_sql("SELECT * FROM t", max_docs=8)
+        + " ORDER BY doc_id").df().reset_index(drop=True)
+    assert (got["clean_text"].values == want["clean_text"].values).all()
+    assert (got["n_dropped"].values == want["n_dropped"].values).all()
