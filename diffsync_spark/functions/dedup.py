@@ -41,6 +41,24 @@ def content_key(text: Column) -> tuple[Column, Column]:
     return F.xxhash64(norm), F.xxhash64(norm, F.lit(0x9E3779B9))
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin a narrow input across the cluster when the scan gave
+    fewer partitions than cores. Spark sizes scan partitions by BYTES
+    (maxPartitionBytes), which under-parallelizes compute-heavy per-row
+    work over small files — a 30 MB corpus file lands on ONE core while
+    tokenize+shingle+K-hash burns seconds there (measured: the sf0.1
+    minhash signature stage ran 1 task for ~6s on a 32-core host). At
+    real corpus scale the scan already yields >= cores partitions and
+    this is a no-op; the repartition only fires in the
+    small-file/under-parallel regime where shuffling the input is cheap
+    by construction."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per normalized-text group.
     The window partitions on the 128-bit content key, NOT the raw text —
@@ -141,7 +159,9 @@ def ngram_jaccard_pairs(
     stop-shingle — at threshold≥0.5 such pairs are near-impossible unless
     the docs are themselves stop-text.
     """
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    texts = _spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
     inv = texts.select(
         "id", F.explode(shingles_col(F.col("__text"), n)).alias("g")
     ).select("id", F.xxhash64("g").alias("gh"))
@@ -194,7 +214,7 @@ def minhash_signature_frame(
     exchange). Bit-identical values to :func:`minhash_signature`; ~50×
     faster because the shingle chain is evaluated once per doc instead of
     once per hash."""
-    sh_rows = df.select(
+    sh_rows = _spread_small_input(df).select(
         F.col(id_col).alias("id"),
         F.explode(shingles_col(F.col(text_col), n)).alias("__s"),
     )
@@ -335,7 +355,7 @@ def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
     The pandas_udf is created lazily (needs an active session to parse the
     return type)."""
     udf = pandas_udf(_simhash64_batch, "long")
-    return df.withColumn("simhash", udf(F.col(text_col)))
+    return _spread_small_input(df).withColumn("simhash", udf(F.col(text_col)))
 
 
 def simhash_neardup_pairs(
