@@ -76,6 +76,26 @@ def _loadavg() -> float:
         return -1.0
 
 
+def _membw_gbps() -> float:
+    """One-shot host memory-bandwidth probe (first-touch + copy of 64 MB).
+    This sandbox's documented failure mode is EXTERNAL memory-system
+    pressure that loadavg barely registers (idle ~20 GB/s, crushed
+    <0.1 GB/s with loadavg under 2) — embedding the reading per rep makes
+    a contended measurement self-evident in the artifact."""
+    try:
+        import numpy as np
+
+        import time as _t
+        x = np.zeros(64 * 1024 * 1024 // 8)
+        t0 = _t.perf_counter()
+        y = x.copy()
+        dt = _t.perf_counter() - t0
+        del y
+        return round(2 * x.nbytes / dt / 1e9, 2)
+    except Exception:
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -180,6 +200,7 @@ def main() -> None:
             "events_per_sec": round(total_events / dt, 1),
             "loadavg_before": load0,
             "loadavg_after": _loadavg(),
+            "membw_gbps_after": _membw_gbps(),
             "gc_s_total": round(sum(s["gc_s"] for s in stages), 1),
             "worst_skew": max(
                 (s["skew_max_over_median"] or 0 for s in stages), default=None
