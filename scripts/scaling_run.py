@@ -49,9 +49,12 @@ replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="scale")
 dt = time.perf_counter() - t0
 rows = table.read().count()
 shutil.rmtree(tbl, ignore_errors=True)
+import numpy as _np
+_x = _np.zeros(64 * 1024 * 1024 // 8)
+_t0 = time.perf_counter(); _y = _x.copy(); _bw = round(2 * _x.nbytes / (time.perf_counter() - _t0) / 1e9, 2)
 print("RESULT " + json.dumps({"cpus": cpus, "events": n_events,
       "seconds": round(dt, 2), "events_per_sec": round(n_events / dt, 1),
-      "final_rows": rows}))
+      "final_rows": rows, "membw_gbps_after": _bw}))
 spark.stop()
 """
 
