@@ -147,7 +147,20 @@ def stream_changes(
         cur = table.current_version()
         if cur > v:
             idle = 0
-            yield (v, cur, table.changes(v, cur))
+            try:
+                delta = table.changes(v, cur)
+            except FileNotFoundError as exc:
+                from diffsync_spark.errors import DiffSyncSparkError
+
+                raise DiffSyncSparkError(
+                    f"resume version {v} has been expired upstream "
+                    "(expire_snapshots dropped its manifest) — the tail "
+                    "cannot compute an incremental delta from it. "
+                    "Re-bootstrap the consumer (fresh checkpoint_id) or "
+                    "raise the upstream's expire_snapshots keep_last above "
+                    "the longest consumer lag."
+                ) from exc
+            yield (v, cur, delta)
             v = cur
         else:
             if (

@@ -450,3 +450,29 @@ def test_pipe_changes_propagates_schema_evolution(spark, tmp_path, target_df):
     assert row.tool_call_id == "call_abc123"
     # pre-existing rows read NULL through the widened schema
     assert got.filter(F.col("tool_call_id").isNull()).count() == target_df.count()
+
+def test_pipe_changes_expired_resume_is_loud(spark, tmp_path, target_df,
+                                             changelog_df):
+    """If the upstream expires the snapshot a consumer would resume from,
+    the tail must fail with an actionable error — never a raw
+    FileNotFoundError or (worse) a silently wrong delta."""
+    import pytest as _pytest
+
+    from diffsync_spark.errors import DiffSyncSparkError
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import pipe_changes, replay_batches
+
+    up = SnapshotTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    up.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="boot", batch_id=0)
+    down = SnapshotTable.create(
+        spark, str(tmp_path / "down"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    pipe_changes(up, down, checkpoint_id="lag")   # resume point = v2
+    replay_batches(up, changelog_df, n_batches=5, checkpoint_id="chg")
+    up.expire_snapshots(keep_last=2)              # v2 manifest dropped
+    with _pytest.raises(DiffSyncSparkError, match="expired upstream"):
+        pipe_changes(up, down, checkpoint_id="lag")
