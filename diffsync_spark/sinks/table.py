@@ -722,21 +722,8 @@ class SnapshotTable:
         create/update upsert the ``after`` payload, delete tombstones the key.
         Force mode: the diff was computed against the current state, so it is
         authoritative (no LWW race)."""
-        actionable = diff_df.filter(F.col("op") != "noop")
-        after_fields = [f.name for f in actionable.schema["after"].dataType.fields]
-        before_fields = [f.name for f in actionable.schema["before"].dataType.fields]
-        ids = list(self.model.identifiers)
-        cols = [F.col(k) for k in ids] + [F.col("op")]
-        for name in after_fields:
-            cols.append(
-                F.when(F.col("op") != "delete", F.col(f"after.{name}"))
-                .otherwise(
-                    F.col(f"before.{name}") if name in before_fields else F.lit(None)
-                )
-                .alias(name)
-            )
         return self.merge(
-            actionable.select(*cols),
+            diff_to_batch(diff_df, self.model),
             checkpoint_id=checkpoint_id,
             batch_id=batch_id,
             mode="force",
@@ -1060,3 +1047,24 @@ class SnapshotTable:
             )
             expired.append(v)
         return {"expired_versions": expired, "removed_files": n_removed}
+
+def diff_to_batch(diff_df: DataFrame, model: ModelSchema) -> DataFrame:
+    """Project a diff frame (op, before/after structs) into the changelog
+    row shape a MERGE consumes: ``(key cols, op, payload cols)`` — the
+    after-image for creates/updates, the before-image for deletes. Shared
+    by ``apply_diff`` and the cascade's transform hook (``pipe_changes``),
+    so both paths apply identical diff semantics."""
+    actionable = diff_df.filter(F.col("op") != "noop")
+    after_fields = [f.name for f in actionable.schema["after"].dataType.fields]
+    before_fields = [f.name for f in actionable.schema["before"].dataType.fields]
+    ids = list(model.identifiers)
+    cols = [F.col(k) for k in ids] + [F.col("op")]
+    for name in after_fields:
+        cols.append(
+            F.when(F.col("op") != "delete", F.col(f"after.{name}"))
+            .otherwise(
+                F.col(f"before.{name}") if name in before_fields else F.lit(None)
+            )
+            .alias(name)
+        )
+    return actionable.select(*cols)

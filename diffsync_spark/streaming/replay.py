@@ -180,6 +180,7 @@ def pipe_changes(
     poll_interval: float = 1.0,
     until_version: int | None = None,
     max_idle_polls: int = 1,
+    transform=None,
 ) -> list[dict]:
     """Cascade one table into another: bootstrap ``downstream`` from
     ``upstream``'s current snapshot if this checkpoint has never run, then
@@ -198,14 +199,27 @@ def pipe_changes(
     (manifest pruning in ``changes``) and writes only buckets the delta
     touches (MERGE pruning in ``apply_diff``) — a small upstream commit
     flows through as a small downstream commit, never a table rewrite.
+
+    ``transform`` is the silver-layer hook: a callable
+    ``(DataFrame) -> DataFrame`` over the changelog row shape
+    ``(key cols, op, payload cols)`` — applied to the bootstrap snapshot
+    AND to every hop's delta rows before they merge, so cleansing/derived
+    columns (scrubbed text, quality scores, ...) are maintained
+    incrementally downstream. The transform must preserve the key and
+    ``op`` columns; added payload columns flow through the downstream
+    table's normal schema evolution.
     """
+    from diffsync_spark.sinks.table import diff_to_batch
+
     results: list[dict] = []
     resume = downstream.committed_batch(checkpoint_id)
     if resume < 0:
         boot_v = upstream.current_version()
-        snap = upstream.read(boot_v)
+        rows = upstream.read(boot_v).withColumn("op", F.lit("insert"))
+        if transform is not None:
+            rows = transform(rows)
         results.append(downstream.merge(
-            snap.withColumn("op", F.lit("insert")), mode="force",
+            rows, mode="force",
             checkpoint_id=checkpoint_id, batch_id=boot_v,
         ))
         resume = boot_v
@@ -213,7 +227,14 @@ def pipe_changes(
         upstream, from_version=resume, poll_interval=poll_interval,
         until_version=until_version, max_idle_polls=max_idle_polls,
     ):
-        results.append(downstream.apply_diff(
-            delta, checkpoint_id=checkpoint_id, batch_id=v_to
-        ))
+        if transform is None:
+            results.append(downstream.apply_diff(
+                delta, checkpoint_id=checkpoint_id, batch_id=v_to
+            ))
+        else:
+            batch = transform(diff_to_batch(delta, downstream.model))
+            results.append(downstream.merge(
+                batch, mode="force",
+                checkpoint_id=checkpoint_id, batch_id=v_to,
+            ))
     return results

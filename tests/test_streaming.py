@@ -476,3 +476,47 @@ def test_pipe_changes_expired_resume_is_loud(spark, tmp_path, target_df,
     up.expire_snapshots(keep_last=2)              # v2 manifest dropped
     with _pytest.raises(DiffSyncSparkError, match="expired upstream"):
         pipe_changes(up, down, checkpoint_id="lag")
+
+def test_pipe_changes_transform_silver_layer(spark, tmp_path, target_df):
+    """The cascade's transform hook: a derived column (token count) and a
+    cleansing rewrite (trimmed text) are applied to the bootstrap AND to
+    every incremental hop — the downstream is an incrementally-maintained
+    silver table, converging after updates and deletes."""
+    import datetime
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import pipe_changes
+
+    def silver(batch):
+        return batch.withColumn(
+            "text", F.trim(F.col("text"))
+        ).withColumn(
+            "n_tokens",
+            F.when(F.col("op") != "delete",
+                   F.size(F.split(F.trim(F.coalesce("text", F.lit(""))),
+                                  r"\s+"))),
+        )
+
+    up = SnapshotTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    up.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="boot", batch_id=0)
+    down = SnapshotTable.create(
+        spark, str(tmp_path / "down"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    pipe_changes(up, down, checkpoint_id="silver", transform=silver)
+    got = down.read()
+    assert "n_tokens" in got.columns
+    assert got.filter(F.col("n_tokens").isNull()).count() == 0
+
+    ts = datetime.datetime(2032, 1, 1)
+    up.merge(spark.createDataFrame(
+        [("sv_new", 1, "user", "  three token line  ", None, ts, "insert")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"),
+        checkpoint_id="chg", batch_id=1)
+    pipe_changes(up, down, checkpoint_id="silver", transform=silver)
+    row = down.read().filter(F.col("conv_id") == "sv_new").first()
+    assert row.text == "three token line" and row.n_tokens == 3
