@@ -702,6 +702,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipe_state"] = pipe_state
 
+    # --- the cascade's silver-layer transform hook: same two hops, but a
+    # deterministic transform (derived val_x2 column) applied at bootstrap
+    # AND at the delta hop — the oracle recomputes the derived column over
+    # the same patched state, certifying the hook maintains it
+    # incrementally through creates/updates/deletes.
+    def pipe_silver(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import pipe_changes
+
+        def silver(batch):
+            return batch.withColumn(
+                "val_x2", F.round(F.col("val") * 2, 6)
+            )
+
+        tmp = tempfile.mkdtemp(prefix="pipe_silver_")
+        snap = _src(spark, sf)
+        up = SnapshotTable.create(
+            spark, f"{tmp}/up", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        up.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        down = SnapshotTable.create(
+            spark, f"{tmp}/down", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        pipe_changes(up, down, checkpoint_id="silver", transform=silver)
+        up.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        pipe_changes(up, down, checkpoint_id="silver", transform=silver)
+        return down.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "val_x2",
+        )
+
+    q["pipe_silver_state"] = pipe_silver
+
     # --- two-table hierarchy sync end-to-end: parent (per-user bookkeeping)
     # + child (events) engines bootstrapped from the TARGET derivation, then
     # HierarchySync'd to the SOURCE derivation with natural deletion order +
@@ -1321,6 +1361,16 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["merge_state"] = _patch_core
     # the cascade must land exactly the merge_state final state downstream
     o["pipe_state"] = _patch_core
+    # transform hook: derived val_x2 recomputed from the RAW final value
+    # (the transform sees unrounded batch values on both hops)
+    o["pipe_silver_state"] = _patch_prefix + """
+SELECT coalesce(s_uid, c_uid) AS user_id,
+       coalesce(s_eid, c_eid) AS event_id,
+       CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+       round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
+       epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us,
+       round(2 * (CASE WHEN ev_wins THEN c_val ELSE s_val END), 6) AS val_x2
+FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # raw (unrounded) values here: the Spark side compares exact doubles
     o["table_changes"] = _patch_prefix + """,
 new_state AS (
