@@ -16,6 +16,8 @@ Shape notes for 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -42,19 +44,49 @@ def content_key(text: Column) -> tuple[Column, Column]:
 
 
 def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Round-robin a narrow input across the cluster when the scan gave
-    fewer partitions than cores. Spark sizes scan partitions by BYTES
-    (maxPartitionBytes), which under-parallelizes compute-heavy per-row
-    work over small files — a 30 MB corpus file lands on ONE core while
-    tokenize+shingle+K-hash burns seconds there (measured: the sf0.1
-    minhash signature stage ran 1 task for ~6s on a 32-core host). At
-    real corpus scale the scan already yields >= cores partitions and
-    this is a no-op; the repartition only fires in the
-    small-file/under-parallel regime where shuffling the input is cheap
-    by construction."""
+    """Round-robin a narrow LOCAL-FILE-SCAN input across the cluster when
+    the scan would give fewer partitions than cores. Spark sizes scan
+    partitions by BYTES (maxPartitionBytes), which under-parallelizes
+    compute-heavy per-row work over small files — a 30 MB corpus file
+    lands on ONE core while tokenize+shingle+K-hash burns seconds there
+    (measured: the sf0.1 minhash signature stage ran 1 task for ~6s on a
+    32-core host).
+
+    The check deliberately uses ``inputFiles()`` + file sizes, NOT
+    ``df.rdd.getNumPartitions()``: under AQE, ``df.rdd`` eagerly EXECUTES
+    the upstream plan's shuffle stages as real jobs at call time, and the
+    AQE-coalesced partition count would misfire the guard for shuffle-fed
+    inputs. Non-scan frames (shuffle-fed, in-memory) and non-local/object
+    -store paths pass through untouched — their parallelism was already
+    set upstream, and at real corpus scale the scan yields >= cores
+    partitions anyway."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    conf = df.sparkSession.conf.get(
+        "spark.sql.files.maxPartitionBytes", "134217728"
+    )
+    digits = "".join(ch for ch in str(conf) if ch.isdigit())
+    mpb = int(digits) if digits else 134_217_728
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            local = uri[len("file:"):]
+        elif "://" in uri or uri.startswith(("s3", "gs", "hdfs", "abfs")):
+            return df  # remote store: can't stat cheaply; pass through
+        else:
+            local = uri
+        try:
+            total += os.path.getsize(local)
+        except OSError:
+            return df
+    est_parts = max(len(files), -(-total // mpb))
+    if est_parts < target:
         return df.repartition(target)
     return df
 

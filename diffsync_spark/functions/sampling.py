@@ -291,6 +291,11 @@ def mix_weighted(
     the corpus regardless of source count. Sources absent from
     ``weights`` get ``default_weight``.
     """
+    if not weights:
+        raise ValueError(
+            "weights must name at least one source (use repeat_dataset for "
+            "a uniform factor)"
+        )
     for s, w in weights.items():
         if w < 0:
             raise ValueError(f"weight for {s!r} must be >= 0, got {w}")
@@ -326,6 +331,8 @@ def mix_sql(
     default_weight: float = 0.0,
 ) -> str:
     """DuckDB twin of :func:`mix_weighted` (bit-exact copies)."""
+    if not weights:
+        raise ValueError("weights must name at least one source")
     h = f"substr({_key_hash_sql(key_cols, salt)}, 1, 8)"
     base_case = (
         f"CASE CAST({source_col} AS VARCHAR) "

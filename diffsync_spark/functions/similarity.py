@@ -18,6 +18,8 @@ import os
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from diffsync_spark.sinks.fsio import LocalCommitIO
+
 from diffsync_spark.functions.dedup import (
     _plane_dots,
     _plane_signature,
@@ -78,6 +80,7 @@ def build_ann_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    io: LocalCommitIO | None = None,
 ) -> dict:
     """Persist the LSH-bucketed corpus ONCE — the compute-once/look-up-many
     contract of the reference's durable store
@@ -104,8 +107,12 @@ def build_ann_index(
     c.write.mode("overwrite").partitionBy("bucket").parquet(path)
     meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
             "format": "diffsync_spark/ann-v1"}
-    with open(os.path.join(path, ANN_META_FILE), "w") as f:
-        json.dump(meta, f)
+    # sidecar goes through the CommitIO seam (same reason as the table's
+    # manifests, sinks/fsio.py): swap it for an object-store backend and
+    # no raw local-fs open() is left in the index layer
+    (io or LocalCommitIO()).write_atomic(
+        os.path.join(path, ANN_META_FILE), json.dumps(meta)
+    )
     return meta
 
 
@@ -114,6 +121,7 @@ def extend_ann_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    io: LocalCommitIO | None = None,
 ) -> dict:
     """Incrementally add vectors to an existing :func:`build_ann_index`
     layout: signatures are computed with the INDEX'S recorded planes
@@ -125,8 +133,17 @@ def extend_ann_index(
     Dedup responsibility stays with the caller (append-only, like the
     reference store's ``add``); for replace semantics rebuild or dedup at
     probe time."""
-    with open(os.path.join(path, ANN_META_FILE)) as f:
-        meta = json.load(f)
+    meta = json.loads(
+        (io or LocalCommitIO()).read_text(os.path.join(path, ANN_META_FILE))
+    )
+    new_dim = new_vectors.select(F.size(vec_col).alias("d")).first().d
+    if new_dim != meta["dim"]:
+        # zip_with would NULL-pad a mismatched vector into a plausible but
+        # WRONG bucket — unfindable rows, silent index corruption
+        raise ValueError(
+            f"new vectors have dim {new_dim}, index was built with dim "
+            f"{meta['dim']} — rebuild the index or fix the input"
+        )
     rng = np.random.default_rng(meta["seed"])
     planes = rng.standard_normal((meta["n_planes"], meta["dim"]))
     c = new_vectors.select(
@@ -174,8 +191,9 @@ def lsh_cosine_topk(
     same probe count. ``'first'`` keeps the naive first-``probes``-planes
     flips (the recall baseline the tests compare against)."""
     if index_path is not None:
-        with open(os.path.join(index_path, ANN_META_FILE)) as f:
-            meta = json.load(f)
+        meta = json.loads(
+            LocalCommitIO().read_text(os.path.join(index_path, ANN_META_FILE))
+        )
         n_planes, seed, dim = meta["n_planes"], meta["seed"], meta["dim"]
     elif corpus is not None:
         dim = corpus.select(F.size(vec_col).alias("d")).first().d
@@ -247,7 +265,11 @@ def lsh_cosine_topk(
         # the query set is small by contract (same reason the exact path
         # broadcasts it), so the union of its probe buckets is a bounded
         # driver-side list: |Q|·(probes+1) longs, pushed into the scan as
-        # a partition filter — only probed buckets' files are read
+        # a partition filter — only probed buckets' files are read.
+        # localCheckpoint materializes the query-side plane-dot/signature
+        # plan ONCE: both the bucket collect and the probe join read the
+        # checkpointed rows instead of re-running the projection
+        q = q.localCheckpoint()
         buckets = [r.bucket for r in q.select("bucket").distinct().collect()]
         c = (
             queries.sparkSession.read.parquet(index_path)

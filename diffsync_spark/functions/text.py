@@ -197,7 +197,10 @@ def remove_boilerplate_lines(
     common lines — list bullets, closings — are content, and counting
     them would make the frequency table needlessly hot).
 
-    Output: ``(id_col, clean_text, n_lines, n_dropped)``.
+    Output: ``(id_col, clean_text, n_lines, n_dropped)`` — one row per
+    input document, ALWAYS: a document whose every line is boilerplate
+    comes back with ``clean_text=''`` and ``n_lines=0`` (realistic for
+    pure cookie-wall pages), never silently dropped.
 
     Scale shape: lines shuffle as 8-byte xxhash64 keys (never the line
     text) for the distinct-doc count; the resulting boilerplate key set is
@@ -230,30 +233,28 @@ def remove_boilerplate_lines(
     tagged = lines.withColumn(
         "__lk", F.when(countable, lk)  # NULL for always-kept short lines
     )
-    kept = tagged.join(
-        F.broadcast(boiler), tagged["__lk"] == boiler["lk"], "left_anti"
+    # LEFT join (not anti) + conditional aggregation: every document keeps
+    # its output row even when all its lines are boilerplate, and one
+    # groupBy produces clean_text/n_lines/n_dropped together (collect_list
+    # skips the NULLs the when() leaves for dropped lines)
+    dropped = F.col("lk").isNotNull()
+    flagged = tagged.join(
+        F.broadcast(boiler), tagged["__lk"] == boiler["lk"], "left"
     )
-    return (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "line"))
-                    ),
-                    lambda s: s["line"],
+    return flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~dropped, F.struct("pos", "line"))
+                    )
                 ),
-            ).alias("clean_text"),
-            F.count("*").alias("n_lines"),
-        )
-        .join(
-            lines.groupBy(id_col).agg(F.count("*").alias("__n0")), id_col
-        )
-        .select(
-            id_col, "clean_text", "n_lines",
-            (F.col("__n0") - F.col("n_lines")).alias("n_dropped"),
-        )
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count_if(~dropped).alias("n_lines"),
+        F.count_if(dropped).alias("n_dropped"),
     )
 
 
@@ -280,15 +281,16 @@ boiler AS (
   FROM (SELECT DISTINCT lower(trim(line)) AS line, {id_col}
         FROM lines WHERE length(trim(line)) >= {min_line_chars})
   GROUP BY 1 HAVING count(*) > {max_docs}),
-kept AS (
-  SELECT l.* FROM lines l
-  WHERE length(trim(l.line)) < {min_line_chars}
-     OR lower(trim(l.line)) NOT IN (SELECT nl FROM boiler))
-SELECT k.{id_col},
-       string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
-       count(*) AS n_lines,
-       n0.n - count(*) AS n_dropped
-FROM kept k
-JOIN (SELECT {id_col}, count(*) AS n FROM lines GROUP BY 1) n0
-  USING ({id_col})
-GROUP BY k.{id_col}, n0.n"""
+flagged AS (
+  SELECT l.*,
+         (length(trim(l.line)) >= {min_line_chars}
+          AND lower(trim(l.line)) IN (SELECT nl FROM boiler)) AS dropped
+  FROM lines l)
+SELECT {id_col},
+       coalesce(string_agg(CASE WHEN NOT dropped THEN line END, chr(10)
+                           ORDER BY pos), '') AS clean_text,
+       CAST(coalesce(sum(CASE WHEN NOT dropped THEN 1 END), 0) AS BIGINT)
+         AS n_lines,
+       CAST(coalesce(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT)
+         AS n_dropped
+FROM flagged GROUP BY {id_col}"""

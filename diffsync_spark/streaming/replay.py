@@ -134,10 +134,13 @@ def stream_changes(
     the caller decides what to do with each delta (merge downstream,
     publish, alert) and when to resume polling.
 
-    Termination: stops after ``max_idle_polls`` consecutive polls with no
-    new version once ``until_version`` (default: the version current at
-    first poll) has been reached — availableNow semantics. Pass
-    ``until_version=None, max_idle_polls=None`` to tail forever.
+    Termination: the tail drains up to ``until_version`` (default: the
+    version current at first poll) and returns — availableNow semantics;
+    hops never overshoot an explicit ``until_version`` even when the
+    table has advanced past it. With ``until_version=None,
+    max_idle_polls=None`` the generator tails forever;
+    ``max_idle_polls`` only matters in that open-ended mode as the
+    give-up bound when no ``until_version`` anchors termination.
     """
     v = table.current_version() if from_version is None else from_version
     if until_version is None and max_idle_polls is not None:
@@ -145,10 +148,13 @@ def stream_changes(
     idle = 0
     while True:
         cur = table.current_version()
-        if cur > v:
+        # never overshoot an explicit end version: the consumer asked for
+        # state AS OF until_version, not whatever landed since
+        hop_to = cur if until_version is None else min(cur, until_version)
+        if hop_to > v:
             idle = 0
             try:
-                delta = table.changes(v, cur)
+                delta = table.changes(v, hop_to)
             except FileNotFoundError as exc:
                 from diffsync_spark.errors import DiffSyncSparkError
 
@@ -160,17 +166,16 @@ def stream_changes(
                     "raise the upstream's expire_snapshots keep_last above "
                     "the longest consumer lag."
                 ) from exc
-            yield (v, cur, delta)
-            v = cur
-        else:
-            if (
-                max_idle_polls is not None
-                and (until_version is None or v >= until_version)
-            ):
-                idle += 1
-                if idle >= max_idle_polls:
-                    return
-            time.sleep(poll_interval)
+            yield (v, hop_to, delta)
+            v = hop_to
+            continue
+        if until_version is not None and v >= until_version:
+            return  # drained to the requested end — done, no idle wait
+        if max_idle_polls is not None:
+            idle += 1
+            if idle >= max_idle_polls:
+                return
+        time.sleep(poll_interval)
 
 
 def pipe_changes(

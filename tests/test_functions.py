@@ -632,3 +632,19 @@ def test_boilerplate_matches_duckdb(spark):
         + " ORDER BY doc_id").df().reset_index(drop=True)
     assert (got["clean_text"].values == want["clean_text"].values).all()
     assert (got["n_dropped"].values == want["n_dropped"].values).all()
+
+def test_boilerplate_keeps_all_boilerplate_docs(spark):
+    """A document whose EVERY line is boilerplate must come back with
+    clean_text='' — one output row per input doc, never silently lost
+    (review fix: the old anti-join + inner-join dropped such docs)."""
+    from diffsync_spark.functions.text import remove_boilerplate_lines
+
+    rows = [(i, "subscribe to our newsletter") for i in range(20)]
+    rows.append((99, "actual unique content here\nsubscribe to our newsletter"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_boilerplate_lines(df, max_docs=5).toPandas() \
+        .set_index("doc_id").sort_index()
+    assert len(out) == 21                       # every doc present
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_lines"] == 0
+    assert out.loc[3, "n_dropped"] == 1
+    assert out.loc[99, "clean_text"] == "actual unique content here"

@@ -520,3 +520,36 @@ def test_pipe_changes_transform_silver_layer(spark, tmp_path, target_df):
     pipe_changes(up, down, checkpoint_id="silver", transform=silver)
     row = down.read().filter(F.col("conv_id") == "sv_new").first()
     assert row.text == "three token line" and row.n_tokens == 3
+
+def test_stream_changes_respects_until_version(spark, tmp_path, target_df,
+                                               changelog_df):
+    """An explicit until_version is a hard end: hops never overshoot it
+    even when the table has advanced past it (review fix), and the
+    generator terminates without idle polling."""
+    import pandas as pd
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.sinks.table import SnapshotTable
+    from diffsync_spark.streaming.replay import replay_batches, stream_changes
+
+    up = SnapshotTable.create(
+        spark, str(tmp_path / "up"), TRANSCRIPT_MODEL,
+        schema=target_df.schema, n_buckets=4)
+    up.merge(target_df.withColumn("op", F.lit("insert")), mode="force",
+             checkpoint_id="boot", batch_id=0)
+    v_boot = up.current_version()
+    replay_batches(up, changelog_df, n_batches=4, checkpoint_id="chg")
+    stop_at = v_boot + 2
+    assert up.current_version() > stop_at
+    hops = list(stream_changes(up, from_version=v_boot,
+                               until_version=stop_at))
+    assert hops and hops[-1][1] == stop_at       # never past the ask
+    assert all(v_to <= stop_at for _, v_to, _ in hops)
+    # the drained delta equals the direct changes() over the same range
+    direct = up.changes(v_boot, stop_at).orderBy("conv_id", "turn_idx") \
+        .toPandas().reset_index(drop=True)
+    got = hops[0][2].orderBy("conv_id", "turn_idx").toPandas() \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "turn_idx", "op"]], direct[["conv_id", "turn_idx", "op"]]
+    )
