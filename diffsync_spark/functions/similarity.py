@@ -290,3 +290,110 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cosine", "rank")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    salt: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus
+    vectors with the smallest ``md5(salt|id)`` (the same engine-portable
+    hash-sampling contract as :mod:`diffsync_spark.functions.sampling` —
+    stable across reruns, repartitioning, and engines, so the DuckDB twin
+    selects the identical centroid set). A hash-sample of a corpus is the
+    classic cheap IVF seeding (k-means iterations refine recall but are
+    not required for the partitioning to be valid); at 10^10 vectors the
+    selection is a TakeOrdered over a single corpus scan."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("centv")
+        )
+        .orderBy(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col("cid").cast("string"))),
+            F.col("cid"),
+        )
+        .limit(n_centroids)
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    salt: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse partition — the
+    second ANN scale path next to :func:`lsh_cosine_topk`: every corpus
+    vector is assigned to its most-cosine-similar centroid, each query
+    probes its ``n_probe`` nearest centroids, and the exact rerank runs
+    only inside the probed cells (expected candidate fraction
+    ``n_probe / n_centroids`` of the corpus).
+
+    100 TB shape: the centroid set is tiny and BROADCAST both times it is
+    used — assignment is one corpus scan against broadcast centroids with
+    the argmax folded into a map-side-combining ``max(struct)`` aggregation
+    (the shuffle carries N rows, never the N x C scored pairs), and the
+    probe step joins broadcast (query, cell) pairs onto the assignment, so
+    the corpus itself is never shuffled by the probe. Ranking happens on
+    the round-6 cosine (``cosine_col``) with ties broken by id, so results
+    are deterministic and engine-portable. Output:
+    ``(query_id, vec_id, cosine, rank)`` — same contract as
+    :func:`cosine_topk`, which is also the recall oracle for this op."""
+    cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    # cell assignment: argmax_centroid cosine(doc, centroid); tie-break on
+    # the HIGHER cid so one max(struct) aggregation decides both fields
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cv",
+        F.struct(
+            cosine_col(F.col("cv"), F.col("centv")).alias("sim"),
+            F.col("cid").alias("cid"),
+        ).alias("sc"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.max("sc").alias("best"), F.first("cv").alias("cv"))
+        .select("vec_id", "cv", F.col("best.cid").alias("cid"))
+    )
+    # probe list: each query's n_probe nearest centroids (tiny frame)
+    qn = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qscore = qn.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "qv",
+        "cid",
+        cosine_col(F.col("qv"), F.col("centv")).alias("sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cid").desc()
+    )
+    probes = (
+        qscore.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "cid")
+    )
+    cand = assign.join(F.broadcast(probes), "cid").select(
+        "query_id",
+        "vec_id",
+        cosine_col(F.col("cv"), F.col("qv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

@@ -19,9 +19,11 @@ Layout::
     table_dir/
       manifests/v{N}.json     immutable snapshot manifests (exclusive-create)
       _current                atomic pointer (os.replace) to the live version
-      data/v{N}-{sid}/_bucket=K/   parquet written by commit N (sid = snapshot
-                                   id prefix: racing attempts write disjoint
-                                   dirs; losers leave unreferenced orphans)
+      data/v{N}-{sid}/_bucket=K/__slot=S/   parquet written by commit N (sid =
+                                   snapshot id prefix: racing attempts write
+                                   disjoint dirs; losers leave unreferenced
+                                   orphans; slot = the writer fan-out a key
+                                   hashes to — lookups prune to one slot)
       quarantine/v{N}-{sid}/       rejected rows per commit
 
 Design points for 100 TB:
@@ -49,6 +51,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from typing import Any, Sequence
 
@@ -62,8 +65,13 @@ from diffsync_spark.sinks.fsio import LocalCommitIO
 META_SEQ = "_seq"
 META_DELETED = "_deleted"
 BUCKET = "_bucket"
+SLOT = "__slot"
 UPSERT_OPS = ("insert", "update", "create", "upsert")
 DELETE_OP = "delete"
+
+# per-attempt data dir naming: v{version}-{snapshot_id[:12]} — the component
+# remove_orphans / liveness checks key on (bucket/slot dirs can never match)
+_VDIR_RE = re.compile(r"^v\d+-[0-9a-f]+$")
 
 
 class SnapshotTable:
@@ -220,15 +228,40 @@ class SnapshotTable:
             T.StructType([T.StructField(k, stored[k]) for k in ids]),
         )
         bucket_src = self.model.parent_key or ids
-        b = probe.select(
+        sel = probe.select(
             F.pmod(F.xxhash64(*bucket_src), F.lit(man["n_buckets"]))
-            .cast("int").alias("b")
-        ).first().b
-        cond = F.lit(True)
+            .cast("int").alias("b"),
+            # the writer's slot hash (over the FULL key) — Python % matches
+            # Spark pmod sign semantics for a positive modulus
+            F.xxhash64(*ids).alias("h"),
+        ).first()
+        files = self._lookup_files(man, sel.b, sel.h)
+        full = self._full_schema(public)
+        frame = (
+            self.spark.read.schema(full).parquet(*files)
+            if files else self.spark.createDataFrame([], full)
+        )
+        cond = ~F.coalesce(F.col(META_DELETED), F.lit(False))
         for k, v in zip(ids, key):
             cond = cond & (F.col(k) == F.lit(v))
-        rows = self.read(version, buckets=[b]).filter(cond).take(1)
+        rows = (
+            frame.filter(cond)
+            .select(*[f.name for f in public.fields])
+            .take(1)
+        )
         return rows[0].asDict() if rows else None
+
+    def _lookup_files(self, man: dict, bucket: int, key_hash: int) -> list[str]:
+        """Manifest file pruning for a point lookup: the key's bucket, then
+        — when that bucket was written with slot fan-out — only the one
+        ``__slot=S`` file set its hash routes to. A hot 64-slot bucket's
+        lookup reads 1/64th of the bucket; legacy flat layouts (no slot
+        dirs) fall back to the whole bucket."""
+        allfiles = man["files"].get(str(bucket), [])
+        slot = key_hash % int(man.get("bucket_splits", {}).get(str(bucket), 1))
+        seg = f"{os.sep}{SLOT}={slot}{os.sep}"
+        pruned = [p for p in allfiles if seg in p]
+        return pruned if pruned else allfiles
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -532,6 +565,67 @@ class SnapshotTable:
             batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
         )
 
+    def _plan_splits(self, est: dict[int, int]) -> dict[int, int]:
+        """Writer-slot plan: ``ceil(estimated_rows / target)`` slots per
+        bucket, capped at 64 — hot buckets fan out over several write tasks
+        (bounded file count), cold buckets stay single-file."""
+        total_est = sum(est.values()) or 1
+        parallelism = self.spark.sparkContext.defaultParallelism
+        target = max(total_est // max(parallelism * 2, 1), 25_000)
+        return {b: max(1, min(-(-n // target), 64)) for b, n in est.items()}
+
+    def _fanout_frame(
+        self, df: DataFrame, touched: list[int], splits: dict[int, int]
+    ) -> DataFrame:
+        """Salted write partitioning (the north rule's "salted
+        key-partitioned MERGE"): rows are hashed to slot
+        ``xxhash64(natural key) % splits[bucket]`` and repartitioned so each
+        (bucket, slot) pair is one write task / one file. The slot is also a
+        physical partition dir (``__slot=S``), so ``lookup`` can later prune
+        a hot bucket's read to the single file its key hashes into —
+        Iceberg's bucket-transform file pruning, one level deeper."""
+        if not touched:
+            return df.withColumn(SLOT, F.lit(0)).repartition(1, BUCKET)
+        split_map = F.create_map(
+            *[x for b in touched for x in (F.lit(b), F.lit(splits[b]))]
+        )
+        slot = F.pmod(
+            F.xxhash64(*self.model.identifiers), split_map[F.col(BUCKET)]
+        ).cast("int")
+        if max(splits.values()) > 1:
+            offsets, acc = {}, 0
+            for b in touched:
+                offsets[b] = acc
+                acc += splits[b]
+            off_map = F.create_map(
+                *[x for b in touched for x in (F.lit(b), F.lit(offsets[b]))]
+            )
+            gslot = (off_map[F.col(BUCKET)] + F.col(SLOT)).cast("int")
+            return df.withColumn(SLOT, slot).repartition(max(acc, 1), gslot)
+        return df.withColumn(SLOT, slot).repartition(
+            max(len(touched), 1), BUCKET
+        )
+
+    def _list_bucket_files(self, data_dir: str, bk: int) -> list[str]:
+        """Parquet files of one bucket in a freshly-written data dir —
+        both the slot layout (``_bucket=K/__slot=S/part-*``) and the legacy
+        flat layout (``_bucket=K/part-*``)."""
+        bdir = os.path.join(data_dir, f"{BUCKET}={bk}")
+        out = [
+            os.path.join(bdir, fn)
+            for fn in self.io.list_files(bdir)
+            if fn.endswith(".parquet")
+        ]
+        for entry in self.io.list_dirs(bdir):
+            if entry.startswith(f"{SLOT}="):
+                sdir = os.path.join(bdir, entry)
+                out.extend(
+                    os.path.join(sdir, fn)
+                    for fn in self.io.list_files(sdir)
+                    if fn.endswith(".parquet")
+                )
+        return out
+
     def _write_commit(
         self,
         merged: DataFrame,
@@ -552,15 +646,13 @@ class SnapshotTable:
         merged frame paid the in-memory columnar RLE encode/decode (dominant
         CPU in profiles) and recomputed the join on eviction.
 
-        Salted write partitioning (the north rule's "salted key-partitioned
-        MERGE"): one-writer-per-bucket straggles when a hot conversation's
-        bucket holds a large share of the batch. Each bucket gets
-        ``splits[b] = ceil(estimated_rows / target)`` writer slots; rows are
-        hashed to slot ``offset[b] + xxhash64(natural key) % splits[b]``, so
-        hot buckets fan out over several tasks (a few files each, bounded)
-        while cold buckets stay single-file. Estimates = this batch's
-        per-bucket row counts + the previous snapshot's stored per-bucket
-        sizes (``bucket_rows`` in the manifest)."""
+        Salted write partitioning: see :meth:`_fanout_frame` — hot buckets
+        fan out over several writer slots (slot = physical ``__slot=``
+        partition dir), cold buckets stay single-file. Slot-count estimates
+        = this batch's per-bucket row counts + the previous snapshot's
+        stored per-bucket sizes (``bucket_rows``); the chosen counts are
+        committed as ``bucket_splits`` so readers can recompute a key's
+        slot and prune a lookup to one file."""
         snapshot_id = snapshot_id or uuid.uuid4().hex
         # per-attempt unique dir: a concurrent writer racing on the same
         # new_version writes elsewhere; only the manifest commit decides
@@ -571,30 +663,8 @@ class SnapshotTable:
         est = {
             b: (batch_rows or {}).get(b, 0) + cur_rows.get(b, 0) for b in touched
         }
-        total_est = sum(est.values()) or 1
-        parallelism = self.spark.sparkContext.defaultParallelism
-        target = max(total_est // max(parallelism * 2, 1), 25_000)
-        splits = {b: max(1, min(-(-n // target), 64)) for b, n in est.items()}
-        offsets, acc = {}, 0
-        for b in touched:
-            offsets[b] = acc
-            acc += splits[b]
-        if touched and max(splits.values()) > 1:
-            off_map = F.create_map(
-                *[x for b in touched for x in (F.lit(b), F.lit(offsets[b]))]
-            )
-            split_map = F.create_map(
-                *[x for b in touched for x in (F.lit(b), F.lit(splits[b]))]
-            )
-            slot = (
-                off_map[F.col(BUCKET)]
-                + F.pmod(
-                    F.xxhash64(*self.model.identifiers), split_map[F.col(BUCKET)]
-                )
-            ).cast("int")
-            out = merged.repartition(max(acc, 1), slot)
-        else:
-            out = merged.repartition(max(len(touched), 1), BUCKET)
+        splits = self._plan_splits(est)
+        out = self._fanout_frame(merged, touched, splits)
         # per-bucket lineage counts ride the WRITE job as observed metrics
         # (conditional count_ifs are branch-cheap inside codegen) — this
         # replaces a whole post-write job that re-read the written files.
@@ -611,7 +681,7 @@ class SnapshotTable:
                 ).alias(f"b{b}_{oc}")
                 for b in touched for oc in _OPS
             ])
-        out.write.mode("overwrite").partitionBy(BUCKET).parquet(data_dir)
+        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         per_bucket: dict[tuple[int, str], int] = {}
         if obs is not None:
             m = obs.get
@@ -629,13 +699,9 @@ class SnapshotTable:
         # untouched buckets keep their old references (copy-on-write)
         files = {b: fl for b, fl in man["files"].items() if int(b) not in touched}
         for bk in touched:
-            bdir = os.path.join(data_dir, f"{BUCKET}={bk}")
-            listed = self.io.list_files(bdir)
+            listed = self._list_bucket_files(data_dir, bk)
             if listed:
-                files[str(bk)] = [
-                    os.path.join(bdir, fn) for fn in listed
-                    if fn.endswith(".parquet")
-                ]
+                files[str(bk)] = listed
         lineage_rows = []
         for bk in touched:
             counts = {
@@ -681,6 +747,15 @@ class SnapshotTable:
                 per_bucket.get((bk, o), 0)
                 for o in ("create", "update", "delete", "noop")
             )
+        # slot counts the files were actually written with — lookup's file
+        # pruning recomputes a key's slot from these (copy-on-write: a
+        # bucket's file list and its split count always commit together)
+        bucket_splits = {
+            b: s for b, s in man.get("bucket_splits", {}).items()
+            if int(b) not in touched
+        }
+        for bk in touched:
+            bucket_splits[str(bk)] = splits.get(bk, 1)
         manifest = {
             "version": new_version,
             "snapshot_id": snapshot_id,
@@ -691,6 +766,7 @@ class SnapshotTable:
             "checkpoints": checkpoints,
             "lineage": lineage_rows,
             "bucket_rows": bucket_rows,
+            "bucket_splits": bucket_splits,
             "quarantine_dir": (
                 os.path.join(
                     self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
@@ -910,27 +986,36 @@ class SnapshotTable:
         data_dir = os.path.join(
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
-        raw.repartition(len(targets), BUCKET).write.mode("overwrite").partitionBy(
-            BUCKET
-        ).parquet(data_dir)
+        # binpack with the same slot fan-out the MERGE uses: a hot bucket
+        # keeps several (bounded-size) files + its lookup-prunable slot dirs
+        # instead of collapsing into one oversized file
+        cur_rows = {int(b): n for b, n in man.get("bucket_rows", {}).items()}
+        splits = self._plan_splits({b: cur_rows.get(b, 0) for b in targets})
+        self._fanout_frame(raw, targets, splits).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET, SLOT).parquet(data_dir)
         # untouched buckets carry their existing file lists forward
         files = {b: fl for b, fl in man["files"].items()
                  if int(b) not in set(targets)}
-        for entry in self.io.list_dirs(data_dir):
-            if entry.startswith(f"{BUCKET}="):
-                bk = entry.split("=", 1)[1]
-                bdir = os.path.join(data_dir, entry)
-                files[bk] = [
-                    os.path.join(bdir, fn)
-                    for fn in self.io.list_files(bdir)
-                    if fn.endswith(".parquet")
-                ]
+        bucket_splits = {
+            b: s for b, s in man.get("bucket_splits", {}).items()
+            if int(b) not in set(targets)
+        }
+        for bk in targets:
+            listed = self._list_bucket_files(data_dir, bk)
+            if listed:
+                files[str(bk)] = listed
+                bucket_splits[str(bk)] = splits.get(bk, 1)
+            else:
+                files.pop(str(bk), None)
+                bucket_splits.pop(str(bk), None)
         manifest = {
             **man,
             "version": new_version,
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "files": files,
+            "bucket_splits": bucket_splits,
             "lineage": [],
             "quarantine_dir": None,  # a compaction rejects nothing
         }
@@ -982,10 +1067,14 @@ class SnapshotTable:
                 continue
             for fl in man["files"].values():
                 for p in fl:
-                    # file layout: .../data/v{N}-{sid}/_bucket=K/part-*.parquet
-                    live_data_dirs.add(os.path.basename(
-                        os.path.dirname(os.path.dirname(os.path.normpath(p)))
-                    ))
+                    # file layout: .../data/v{N}-{sid}/_bucket=K[/__slot=S]/
+                    # part-*.parquet — find the v{N}-{sid} component by
+                    # pattern, not by a fixed number of dirname hops, so the
+                    # optional slot level can't shift liveness detection
+                    for comp in os.path.normpath(p).split(os.sep):
+                        if _VDIR_RE.match(comp):
+                            live_data_dirs.add(comp)
+                            break
             if man.get("quarantine_dir"):
                 live_quar_dirs.add(os.path.basename(
                     os.path.normpath(man["quarantine_dir"])
