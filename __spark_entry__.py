@@ -226,6 +226,23 @@ _SQL_COSINE = f"round({_SQL_DOT} / greatest({_sql_norm('a')} * {_sql_norm('b')},
 _SQL_COSINE6 = f"round({_SQL_DOT} / greatest({_sql_norm('a')} * {_sql_norm('b')}, 1e-12), 6)"
 
 
+def _sql_cos6(lhs: str, rhs: str) -> str:
+    """Round-6 cosine between two arbitrary FLOAT[] column refs — the
+    sequential list_reduce fold matches cosine_col's F.aggregate order
+    bit-for-bit (same reason _SQL_COSINE6 does)."""
+    def _dot(x: str, y: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(range(1, 65), i -> "
+            f"CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))), "
+            "(x, y) -> x + y)"
+        )
+    return (
+        f"round({_dot(lhs, rhs)} / greatest("
+        f"sqrt({_dot(lhs, lhs)}) * sqrt({_dot(rhs, rhs)}), 1e-12), 6)"
+    )
+
+
 # --- DuckDB twins of the near-dup machinery ---------------------------------
 # word-3-gram shingles over normalized text, matching functions/dedup.py
 # shingles_col exactly (distinct; whole-text fallback when < n tokens)
@@ -615,6 +632,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["lsh_cosine_topk"] = ann_topk
+
+    def ivf_topk(spark, sf):
+        # the second ANN scale path: IVF coarse cells (hash-sampled
+        # centroids, broadcast both at assignment and probe time) — the
+        # oracle twin recomputes the identical deterministic centroid set
+        # via the same md5(salt|id) ordering
+        from diffsync_spark.functions.similarity import ivf_cosine_topk
+
+        emb = _emb(spark, sf)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = ivf_cosine_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
+    q["ivf_cosine_topk"] = ivf_topk
 
     q["embedding_neardup"] = lambda spark, sf: embedding_neardup_pairs(
         _emb(spark, sf), threshold=0.3, n_planes=8, seed=42
@@ -1466,6 +1501,45 @@ ranked AS (
 SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
 FROM ranked WHERE rank <= 5"""
     o["lsh_cosine_topk"] = _lsh_topk_sql(k=5, n_planes=12, probes=4, seed=42)
+    # IVF twin: identical deterministic centroid selection (smallest
+    # md5('ivf'|id), tie on id), argmax-cell assignment with the same
+    # (sim DESC, cid DESC) tie-break as Spark's max(struct), n_probe
+    # nearest cells per query, exact round-6 rerank inside probed cells
+    o["ivf_cosine_topk"] = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS centv
+  FROM embeddings
+  ORDER BY md5(concat_ws('|', 'ivf', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT 8),
+assign AS (
+  SELECT vec_id, cv, cid FROM (
+    SELECT a.vec_id, a.embedding AS cv, c.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY {_sql_cos6('a.embedding', 'c.centv')} DESC, c.cid DESC
+           ) AS rn
+    FROM embeddings a CROSS JOIN cent c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 3),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_sql_cos6('q.qv', 'c.centv')} DESC, c.cid DESC
+           ) AS pr
+    FROM q CROSS JOIN cent c)
+  WHERE pr <= 3),
+cand AS (
+  SELECT p.query_id, a.vec_id, {_sql_cos6('a.cv', 'p.qv')} AS cosine
+  FROM assign a JOIN probes p USING (cid)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM cand)
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5"""
     o["embedding_neardup"] = _emb_neardup_sql(threshold=0.3, n_planes=8, seed=42)
     o["ngram_jaccard_pairs"] = _SQL_JACCARD_PAIRS
     o["minhash_lsh_pairs"] = _SQL_JACCARD_PAIRS

@@ -28,6 +28,8 @@ from diffsync_spark.functions.similarity import (
     build_ann_index,
     cosine_topk,
     extend_ann_index,
+    ivf_centroids,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from diffsync_spark.functions.sampling import (
@@ -76,5 +78,7 @@ __all__ = [
     "build_ann_index",
     "cosine_topk",
     "extend_ann_index",
+    "ivf_centroids",
+    "ivf_cosine_topk",
     "lsh_cosine_topk",
 ]

@@ -337,34 +337,72 @@ def ivf_cosine_topk(
     only inside the probed cells (expected candidate fraction
     ``n_probe / n_centroids`` of the corpus).
 
-    100 TB shape: the centroid set is tiny and BROADCAST both times it is
-    used — assignment is one corpus scan against broadcast centroids with
-    the argmax folded into a map-side-combining ``max(struct)`` aggregation
-    (the shuffle carries N rows, never the N x C scored pairs), and the
-    probe step joins broadcast (query, cell) pairs onto the assignment, so
-    the corpus itself is never shuffled by the probe. Ranking happens on
-    the round-6 cosine (``cosine_col``) with ties broken by id, so results
-    are deterministic and engine-portable. Output:
+    100 TB shape: the corpus is NEVER shuffled. Assignment is a pure
+    projection — the centroid set (with precomputed norms) rides along as a
+    one-row broadcast array, and the per-row argmax is
+    ``array_max(transform(cents, c -> struct(cosine, cid)))``: no N x C row
+    blowup, no groupBy exchange, each centroid's cosine computed exactly
+    once per row (the no-CSE-across-lambdas trap — see
+    ``dedup.minhash_signature_frame`` — is avoided because the fold IS the
+    single evaluation site). The probe step joins broadcast (query, cell)
+    pairs onto the assignment, so only the probed candidates reach the
+    final per-query top-k window (map-side pruned by WindowGroupLimit).
+    Ranking happens on the round-6 cosine (``cosine_col``) with ties broken
+    by id, so results are deterministic and engine-portable. Output:
     ``(query_id, vec_id, cosine, rank)`` — same contract as
     :func:`cosine_topk`, which is also the recall oracle for this op."""
     cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
-    # cell assignment: argmax_centroid cosine(doc, centroid); tie-break on
-    # the HIGHER cid so one max(struct) aggregation decides both fields
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cv",
-        F.struct(
-            cosine_col(F.col("cv"), F.col("centv")).alias("sim"),
-            F.col("cid").alias("cid"),
-        ).alias("sc"),
+    # one-row frame holding ALL centroids (+ their norms, computed once)
+    # as an array<struct> — broadcast-crossJoined, it adds a column, not
+    # rows, so the argmax below is a projection over the unshuffled corpus
+    cent_arr = cent.select(
+        "cid",
+        "centv",
+        F.sqrt(
+            F.aggregate(
+                "centv",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("cnorm"),
+    ).agg(F.collect_list(F.struct("cid", "centv", "cnorm")).alias("cents"))
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cvnorm = F.sqrt(
+        F.aggregate(
+            "cv", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    # cell assignment: argmax_centroid cosine(doc, centroid) — array_max on
+    # (sim, cid) structs is lexicographic: highest sim, tie → higher cid.
+    # The per-centroid expression matches cosine_col bit-for-bit (same
+    # sequential fold, same na*nb order, same round-6).
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda ct: F.struct(
+                F.round(
+                    _dot(F.col("cv"), ct["centv"])
+                    / F.greatest(F.col("__cvnorm") * ct["cnorm"], F.lit(1e-12)),
+                    6,
+                ).alias("sim"),
+                ct["cid"].alias("cid"),
+            ),
+        )
     )
     assign = (
-        scored.groupBy("vec_id")
-        .agg(F.max("sc").alias("best"), F.first("cv").alias("cv"))
-        .select("vec_id", "cv", F.col("best.cid").alias("cid"))
+        c.withColumn("__cvnorm", cvnorm)
+        .crossJoin(F.broadcast(cent_arr))
+        .select("vec_id", "cv", best["cid"].alias("cid"))
     )
     # probe list: each query's n_probe nearest centroids (tiny frame)
     qn = queries.select(

@@ -336,6 +336,41 @@ def test_lsh_topk_recall(spark):
     assert r_directed >= r_first
 
 
+def test_ivf_topk_recall_and_full_probe_exact(spark):
+    """IVF on a clustered corpus: (a) probing every cell IS brute force —
+    results must equal cosine_topk row-for-row; (b) probing 2/10 cells on a
+    10-cluster corpus keeps recall@5 high (clusters land in few cells)."""
+    from diffsync_spark.functions.similarity import cosine_topk, ivf_cosine_topk
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    rows = []
+    for i in range(300):
+        c = centers[i % 10]
+        v = c + 0.05 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    exact = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    full = ivf_cosine_topk(
+        corpus, queries, k=5, n_centroids=10, n_probe=10
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(full, exact)
+
+    approx = ivf_cosine_topk(
+        corpus, queries, k=5, n_centroids=10, n_probe=2
+    ).toPandas()
+    hits = 0
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        hits += len(e & a)
+        assert qid in a  # self's cell is always the query's nearest cell
+    assert hits / (5 * 5) >= 0.8
+
+
 def test_directed_flips_bit_exact_past_52(spark):
     """r3 verdict: pow(2.0, p) rounds for p > 52 — the flip must use an
     integral shift. Exercise every plane index 0..63 (incl. 53..63, where

@@ -168,3 +168,26 @@ def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
     joined = " ".join(scan)
     pf = joined.split("PartitionFilters")[1].split("]")[0]
     assert "bucket" in pf and "IN" in pf.upper()
+
+
+def test_ivf_topk_corpus_never_hash_shuffled(spark):
+    """ivf_cosine_topk: assignment is a pure projection (one-row broadcast
+    centroid array + array_max fold), the probe join is broadcast — the
+    only hashpartitioning exchanges are per-query windows, and the final
+    top-k is map-side pruned by WindowGroupLimit."""
+    from diffsync_spark.functions.similarity import ivf_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(ivf_cosine_topk(corpus, queries, k=3, n_centroids=4, n_probe=2))
+    assert "SortMergeJoin" not in plan
+    # per-query windows only (final rank; probe-ranking may add one on the
+    # tiny query side) — never a corpus-wide exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
