@@ -634,17 +634,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_cosine_topk"] = ann_topk
 
     def ivf_topk(spark, sf):
-        # the second ANN scale path: IVF coarse cells (hash-sampled
-        # centroids, broadcast both at assignment and probe time) — the
-        # oracle twin recomputes the identical deterministic centroid set
-        # via the same md5(salt|id) ordering
-        from diffsync_spark.functions.similarity import ivf_cosine_topk
+        # the second ANN scale path, through the PERSISTED index (the
+        # 100 TB shape): cell-partition the corpus once with
+        # build_ivf_index, then probe via partition-pruned cell scans —
+        # same results as the inline path by construction (identical
+        # deterministic md5(salt|id) centroid set, stored in the index),
+        # which the shared oracle SQL twin still checks
+        import tempfile
+
+        from diffsync_spark.functions.similarity import (
+            build_ivf_index,
+            ivf_cosine_topk,
+        )
 
         emb = _emb(spark, sf)
         queries_df = emb.filter(F.col("vec_id") < 3).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
-        out = ivf_cosine_topk(emb, queries_df, k=5, n_centroids=8, n_probe=3)
+        idx = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+        build_ivf_index(emb, idx, n_centroids=8)
+        out = ivf_cosine_topk(None, queries_df, k=5, n_probe=3, index_path=idx)
         return out.select(
             "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
         )

@@ -26,8 +26,10 @@ from diffsync_spark.functions.dedup import (
 )
 from diffsync_spark.functions.similarity import (
     build_ann_index,
+    build_ivf_index,
     cosine_topk,
     extend_ann_index,
+    extend_ivf_index,
     ivf_centroids,
     ivf_cosine_topk,
     lsh_cosine_topk,
@@ -76,8 +78,10 @@ __all__ = [
     "simhash",
     "embedding_neardup_pairs",
     "build_ann_index",
+    "build_ivf_index",
     "cosine_topk",
     "extend_ann_index",
+    "extend_ivf_index",
     "ivf_centroids",
     "ivf_cosine_topk",
     "lsh_cosine_topk",

@@ -319,45 +319,19 @@ def ivf_centroids(
     )
 
 
-def ivf_cosine_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
-    salt: str = "ivf",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse partition — the
-    second ANN scale path next to :func:`lsh_cosine_topk`: every corpus
-    vector is assigned to its most-cosine-similar centroid, each query
-    probes its ``n_probe`` nearest centroids, and the exact rerank runs
-    only inside the probed cells (expected candidate fraction
-    ``n_probe / n_centroids`` of the corpus).
+IVF_META_FILE = "_ivf_meta.json"
+IVF_CENTROID_DIR = "_centroids"
 
-    100 TB shape: the corpus is NEVER shuffled. Assignment is a pure
-    projection — the centroid set (with precomputed norms) rides along as a
-    one-row broadcast array, and the per-row argmax is
-    ``array_max(transform(cents, c -> struct(cosine, cid)))``: no N x C row
-    blowup, no groupBy exchange, each centroid's cosine computed exactly
-    once per row (the no-CSE-across-lambdas trap — see
-    ``dedup.minhash_signature_frame`` — is avoided because the fold IS the
-    single evaluation site). The probe step joins broadcast (query, cell)
-    pairs onto the assignment, so only the probed candidates reach the
-    final per-query top-k window (map-side pruned by WindowGroupLimit).
-    Ranking happens on the round-6 cosine (``cosine_col``) with ties broken
-    by id, so results are deterministic and engine-portable. Output:
-    ``(query_id, vec_id, cosine, rank)`` — same contract as
-    :func:`cosine_topk`, which is also the recall oracle for this op."""
-    cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
-    )
-    # one-row frame holding ALL centroids (+ their norms, computed once)
-    # as an array<struct> — broadcast-crossJoined, it adds a column, not
-    # rows, so the argmax below is a projection over the unshuffled corpus
+
+def _ivf_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cv) rows + a (cid, centv) centroid frame → (vec_id, cv, cid)
+    cell assignment as a PURE PROJECTION: the centroid set (with norms
+    precomputed once) rides along as a one-row broadcast array and the
+    per-row argmax is ``array_max(transform(...))`` — no N x C row blowup,
+    no groupBy exchange, the vectors frame is never shuffled. Each
+    centroid's cosine matches :func:`cosine_col` bit-for-bit (same
+    sequential fold, same na*nb order, same round-6); ties pick the higher
+    cid (array_max on (sim, cid) structs is lexicographic)."""
     cent_arr = cent.select(
         "cid",
         "centv",
@@ -382,10 +356,6 @@ def ivf_cosine_topk(
             "cv", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         )
     )
-    # cell assignment: argmax_centroid cosine(doc, centroid) — array_max on
-    # (sim, cid) structs is lexicographic: highest sim, tie → higher cid.
-    # The per-centroid expression matches cosine_col bit-for-bit (same
-    # sequential fold, same na*nb order, same round-6).
     best = F.array_max(
         F.transform(
             F.col("cents"),
@@ -399,11 +369,155 @@ def ivf_cosine_topk(
             ),
         )
     )
-    assign = (
-        c.withColumn("__cvnorm", cvnorm)
+    return (
+        vectors.withColumn("__cvnorm", cvnorm)
         .crossJoin(F.broadcast(cent_arr))
         .select("vec_id", "cv", best["cid"].alias("cid"))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 64,
+    salt: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    io: LocalCommitIO | None = None,
+) -> dict:
+    """Persist the IVF-partitioned corpus ONCE — the same
+    compute-once/look-up-many contract as :func:`build_ann_index` (reference
+    analog: ``/root/reference/diffsync/store/redis.py:24-220``), with cells
+    instead of sign buckets: every corpus row is assigned to its
+    most-cosine-similar centroid a single time (shuffle-free, see
+    :func:`_ivf_assign`) and written partitioned by ``cid``, so each
+    subsequent :func:`ivf_cosine_topk` probe is a PARTITION-PRUNED scan of
+    just the probed cells. The centroid frame is stored beside the data
+    (``_centroids/`` parquet — underscore-prefixed, so partition discovery
+    ignores it) plus a ``_ivf_meta.json`` sidecar, making probes
+    self-contained: no corpus rescan, no centroid recompute per call.
+
+    Sizing at scale: expected rows-per-cell is N / n_centroids — pick
+    n_centroids ~ sqrt(N) (classic IVF) or whatever fills healthy parquet
+    partitions; the centroid frame stays centroids x dim, tiny next to the
+    corpus."""
+    cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    _ivf_assign(c, cent).write.mode("overwrite").partitionBy("cid").parquet(path)
+    # centroid frame AFTER the data (overwrite above would wipe it);
+    # coalesce(1): one tiny file, read whole by every probe
+    cent.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, IVF_CENTROID_DIR)
+    )
+    dim = cent.select(F.size("centv").alias("d")).first().d
+    meta = {"n_centroids": n_centroids, "salt": salt, "dim": dim,
+            "format": "diffsync_spark/ivf-v1"}
+    (io or LocalCommitIO()).write_atomic(
+        os.path.join(path, IVF_META_FILE), json.dumps(meta)
+    )
+    return meta
+
+
+def extend_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    io: LocalCommitIO | None = None,
+) -> dict:
+    """Incrementally add vectors to a :func:`build_ivf_index` layout:
+    assignments use the INDEX'S stored centroids (never recomputed from the
+    caller's data, so an extension can't fork the cell family) and append
+    as new files inside the same ``cid`` partitions. Cost is O(new
+    vectors); probes see old + new rows with no rebuild. Append-only like
+    the reference store's ``add`` — dedup stays with the caller."""
+    meta = json.loads(
+        (io or LocalCommitIO()).read_text(os.path.join(path, IVF_META_FILE))
+    )
+    new_dim = new_vectors.select(F.size(vec_col).alias("d")).first().d
+    if new_dim != meta["dim"]:
+        # zip_with would NULL-pad a mismatched vector into a plausible but
+        # WRONG cell — unfindable rows, silent index corruption
+        raise ValueError(
+            f"new vectors have dim {new_dim}, index was built with dim "
+            f"{meta['dim']} — rebuild the index or fix the input"
+        )
+    cent = new_vectors.sparkSession.read.parquet(
+        os.path.join(path, IVF_CENTROID_DIR)
+    )
+    c = new_vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    _ivf_assign(c, cent).write.mode("append").partitionBy("cid").parquet(path)
+    return meta
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame | None,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    salt: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    index_path: str | None = None,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse partition — the
+    second ANN scale path next to :func:`lsh_cosine_topk`: every corpus
+    vector is assigned to its most-cosine-similar centroid, each query
+    probes its ``n_probe`` nearest centroids, and the exact rerank runs
+    only inside the probed cells (expected candidate fraction
+    ``n_probe / n_centroids`` of the corpus).
+
+    100 TB shape: the corpus is NEVER shuffled. Assignment is a pure
+    projection (:func:`_ivf_assign`) — the centroid set (with precomputed
+    norms) rides along as a one-row broadcast array, and the per-row argmax
+    is ``array_max(transform(cents, c -> struct(cosine, cid)))``: no N x C
+    row blowup, no groupBy exchange, each centroid's cosine computed exactly
+    once per row (the no-CSE-across-lambdas trap — see
+    ``dedup.minhash_signature_frame`` — is avoided because the fold IS the
+    single evaluation site). The probe step joins broadcast (query, cell)
+    pairs onto the assignment, so only the probed candidates reach the
+    final per-query top-k window (map-side pruned by WindowGroupLimit).
+    Ranking happens on the round-6 cosine (``cosine_col``) with ties broken
+    by id, so results are deterministic and engine-portable. Output:
+    ``(query_id, vec_id, cosine, rank)`` — same contract as
+    :func:`cosine_topk`, which is also the recall oracle for this op.
+
+    Two corpus modes (mirroring :func:`lsh_cosine_topk`):
+
+    - ``corpus=`` (inline): centroids + assignment computed in the same job.
+    - ``index_path=`` (persisted, the 100 TB shape): probe a layout written
+      by :func:`build_ivf_index`. Each query's ``n_probe`` nearest cells are
+      scored against the STORED centroid frame, and the union of probed cell
+      ids — bounded by |Q|·n_probe, driver-side by the same small-query
+      contract as the exact path's broadcast — is pushed into the parquet
+      scan as a partition filter: only probed cells' files are read, no
+      corpus rescan, no assignment recompute. ``n_centroids``/``salt`` are
+      ignored in this mode (the index's sidecar fixed them at build time)."""
+    if index_path is not None:
+        cent = queries.sparkSession.read.parquet(
+            os.path.join(index_path, IVF_CENTROID_DIR)
+        )
+        meta = json.loads(
+            LocalCommitIO().read_text(os.path.join(index_path, IVF_META_FILE))
+        )
+        qdim = queries.select(F.size(vec_col).alias("d")).first().d
+        if qdim != meta["dim"]:
+            # zip_with would NULL-pad the cosine into a plausible but wrong
+            # probe order — fail loudly instead
+            raise ValueError(
+                f"queries have dim {qdim}, index was built with dim "
+                f"{meta['dim']}"
+            )
+    elif corpus is not None:
+        cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
+    else:
+        raise ValueError("pass either corpus= or index_path=")
     # probe list: each query's n_probe nearest centroids (tiny frame)
     qn = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -422,6 +536,23 @@ def ivf_cosine_topk(
         .filter(F.col("pr") <= n_probe)
         .select("query_id", "qv", "cid")
     )
+    if index_path is not None:
+        # localCheckpoint for the same reason as lsh_cosine_topk's probe
+        # frame: both the cid collect and the candidate join read the
+        # materialized probe rows instead of re-running the scoring window
+        probes = probes.localCheckpoint()
+        cids = [r.cid for r in probes.select("cid").distinct().collect()]
+        assign = (
+            queries.sparkSession.read.parquet(index_path)
+            .filter(F.col("cid").isin(cids))
+        )
+    else:
+        assign = _ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+            ),
+            cent,
+        )
     cand = assign.join(F.broadcast(probes), "cid").select(
         "query_id",
         "vec_id",

@@ -630,6 +630,78 @@ def test_extend_ann_index(spark, tmp_path):
         .sort_values("vec_id").reset_index(drop=True)
     assert (a["bucket"].values == b["bucket"].values).all()
 
+def test_ivf_index_path_matches_inline(spark, tmp_path):
+    """The persisted IVF probe must return EXACTLY the inline path's
+    results — the index stores the same deterministic centroid set the
+    inline path derives, so cells, probes, and rerank all agree."""
+    from diffsync_spark.functions.similarity import (
+        build_ivf_index, ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [(i, rng.standard_normal(12).astype(float).tolist())
+            for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    inline = ivf_cosine_topk(
+        corpus, queries, k=5, n_centroids=8, n_probe=3
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(corpus, idx, n_centroids=8)
+    assert meta["n_centroids"] == 8 and meta["dim"] == 12
+    via_index = ivf_cosine_topk(
+        None, queries, k=5, n_probe=3, index_path=idx
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert inline["vec_id"].tolist() == via_index["vec_id"].tolist()
+    assert np.allclose(inline["cosine"], via_index["cosine"])
+
+
+def test_extend_ivf_index(spark, tmp_path):
+    """Incremental IVF maintenance: extended vectors are assigned with the
+    INDEX'S stored centroids (never recomputed from the caller's frame),
+    land inside existing cid partitions, and are found by subsequent
+    probes with no rebuild."""
+    from diffsync_spark.functions.similarity import (
+        IVF_CENTROID_DIR, _ivf_assign, build_ivf_index, extend_ivf_index,
+        ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(33)
+    rows = [(i, rng.standard_normal(10).astype(float).tolist())
+            for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    old, new = corpus.filter("vec_id < 100"), corpus.filter("vec_id >= 100")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(old, idx, n_centroids=6)
+    meta = extend_ivf_index(new, idx)
+    assert meta["n_centroids"] == 6
+    # a NEW vector finds itself at rank 1 through the extended index
+    q = new.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ivf_cosine_topk(None, q, k=3, n_probe=2, index_path=idx).toPandas()
+    for qid in got["query_id"].unique():
+        top = got[(got.query_id == qid) & (got["rank"] == 1)]
+        assert top.iloc[0]["vec_id"] == qid
+    # extension used the STORED centroids: its cids equal a direct
+    # assignment of the new vectors against the index's centroid frame
+    cent = spark.read.parquet(str(tmp_path / "ivf" / IVF_CENTROID_DIR))
+    want = _ivf_assign(
+        new.select(F.col("vec_id"), F.col("embedding").alias("cv")), cent
+    ).select("vec_id", "cid").toPandas().sort_values("vec_id")
+    stored = spark.read.parquet(idx).filter("vec_id >= 100") \
+        .select("vec_id", "cid").toPandas().sort_values("vec_id")
+    assert want["vec_id"].tolist() == stored["vec_id"].tolist()
+    assert [int(c) for c in want["cid"]] == [int(c) for c in stored["cid"]]
+    # dimension mismatch fails loudly instead of silently mis-bucketing
+    bad = spark.createDataFrame(
+        [(999, [1.0, 2.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        extend_ivf_index(bad, idx)
+    badq = bad.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="dim"):
+        ivf_cosine_topk(None, badq, k=1, index_path=idx)
+
+
 def test_remove_boilerplate_lines(spark):
     """Corpus-wide line dedup: the shared footer (in every doc) drops, the
     unique content stays, short lines are never counted, order preserved."""

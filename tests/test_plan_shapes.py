@@ -170,6 +170,33 @@ def test_ann_index_probe_is_partition_pruned(spark, tmp_path):
     assert "bucket" in pf and "IN" in pf.upper()
 
 
+def test_ivf_index_probe_is_partition_pruned(spark, tmp_path):
+    """ivf_cosine_topk(index_path=...): the probe scan of a persisted
+    build_ivf_index corpus must carry the probed cells as
+    PartitionFilters — only probed cells' files are read, never the
+    whole index (the compute-once/look-up-many 100 TB shape)."""
+    from diffsync_spark.functions.similarity import (
+        build_ivf_index, ivf_cosine_topk,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.standard_normal(8).astype(float).tolist()) for i in range(64)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(corpus, idx, n_centroids=6)
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_cosine_topk(None, queries, k=3, n_probe=2, index_path=idx)
+    plan = _plan(out)
+    scan = [s for s in plan.split("\n")
+            if ("FileScan" in s or "Scan parquet" in s) and "ivf_index" in s]
+    joined = " ".join(scan)
+    pf = joined.split("PartitionFilters")[1].split("]")[0]
+    assert "cid" in pf and "IN" in pf.upper()
+
+
 def test_ivf_topk_corpus_never_hash_shuffled(spark):
     """ivf_cosine_topk: assignment is a pure projection (one-row broadcast
     centroid array + array_max fold), the probe join is broadcast — the
