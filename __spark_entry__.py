@@ -660,6 +660,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_cosine_topk"] = ivf_topk
 
+    def ivf_refine(spark, sf):
+        # the IVF TRAINING loop itself: 2 spherical-k-means rounds over the
+        # hash-sampled seed, all DataFrame ops (assignment is a projection,
+        # update a groupBy over n_centroids keys). The twin replays the
+        # identical seed -> assign -> round-5 mean -> empty-cell coalesce
+        # chain, so a drifted tie-break or fold order fails the gate.
+        from diffsync_spark.functions.similarity import refine_ivf_centroids
+
+        cent = refine_ivf_centroids(_emb(spark, sf), n_centroids=8, iters=2)
+        return cent.select(
+            "cid", F.posexplode("centv").alias("pos", "val")
+        ).select("cid", "pos", F.round("val", 5).alias("val"))
+
+    q["ivf_refine_centroids"] = ivf_refine
+
     q["embedding_neardup"] = lambda spark, sf: embedding_neardup_pairs(
         _emb(spark, sf), threshold=0.3, n_planes=8, seed=42
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
@@ -1549,6 +1564,58 @@ ranked AS (
   FROM cand)
 SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
 FROM ranked WHERE rank <= 5"""
+    # spherical-k-means twin of refine_ivf_centroids: the SAME seed
+    # (smallest md5('ivf'|id)), unit-normalize corpus + seed with the same
+    # sequential fold, two unrolled Lloyd rounds of [argmax-cell assignment
+    # with the (sim DESC, cid DESC) tie-break -> per-element round-5 mean ->
+    # empty-cell coalesce to the previous centroid], exploded to
+    # (cid, pos, val) scalars for the driver's value hash
+    def _unit(col: str) -> str:
+        fold = (
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, 65), i -> "
+            f"CAST({col}[i] AS DOUBLE) * CAST({col}[i] AS DOUBLE))), "
+            "(x, y) -> x + y)"
+        )
+        return (
+            f"list_transform({col}, x -> "
+            f"CAST(x AS DOUBLE) / greatest(sqrt({fold}), 1e-12))"
+        )
+
+    def _lloyd_plain(prev: str, n: int) -> str:
+        return f"""
+a{n} AS (
+  SELECT vec_id, cv, cid FROM (
+    SELECT nm.vec_id, nm.cv, c.cid,
+           row_number() OVER (
+             PARTITION BY nm.vec_id
+             ORDER BY {_sql_cos6('nm.cv', 'c.centv')} DESC, c.cid DESC
+           ) AS rn
+    FROM normed nm CROSS JOIN {prev} c)
+  WHERE rn = 1),
+e{n} AS (
+  SELECT cid, generate_subscripts(cv, 1) AS pos, unnest(cv) AS v FROM a{n}),
+m{n} AS (
+  SELECT cid, list(mval ORDER BY pos) AS mv FROM (
+    SELECT cid, pos, round(avg(v), 5) AS mval FROM e{n} GROUP BY cid, pos) g
+  GROUP BY cid),
+c{n} AS (
+  SELECT p.cid, coalesce(m.mv, p.centv) AS centv
+  FROM {prev} p LEFT JOIN m{n} m USING (cid))"""
+
+    o["ivf_refine_centroids"] = f"""
+WITH normed AS (
+  SELECT vec_id, {_unit('embedding')} AS cv FROM embeddings),
+seed AS (
+  SELECT vec_id AS cid, embedding FROM embeddings
+  ORDER BY md5(concat_ws('|', 'ivf', CAST(vec_id AS VARCHAR))), vec_id
+  LIMIT 8),
+c0 AS (
+  SELECT cid, {_unit('embedding')} AS centv FROM seed),{_lloyd_plain('c0', 1)},{_lloyd_plain('c1', 2)}
+SELECT cid, generate_subscripts(centv, 1) - 1 AS pos,
+       round(unnest(centv), 5) AS val
+FROM c2"""
+
     o["embedding_neardup"] = _emb_neardup_sql(threshold=0.3, n_planes=8, seed=42)
     o["ngram_jaccard_pairs"] = _SQL_JACCARD_PAIRS
     o["minhash_lsh_pairs"] = _SQL_JACCARD_PAIRS

@@ -32,6 +32,7 @@ from diffsync_spark.functions.similarity import (
     extend_ivf_index,
     ivf_centroids,
     ivf_cosine_topk,
+    refine_ivf_centroids,
     lsh_cosine_topk,
 )
 from diffsync_spark.functions.sampling import (
@@ -84,5 +85,6 @@ __all__ = [
     "extend_ivf_index",
     "ivf_centroids",
     "ivf_cosine_topk",
+    "refine_ivf_centroids",
     "lsh_cosine_topk",
 ]

@@ -376,6 +376,99 @@ def _ivf_assign(vectors: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
+def refine_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    salt: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means (Lloyd) refinement of the hash-sampled IVF seed —
+    the actual IVF training loop, expressed entirely in DataFrame ops.
+    Returns a ``(cid, centv: array<double>)`` centroid frame usable
+    anywhere :func:`ivf_centroids`'s output is (including
+    :func:`build_ivf_index` via ``refine_iters=``).
+
+    Per iteration: (1) assign every corpus vector to its most-cosine-
+    similar centroid — the shuffle-free :func:`_ivf_assign` projection;
+    (2) update each cell's centroid to the mean of its UNIT-NORMALIZED
+    members (classic spherical k-means — cosine to a centroid is invariant
+    to the centroid's scale, so the mean needs no re-normalization);
+    (3) cells that captured no rows keep their previous centroid, so the
+    cell count never silently shrinks.
+
+    100 TB shape: the corpus is never shuffled — assignment is a
+    projection, and the mean is a ``groupBy(cid)`` over ``n_centroids``
+    keys whose partial aggregates combine map-side (each task emits at
+    most ``n_centroids x dim`` doubles). Per-iteration cost is one corpus
+    scan; cache the corpus upstream for multi-iteration runs. The tiny
+    centroid frame is localCheckpointed each round — it feeds BOTH the
+    next assignment and the empty-cell coalesce, and without truncation
+    the dual reference doubles the logical plan per iteration.
+
+    Determinism: cell means are rounded to 5 decimals each iteration, so
+    the fixed point is reproducible across engines (the DuckDB twin
+    replays the identical seed → assign → mean → coalesce chain);
+    vector normalization uses the same sequential fold as
+    :func:`cosine_col`, bit-exact across engines."""
+    nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                vec_col,
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        F.lit(1e-12),
+    )
+    normed = corpus.withColumn("__nrm", nrm).select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
+        ).alias("cv"),
+    )
+    dim = corpus.select(F.size(vec_col).alias("d")).first().d
+    cent_nrm = F.greatest(
+        F.sqrt(
+            F.aggregate(
+                "centv",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        F.lit(1e-12),
+    )
+    cur = (
+        ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
+        .withColumn("__nrm", cent_nrm)
+        .select(
+            "cid",
+            F.transform(
+                F.col("centv"), lambda x: x.cast("double") / F.col("__nrm")
+            ).alias("centv"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        assign = _ivf_assign(normed, cur)
+        means = assign.groupBy("cid").agg(
+            *[
+                F.round(F.avg(F.col("cv")[i]), 5).alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        ).select(
+            "cid",
+            F.array(*[F.col(f"__m{i}") for i in range(dim)]).alias("mv"),
+        )
+        cur = (
+            cur.join(means, "cid", "left")
+            .select("cid", F.coalesce("mv", "centv").alias("centv"))
+            .localCheckpoint()
+        )
+    return cur
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -384,6 +477,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     io: LocalCommitIO | None = None,
+    refine_iters: int = 0,
 ) -> dict:
     """Persist the IVF-partitioned corpus ONCE — the same
     compute-once/look-up-many contract as :func:`build_ann_index` (reference
@@ -400,8 +494,15 @@ def build_ivf_index(
     Sizing at scale: expected rows-per-cell is N / n_centroids — pick
     n_centroids ~ sqrt(N) (classic IVF) or whatever fills healthy parquet
     partitions; the centroid frame stays centroids x dim, tiny next to the
-    corpus."""
-    cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
+    corpus. ``refine_iters > 0`` runs that many spherical-k-means rounds
+    (:func:`refine_ivf_centroids`) before partitioning — better-balanced
+    cells at the cost of one extra corpus scan per round."""
+    if refine_iters > 0:
+        cent = refine_ivf_centroids(
+            corpus, n_centroids, refine_iters, salt, id_col, vec_col
+        )
+    else:
+        cent = ivf_centroids(corpus, n_centroids, salt, id_col, vec_col)
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )

@@ -371,6 +371,82 @@ def test_ivf_topk_recall_and_full_probe_exact(spark):
     assert hits / (5 * 5) >= 0.8
 
 
+def test_refine_ivf_centroids(spark, tmp_path):
+    """Spherical-k-means refinement: (a) the cell count never shrinks, even
+    when a seed captures no rows; (b) refined centroids land near the true
+    cluster centers on a well-separated corpus; (c) an index built with
+    refine_iters still returns EXACT results at full probe; (d) the loop is
+    deterministic across invocations (round-5 fixed point)."""
+    from diffsync_spark.functions.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_cosine_topk,
+        refine_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        v = c + 0.03 * rng.standard_normal(64)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cent = refine_ivf_centroids(corpus, n_centroids=8, iters=2).toPandas()
+    assert len(cent) == 8 and cent["cid"].is_unique
+    # (b) every true center has a refined centroid at cosine > 0.99
+    for c in centers:
+        best = max(
+            float(np.dot(c, np.array(cv)) / np.linalg.norm(cv))
+            for cv in cent["centv"]
+        )
+        assert best > 0.99
+
+    # (d) determinism
+    cent2 = refine_ivf_centroids(corpus, n_centroids=8, iters=2).toPandas()
+    a = cent.sort_values("cid").reset_index(drop=True)
+    b = cent2.sort_values("cid").reset_index(drop=True)
+    assert all(list(x) == list(y) for x, y in zip(a["centv"], b["centv"]))
+
+    # (c) refined index, full probe == brute force
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    idx = str(tmp_path / "ivf_refined")
+    meta = build_ivf_index(corpus, idx, n_centroids=8, refine_iters=2)
+    assert meta["n_centroids"] == 8
+    got = ivf_cosine_topk(
+        None, queries, k=5, n_probe=8, index_path=idx
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exact = cosine_topk(corpus, queries, k=5).toPandas()
+    exact = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exact)
+
+
+def test_refine_ivf_keeps_empty_cells(spark):
+    """A seed centroid that captures zero rows must survive refinement
+    unchanged (normalized), not vanish — the cell count is part of the
+    index contract."""
+    from diffsync_spark.functions.similarity import refine_ivf_centroids
+
+    # two tight clusters, 8 seeds: at least one seed ends up empty after
+    # the first assignment round on such a corpus
+    rng = np.random.default_rng(3)
+    c0, c1 = rng.standard_normal((2, 8))
+    rows = []
+    for i in range(40):
+        base = c0 if i % 2 == 0 else c1
+        v = base + 0.01 * rng.standard_normal(8)
+        rows.append((i, (v / np.linalg.norm(v)).astype(float).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = refine_ivf_centroids(corpus, n_centroids=8, iters=3).toPandas()
+    assert len(cent) == 8
+    # every centroid is finite and ~unit-or-smaller (means of unit vectors)
+    for cv in cent["centv"]:
+        n = float(np.linalg.norm(cv))
+        assert np.isfinite(n) and 0 < n <= 1.0 + 1e-6
+
+
 def test_directed_flips_bit_exact_past_52(spark):
     """r3 verdict: pow(2.0, p) rounds for p > 52 — the flip must use an
     integral shift. Exercise every plane index 0..63 (incl. 53..63, where
