@@ -583,9 +583,24 @@ class SnapshotTable:
         (bucket, slot) pair is one write task / one file. The slot is also a
         physical partition dir (``__slot=S``), so ``lookup`` can later prune
         a hot bucket's read to the single file its key hashes into —
-        Iceberg's bucket-transform file pruning, one level deeper."""
+        Iceberg's bucket-transform file pruning, one level deeper.
+
+        Write-ordered files: every branch finishes with
+        ``sortWithinPartitions(bucket, slot, *identifiers)`` — Iceberg's
+        ``WRITE ORDERED BY``. Each written file is clustered on the natural
+        key, so parquet row-group (and page-index) min/max stats on the
+        identifier columns are tight and non-overlapping, and ``lookup``'s
+        already-pushed-down key equality skips every row group but one
+        inside a large slot file. Near-free: Spark's dynamic-partition
+        writer inserts a per-task sort on the partition columns anyway;
+        this widens that sort's key instead of adding a second sort."""
+        order = [BUCKET, SLOT, *self.model.identifiers]
         if not touched:
-            return df.withColumn(SLOT, F.lit(0)).repartition(1, BUCKET)
+            return (
+                df.withColumn(SLOT, F.lit(0))
+                .repartition(1, BUCKET)
+                .sortWithinPartitions(*order)
+            )
         split_map = F.create_map(
             *[x for b in touched for x in (F.lit(b), F.lit(splits[b]))]
         )
@@ -601,9 +616,15 @@ class SnapshotTable:
                 *[x for b in touched for x in (F.lit(b), F.lit(offsets[b]))]
             )
             gslot = (off_map[F.col(BUCKET)] + F.col(SLOT)).cast("int")
-            return df.withColumn(SLOT, slot).repartition(max(acc, 1), gslot)
-        return df.withColumn(SLOT, slot).repartition(
-            max(len(touched), 1), BUCKET
+            return (
+                df.withColumn(SLOT, slot)
+                .repartition(max(acc, 1), gslot)
+                .sortWithinPartitions(*order)
+            )
+        return (
+            df.withColumn(SLOT, slot)
+            .repartition(max(len(touched), 1), BUCKET)
+            .sortWithinPartitions(*order)
         )
 
     def _list_bucket_files(self, data_dir: str, bk: int) -> list[str]:

@@ -719,6 +719,28 @@ def test_bucket_pruned_lookup(spark, tmp_path, target_df, target_pdf):
     n_b0 = len(probe.inputFiles())
     assert 0 < n_b0 < total_files
 
+def test_write_ordered_files(spark, tmp_path, target_df):
+    """Every written file is clustered on (conv_id, turn_idx) — Iceberg's
+    WRITE ORDERED BY. Row order inside the file IS the row-group/page stats
+    contract: sorted rows give tight, non-overlapping min/max on the key
+    columns, so the pushed-down key equality in lookup() skips row groups."""
+    import pyarrow.parquet as pq
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    man = table._manifest()
+    checked = 0
+    for fl in man["files"].values():
+        for path in fl:
+            t = pq.read_table(path, columns=["conv_id", "turn_idx"])
+            keys = list(zip(
+                t.column("conv_id").to_pylist(),
+                t.column("turn_idx").to_pylist(),
+            ))
+            assert keys == sorted(keys), f"unsorted file {path}"
+            checked += 1
+    assert checked >= 1
+
+
 def test_targeted_compaction(spark, tmp_path, target_df, changelog_df):
     """compact(buckets=[...]) rewrites ONLY the targeted buckets: untouched
     buckets' file lists carry over byte-identical (copy-on-write), state is
