@@ -704,6 +704,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_state"] = merge_state
 
+    # --- bulk keyed probe of the durable table: lookup_many reads only the
+    # key set's buckets/slots; result must equal the patched state filtered
+    # to the probed keys, with misses (never-existing probes) and deleted
+    # keys absent
+    def bulk_lookup(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="bulk_lookup_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        keys = (
+            snap.select("user_id", "event_id")
+            .unionByName(_changelog(spark, sf).select("user_id", "event_id"))
+            .filter(F.col("user_id") % 7 == 3)
+            # provably-missing probes: must not appear in the result
+            .unionByName(
+                spark.range(5).select(
+                    (-F.col("id") - 1).alias("user_id"),
+                    F.col("id").alias("event_id"),
+                )
+            )
+        )
+        return table.lookup_many(keys).select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["bulk_lookup"] = bulk_lookup
+
     # --- incremental CDC read of the sink itself: changes(v_boot, v_now)
     # must equal the SQL diff between the patched state and the snapshot —
     # this gates the manifest-pruned delta path, not just the final state
@@ -1418,6 +1457,9 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["patch_snapshot"] = _patch_core
     o["merge_state"] = _patch_core
+    # bulk probe = patched state restricted to the probed key stratum
+    # (the negative-id probes never existed, so the filter alone is exact)
+    o["bulk_lookup"] = f"SELECT * FROM ({_patch_core}) WHERE user_id % 7 = 3"
     # the cascade must land exactly the merge_state final state downstream
     o["pipe_state"] = _patch_core
     # transform hook: derived val_x2 recomputed from the RAW final value

@@ -77,7 +77,15 @@ class Engine:
         return store_ops.get_all(self.read(), self.model)
 
     def get_by_uids(self, keys: Sequence[Sequence[Any]]) -> DataFrame:
-        return store_ops.get_by_uids(self.read(), self.model, keys)
+        # bucket/slot-pruned path: lookup_many restricts the scan to the
+        # key set's file sets before store_ops applies the reference
+        # semantics (request order preserved, raise on any missing)
+        kdf = self.spark.createDataFrame(
+            [tuple(k) for k in keys], list(self.model.identifiers)
+        )
+        return store_ops.get_by_uids(
+            self.table.lookup_many(kdf), self.model, keys
+        )
 
     def count(self) -> int:
         return store_ops.count(self.read())

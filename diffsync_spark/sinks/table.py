@@ -263,6 +263,77 @@ class SnapshotTable:
         pruned = [p for p in allfiles if seg in p]
         return pruned if pruned else allfiles
 
+    def lookup_many(
+        self, keys: DataFrame, version: int | None = None
+    ) -> DataFrame:
+        """Bulk keyed read — the distributed analog of the reference's
+        ``store.get_by_uids`` (``store/local.py:67-89``) against the durable
+        table: given a frame of identifier tuples, return the live rows that
+        match, reading ONLY the buckets (and, where the writer fanned out,
+        only the ``__slot=S`` file sets) the key set hashes into.
+
+        100 TB shape: probing a 1,024-bucket table with keys that land in
+        40 buckets scans ~4% of the table no matter how many key ROWS there
+        are — the keys frame itself is never collected; only its distinct
+        (bucket, slot) pairs are (bounded by total slot count, ≤
+        n_buckets x 64, regardless of key volume). The final match is a
+        semi-join on the natural key over the pruned scan — AQE broadcasts
+        a small key set, and the write-ordered files give row-group
+        skipping when it does. Misses simply don't appear (``get_by_uids``'s
+        raise-on-missing is an anti-join away and stays caller-side);
+        duplicates in ``keys`` are deduplicated."""
+        ids = list(self.model.identifiers)
+        missing = [k for k in ids if k not in keys.columns]
+        if missing:
+            raise DiffSyncSparkError(
+                f"keys frame lacks identifier columns {missing}"
+            )
+        man = self._manifest(version)
+        public = T.StructType.fromJson(json.loads(man["schema"]))
+        stored = {f.name: f.dataType for f in public.fields}
+        kdf = keys.select(
+            *[F.col(k).cast(stored[k]).alias(k) for k in ids]
+        ).dropDuplicates(ids)
+        bucket_src = self.model.parent_key or ids
+        splits = {
+            int(b): int(s) for b, s in man.get("bucket_splits", {}).items()
+        }
+        split_map = F.create_map(
+            *[x for b, s in splits.items() for x in (F.lit(b), F.lit(s))]
+        ) if splits else F.create_map()
+        b_col = F.pmod(
+            F.xxhash64(*bucket_src), F.lit(man["n_buckets"])
+        ).cast("int")
+        s_col = F.pmod(
+            F.xxhash64(*ids), F.coalesce(split_map[b_col], F.lit(1))
+        ).cast("int")
+        need: dict[int, set[int]] = {}
+        for r in kdf.select(
+            b_col.alias("b"), s_col.alias("s")
+        ).distinct().collect():
+            need.setdefault(r.b, set()).add(r.s)
+        files: list[str] = []
+        for b, slots in need.items():
+            allf = man["files"].get(str(b), [])
+            if len(slots) >= splits.get(b, 1):
+                files.extend(allf)
+                continue
+            segs = [f"{os.sep}{SLOT}={s}{os.sep}" for s in slots]
+            for p in allf:
+                # keep needed-slot files; legacy flat files (no slot dir)
+                # can hold any key of the bucket, so they always stay
+                if f"{os.sep}{SLOT}=" not in p or any(g in p for g in segs):
+                    files.append(p)
+        full = self._full_schema(public)
+        frame = (
+            self.spark.read.schema(full).parquet(*files)
+            if files else self.spark.createDataFrame([], full)
+        )
+        live = frame.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+        return live.join(kdf, on=ids, how="left_semi").select(
+            *[f.name for f in public.fields]
+        )
+
     # ---------------------------------------------------------------- merge
     def merge(
         self,

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from diffsync_spark import diff
+from diffsync_spark.errors import DiffSyncSparkError
 from diffsync_spark.fixtures import TRANSCRIPT_COLUMNS, evolve
 from diffsync_spark.model import TRANSCRIPT_MODEL
 from diffsync_spark.operators.diff import has_diffs
@@ -718,6 +719,41 @@ def test_bucket_pruned_lookup(spark, tmp_path, target_df, target_pdf):
     probe = table.read(buckets=[0])
     n_b0 = len(probe.inputFiles())
     assert 0 < n_b0 < total_files
+
+def test_lookup_many(spark, tmp_path, target_df, target_pdf):
+    """Bulk keyed read: hits come back exactly, misses and tombstoned keys
+    drop out, duplicate probe rows dedupe, and the scan is pruned to the
+    key set's buckets (file-count evidence via inputFiles)."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    one_conv = target_pdf["conv_id"].iloc[0]
+    want = target_pdf[target_pdf.conv_id == one_conv]
+    probes = [(one_conv, int(t)) for t in want["turn_idx"]]
+    keys = spark.createDataFrame(
+        probes + probes + [("no_such_conv", 0), (one_conv, 10_000)],
+        "conv_id string, turn_idx int",
+    )
+    out = table.lookup_many(keys)
+    pdf = out.toPandas().sort_values("turn_idx").reset_index(drop=True)
+    assert len(pdf) == len(want)
+    assert set(pdf["text"]) == set(want["text"])
+    # pruning: a single conv lives in one bucket (parent_key=conv_id), so
+    # the probe touches strictly fewer files than the table holds
+    man = table._manifest()
+    total_files = sum(len(fl) for fl in man["files"].values())
+    assert total_files > 1
+    assert 0 < len(set(out.inputFiles())) < total_files
+    # tombstone a probed key: it must vanish from the bulk result
+    ts = datetime.datetime(2030, 1, 1)
+    table.merge(spark.createDataFrame(
+        [(one_conv, probes[0][1], None, None, None, ts, "delete")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"), checkpoint_id="del",
+        batch_id=1)
+    after = table.lookup_many(keys).toPandas()
+    assert len(after) == len(want) - 1
+    with pytest.raises(DiffSyncSparkError):
+        table.lookup_many(keys.select("conv_id"))
+
 
 def test_write_ordered_files(spark, tmp_path, target_df):
     """Every written file is clustered on (conv_id, turn_idx) — Iceberg's
