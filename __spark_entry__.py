@@ -743,6 +743,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bulk_lookup"] = bulk_lookup
 
+    # --- the WHOLE north-star path composed in one gate: raw Debezium
+    # envelope JSON → from_debezium decode → LWW MERGE into the durable
+    # table → final state read-back. Each stage is individually gated
+    # (debezium_decode, merge_state); this proves they compose — the
+    # decoded frame's schema/ms-clock/op verbs are exactly what the MERGE
+    # contract consumes. Oracle = the decode twin spliced into the patch
+    # algebra as its changelog CTE.
+    def pipeline_cdc(spark, sf):
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.sources.cdc_formats import from_debezium
+
+        tmp = tempfile.mkdtemp(prefix="pipeline_cdc_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        chg = _changelog(spark, sf)
+        img = F.struct(
+            "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+        )
+        raw = chg.select(
+            F.to_json(
+                F.struct(
+                    F.when(F.col("op") == "delete", img).alias("before"),
+                    F.when(F.col("op") != "delete", img).alias("after"),
+                    F.when(F.col("op") == "delete", "d")
+                    .otherwise("u")
+                    .alias("op"),
+                    F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                    F.struct(
+                        F.col("seq").alias("lsn"),
+                        F.lit("events").alias("table"),
+                    ).alias("source"),
+                )
+            ).alias("value")
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        decoded = from_debezium(raw, EVENT_MODEL, row_schema).withColumn(
+            "ts", F.col("ts").cast(snap.schema["ts"].dataType)
+        )
+        table.merge(decoded, checkpoint_id="cdc", batch_id=1)
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["pipeline_cdc_ingest"] = pipeline_cdc
+
+    # --- metadata-only row counts (Iceberg snapshot-summary parity): live
+    # counts ride each merge's write job as observed metrics, so count()
+    # is a manifest sum — no scan. Gated at BOTH versions: the boot count
+    # (time travel) and the post-merge count (touched buckets re-observed,
+    # untouched buckets carried forward copy-on-write)
+    def table_stats(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="table_stats_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        v_boot = table._manifest()["version"]
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        return spark.createDataFrame(
+            [(table.count_rows(v_boot), table.count_rows())],
+            "n_boot bigint, n_live bigint",
+        )
+
+    q["table_stats"] = table_stats
+
     # --- incremental CDC read of the sink itself: changes(v_boot, v_now)
     # must equal the SQL diff between the patched state and the snapshot —
     # this gates the manifest-pruned delta path, not just the final state
@@ -1431,9 +1524,10 @@ FROM e WHERE rn = 1"""
     # shared LWW three-way prefix: changelog rn-dedup + ev_wins join — ONE
     # definition of the merge tiebreak semantics, consumed by the
     # patch/merge oracles AND the table_changes oracle below
-    _patch_prefix = f"""
+    def _patch_prefix_for(chg_sql: str) -> str:
+        return f"""
 WITH snap AS ({_SQL_SRC}),
-chg0 AS ({_SQL_CHG}),
+chg0 AS ({chg_sql}),
 chg AS (
   SELECT * FROM (
     SELECT c.*, row_number() OVER (PARTITION BY user_id, event_id
@@ -1448,6 +1542,8 @@ j AS (
             OR c.ts IS NULL OR (c.ts = s.ts))) AS ev_wins
   FROM snap s FULL OUTER JOIN chg c
     ON s.user_id = c.user_id AND s.event_id = c.event_id)"""
+
+    _patch_prefix = _patch_prefix_for(_SQL_CHG)
     _patch_core = _patch_prefix + """
 SELECT coalesce(s_uid, c_uid) AS user_id,
        coalesce(s_eid, c_eid) AS event_id,
@@ -1462,6 +1558,37 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["bulk_lookup"] = f"SELECT * FROM ({_patch_core}) WHERE user_id % 7 = 3"
     # the cascade must land exactly the merge_state final state downstream
     o["pipe_state"] = _patch_core
+    # composed north-star twin: the Debezium DECODE twin (same JSON
+    # machinery as debezium_decode's oracle — ms clock truncation, round-4
+    # image values, u/d verb mapping) becomes the patch algebra's changelog
+    # CTE, so the oracle replays envelope→decode→LWW-merge end to end
+    _dbz_chg_raw = f"""
+SELECT to_json(struct_pack(
+         before := CASE WHEN op = 'delete' THEN img END,
+         "after" := CASE WHEN op <> 'delete' THEN img END,
+         op := CASE WHEN op = 'delete' THEN 'd' ELSE 'u' END,
+         ts_ms := epoch_ms(ts),
+         source := struct_pack(lsn := seq, "table" := 'events')
+       )) AS value
+FROM (SELECT *, struct_pack(user_id := user_id, event_id := event_id,
+                            event_type := event_type,
+                            val := round(val, 4)) AS img
+      FROM ({_SQL_CHG}))"""
+    from diffsync_spark.sources.cdc_formats import debezium_sql
+
+    o["pipeline_cdc_ingest"] = _patch_prefix_for(
+        debezium_sql(
+            [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+             ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+            _dbz_chg_raw,
+        )
+    ) + """
+SELECT coalesce(s_uid, c_uid) AS user_id,
+       coalesce(s_eid, c_eid) AS event_id,
+       CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+       round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
+       epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us
+FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # transform hook: derived val_x2 recomputed from the RAW final value
     # (the transform sees unrounded batch values on both hops)
     o["pipe_silver_state"] = _patch_prefix + """
@@ -1472,6 +1599,10 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
        epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us,
        round(2 * (CASE WHEN ev_wins THEN c_val ELSE s_val END), 6) AS val_x2
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
+    # metadata-only counts: boot snapshot size + post-merge live size
+    o["table_stats"] = f"""
+SELECT (SELECT count(*) FROM ({_SQL_SRC})) AS n_boot,
+       (SELECT count(*) FROM ({_patch_core})) AS n_live"""
     # raw (unrounded) values here: the Spark side compares exact doubles
     o["table_changes"] = _patch_prefix + """,
 new_state AS (

@@ -88,7 +88,9 @@ class Engine:
         )
 
     def count(self) -> int:
-        return store_ops.count(self.read())
+        # manifest-metadata count (live counts ride every merge's write
+        # job) — O(buckets) on the driver instead of a table scan
+        return self.table.count_rows()
 
     def __len__(self) -> int:
         return self.count()

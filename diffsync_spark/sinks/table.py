@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from typing import Any, Sequence
 
@@ -114,6 +115,10 @@ class SnapshotTable:
         version first — ``merge()``/``compact()`` catch it and rebase against
         the new snapshot (optimistic concurrency, the Iceberg commit loop)."""
         version = manifest["version"]
+        # commit wall clock (epoch micros) — the single choke point stamps
+        # every snapshot (create/merge/compact/expire), enabling
+        # version_as_of()/read_as_of() wall-clock time travel
+        manifest["committed_at"] = time.time_ns() // 1_000
         target = os.path.join(self._manifest_dir, f"v{version}.json")
         try:
             self.io.write_exclusive(target, json.dumps(manifest, default=str))
@@ -205,6 +210,20 @@ class SnapshotTable:
         return F.pmod(F.xxhash64(*cols), F.lit(self._manifest()["n_buckets"])).cast(
             "int"
         )
+
+    def count_rows(self, version: int | None = None) -> int:
+        """Live (non-tombstone) row count from manifest metadata alone —
+        Iceberg's snapshot-summary ``total-records``: the reference's
+        ``store.count`` (``store/local.py:91-103``) without touching data.
+        Each MERGE observes per-bucket live counts inside its own write job
+        (:meth:`_write_commit`), so at 100 TB this is a dict sum on the
+        driver, not a 100 TB scan. Manifests from before this field existed
+        fall back to one counting scan."""
+        man = self._manifest(version)
+        live = man.get("bucket_live_rows")
+        if live is None:
+            return self.read(version).count()
+        return sum(live.values())
 
     def lookup(self, key: Sequence[Any], version: int | None = None) -> dict | None:
         """Point lookup that reads ONLY the key's bucket files (the durable
@@ -762,17 +781,28 @@ class SnapshotTable:
         # replaces a whole post-write job that re-read the written files.
         # Very wide tables (>512 metric exprs) fall back to the re-read.
         _OPS = ("create", "update", "delete", "noop")
+        _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
         obs = None
-        if touched and len(touched) * len(_OPS) <= 512:
+        if touched and len(touched) * (len(_OPS) + 1) <= 512:
             from pyspark.sql import Observation
 
             obs = Observation(f"merge_v{new_version}")
-            out = out.observe(obs, *[
-                F.count_if(
-                    (F.col(BUCKET) == b) & (F.col("__op_class") == oc)
-                ).alias(f"b{b}_{oc}")
-                for b in touched for oc in _OPS
-            ])
+            out = out.observe(obs, *(
+                [
+                    F.count_if(
+                        (F.col(BUCKET) == b) & (F.col("__op_class") == oc)
+                    ).alias(f"b{b}_{oc}")
+                    for b in touched for oc in _OPS
+                ]
+                # live rows (non-tombstone) per touched bucket ride the same
+                # write job — the table-level row count becomes manifest
+                # metadata (Iceberg snapshot-summary parity): count() never
+                # scans data
+                + [
+                    F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
+                    for b in touched
+                ]
+            ))
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         per_bucket: dict[tuple[int, str], int] = {}
         if obs is not None:
@@ -780,12 +810,19 @@ class SnapshotTable:
             per_bucket = {
                 (b, oc): m[f"b{b}_{oc}"] for b in touched for oc in _OPS
             }
+            per_bucket.update(
+                {(b, "__live"): m[f"b{b}_live"] for b in touched}
+            )
         elif touched:
             written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
             for r in (
-                written.groupBy(BUCKET, "__op_class").agg(F.count("*").alias("n"))
+                written.groupBy(BUCKET, "__op_class")
+                .agg(F.count("*").alias("n"), F.count_if(_live).alias("nl"))
             ).collect():
                 per_bucket[(r[BUCKET], r["__op_class"])] = r["n"]
+                per_bucket[(r[BUCKET], "__live")] = (
+                    per_bucket.get((r[BUCKET], "__live"), 0) + r["nl"]
+                )
 
         # ---- build the new manifest: touched buckets point at new files,
         # untouched buckets keep their old references (copy-on-write)
@@ -848,6 +885,15 @@ class SnapshotTable:
         }
         for bk in touched:
             bucket_splits[str(bk)] = splits.get(bk, 1)
+        # live (non-tombstone) rows per bucket: untouched buckets carry the
+        # previous snapshot's numbers forward copy-on-write, touched buckets
+        # take this write's observed counts — count_rows() sums these
+        live_rows = {
+            b: n for b, n in man.get("bucket_live_rows", {}).items()
+            if int(b) not in touched
+        }
+        for bk in touched:
+            live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
         manifest = {
             "version": new_version,
             "snapshot_id": snapshot_id,
@@ -859,6 +905,7 @@ class SnapshotTable:
             "lineage": lineage_rows,
             "bucket_rows": bucket_rows,
             "bucket_splits": bucket_splits,
+            "bucket_live_rows": live_rows,
             "quarantine_dir": (
                 os.path.join(
                     self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
@@ -911,6 +958,69 @@ class SnapshotTable:
         return self.merge(batch, checkpoint_id=checkpoint_id, batch_id=batch_id,
                           mode="force")
 
+    def version_as_of(self, ts: "datetime.datetime | int | float") -> int:
+        """Latest retained snapshot committed at or before ``ts`` — the
+        Iceberg ``snapshot_as_of``/``TIMESTAMP AS OF`` resolution step.
+        ``ts`` is a datetime (naive = local clock, matching the commit
+        stamp) or epoch seconds/micros. Driver-side metadata walk only."""
+        if hasattr(ts, "timestamp"):
+            want_us = int(ts.timestamp() * 1_000_000)
+        else:
+            # ints/floats: values below 1e12 read as epoch SECONDS,
+            # larger as epoch MICROS (micros since 2026 are ~1.7e15)
+            want_us = int(ts * 1_000_000) if ts < 1e12 else int(ts)
+        best = None
+        for v in range(self.current_version(), 0, -1):
+            try:
+                man = self._manifest(v)
+            except FileNotFoundError:
+                continue  # expired
+            at = man.get("committed_at")
+            if at is not None and at <= want_us:
+                best = v
+                break  # versions are monotone in commit time
+        if best is None:
+            raise DiffSyncSparkError(
+                f"no retained snapshot committed at or before {ts!r}"
+            )
+        return best
+
+    def read_as_of(self, ts: "datetime.datetime | int | float") -> DataFrame:
+        """Wall-clock time travel: the table state as of ``ts``."""
+        return self.read(self.version_as_of(ts))
+
+    def requeue_quarantine(
+        self,
+        version: int | None = None,
+        fix: "Any | None" = None,
+        checkpoint_id: str | None = None,
+        batch_id: int | None = None,
+    ) -> dict[str, Any]:
+        """Re-drive a commit's quarantined rows through the MERGE after
+        repair — the operational closure of CONTINUE_ON_FAILURE (the
+        reference logs failures and keeps going,
+        ``diffsync/helpers.py:442-446``; a real pipeline must eventually
+        re-submit them). ``fix`` is an optional ``DataFrame -> DataFrame``
+        repair hook applied to the rejected rows (status columns already
+        stripped); without a fix, still-invalid rows simply quarantine
+        again under the new commit — never lost, never duplicated (LWW
+        keeps the requeue idempotent)."""
+        man = self._manifest(version)
+        qdir = man.get("quarantine_dir")
+        if not qdir:
+            return {
+                "skipped": True,
+                "reason": f"version {man['version']} quarantined nothing",
+            }
+        rows = self.spark.read.parquet(qdir).drop("_status", "_status_reason")
+        if fix is not None:
+            rows = fix(rows)
+        return self.merge(
+            rows,
+            checkpoint_id=checkpoint_id or f"requeue-v{man['version']}",
+            batch_id=batch_id,
+        )
+
     def history(self) -> DataFrame:
         """Snapshot history (the Iceberg ``table.history()`` analog): one
         row per retained version — snapshot/parent ids, schema width,
@@ -933,15 +1043,20 @@ class SnapshotTable:
                 "n_buckets_with_data": len(man.get("files", {})),
                 "n_files": sum(len(fl) for fl in man.get("files", {}).values()),
                 "n_rows": sum(man.get("bucket_rows", {}).values()) or None,
+                "n_live_rows": (
+                    sum(man["bucket_live_rows"].values())
+                    if man.get("bucket_live_rows") is not None else None
+                ),
                 "n_checkpoints": len(man.get("checkpoints", {})),
                 "has_quarantine": bool(man.get("quarantine_dir")),
+                "committed_at_us": man.get("committed_at"),
             })
         return self.spark.createDataFrame(
             rows,
             "version int, snapshot_id string, parent_snapshot_id string, "
             "is_current boolean, n_columns int, n_buckets_with_data int, "
-            "n_files int, n_rows long, n_checkpoints int, "
-            "has_quarantine boolean",
+            "n_files int, n_rows long, n_live_rows long, n_checkpoints int, "
+            "has_quarantine boolean, committed_at_us long",
         )
 
     def quarantine_df(self, version: int | None = None) -> DataFrame | None:

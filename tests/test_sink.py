@@ -755,6 +755,81 @@ def test_lookup_many(spark, tmp_path, target_df, target_pdf):
         table.lookup_many(keys.select("conv_id"))
 
 
+def test_count_rows_metadata(spark, tmp_path, target_df):
+    """count_rows is a manifest sum, never a scan: matches read().count()
+    at every version, tracks deletes, survives compaction (carry-forward),
+    and time-travels."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    v0 = table._manifest()["version"]
+    n0 = table.read().count()
+    assert table.count_rows() == n0
+    # delete one conv's turns: live count drops by exactly that many
+    pdf = target_df.toPandas()
+    conv = pdf["conv_id"].iloc[0]
+    victims = pdf[pdf.conv_id == conv]
+    ts = datetime.datetime(2031, 1, 1)
+    table.merge(spark.createDataFrame(
+        [(conv, int(t), None, None, None, ts, "delete")
+         for t in victims["turn_idx"]],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"), checkpoint_id="del",
+        batch_id=1)
+    assert table.count_rows() == n0 - len(victims)
+    assert table.count_rows() == table.read().count()
+    # time travel: the boot version still reports the boot count
+    assert table.count_rows(v0) == n0
+    # compaction rewrites files but not liveness
+    table.compact()
+    assert table.count_rows() == n0 - len(victims)
+    # history exposes the same number per snapshot
+    hist = {r["version"]: r["n_live_rows"]
+            for r in table.history().collect()}
+    assert hist[v0] == n0
+    assert max(hist) in hist and hist[max(hist)] == n0 - len(victims)
+
+
+def test_time_travel_and_requeue(spark, tmp_path, target_df):
+    """Wall-clock time travel resolves to the snapshot current at that
+    instant; quarantined rows can be repaired and re-driven through the
+    MERGE without loss or duplication."""
+    import time as _time
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    v0 = table._manifest()["version"]
+    n0 = table.read().count()
+    t_boot = _time.time()
+    # a later commit: one valid row + one null-key row (quarantined)
+    ts = datetime.datetime(2031, 1, 1)
+    r = table.merge(spark.createDataFrame(
+        [("tt_conv", 0, "user", "hello", None, ts, "insert"),
+         (None, 1, "user", "bad", None, ts, "insert")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"), checkpoint_id="tt",
+        batch_id=1)
+    assert r["n_quarantined"] == 1
+    # as-of the pre-merge instant: the boot snapshot, not the new one
+    assert table.version_as_of(t_boot) == v0
+    assert table.read_as_of(t_boot).count() == n0
+    assert table.read().count() == n0 + 1
+    with pytest.raises(DiffSyncSparkError):
+        table.version_as_of(0)  # epoch start predates every snapshot
+    # history carries the commit clock, monotone across versions
+    hist = table.history().orderBy("version").collect()
+    stamps = [h["committed_at_us"] for h in hist]
+    assert all(s is not None for s in stamps) and stamps == sorted(stamps)
+    # repair the rejected row and re-drive it through the merge
+    res = table.requeue_quarantine(
+        fix=lambda df: df.withColumn(
+            "conv_id", F.coalesce(F.col("conv_id"), F.lit("tt_fixed"))
+        )
+    )
+    assert res["n_quarantined"] == 0 and res["n_create"] == 1
+    assert table.lookup(("tt_fixed", 1))["text"] == "bad"
+    assert table.count_rows() == n0 + 2
+    # nothing left to requeue on the new commit
+    assert table.requeue_quarantine()["skipped"] is True
+
+
 def test_write_ordered_files(spark, tmp_path, target_df):
     """Every written file is clustered on (conv_id, turn_idx) — Iceberg's
     WRITE ORDERED BY. Row order inside the file IS the row-group/page stats
