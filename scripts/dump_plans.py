@@ -63,6 +63,21 @@ def _ann_index_case(s):
     return lsh_cosine_topk(None, queries, k=5, probes=4, index_path=idx)
 
 
+def _lookup_many_case(s):
+    import tempfile
+
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="plans_lm_") + "/tbl"
+    snap = entry._src(s, SF)
+    t = SnapshotTable.create(s, tmp, entry.EVENT_MODEL, schema=snap.schema,
+                             n_buckets=8)
+    t.merge(snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="b", batch_id=0)
+    keys = snap.select("user_id", "event_id").filter(F.col("user_id") % 19 == 1)
+    return t.lookup_many(keys)
+
+
 CASES = [
     (
         "diff (keyed full-outer classify)",
@@ -187,6 +202,15 @@ CASES = [
         "read; signatures were computed ONCE at index-build time, so the "
         "per-query cost is a pruned scan + rerank, never a corpus pass.",
         lambda s: _ann_index_case(s),
+    ),
+    (
+        "lookup_many (bulk keyed probe of a SnapshotTable)",
+        "The table side is an explicit file-list scan of ONLY the probed "
+        "buckets/slots — the manifest pruning happens BEFORE the plan "
+        "exists (file-count evidence in test_lookup_many); the deduped key "
+        "set then joins LeftSemi (broadcast under AQE), so a probe never "
+        "shuffles table data.",
+        lambda s: _lookup_many_case(s),
     ),
     (
         "simhash_neardup_pairs (capped pigeonhole banding)",
