@@ -836,6 +836,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_stats"] = table_stats
 
+    # --- add-column schema evolution THROUGH the merge (the north rule's
+    # "new tool fields" case): the changelog batch carries a column the
+    # table has never seen; the merge widens the stored schema, old files
+    # read through it as NULLs, and only LWW-winning rows carry the value
+    def merge_evolved(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="merge_evolved_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        chg = _changelog(spark, sf).withColumn(
+            "tag",
+            F.concat(F.lit("t"), (F.col("event_id") % 5).cast("string")),
+        )
+        table.merge(chg, checkpoint_id="chg", batch_id=1)
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "tag",
+        )
+
+    q["merge_evolved_state"] = merge_evolved
+
     # --- incremental CDC read of the sink itself: changes(v_boot, v_now)
     # must equal the SQL diff between the patched state and the snapshot —
     # this gates the manifest-pruned delta path, not just the final state
@@ -1598,6 +1630,16 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
        round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
        epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us,
        round(2 * (CASE WHEN ev_wins THEN c_val ELSE s_val END), 6) AS val_x2
+FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
+    # add-column evolution: winners carry the new column, snapshot-kept
+    # rows read NULL through the widened schema (their files predate it)
+    o["merge_evolved_state"] = _patch_prefix + """
+SELECT coalesce(s_uid, c_uid) AS user_id,
+       coalesce(s_eid, c_eid) AS event_id,
+       CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+       round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
+       epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us,
+       CASE WHEN ev_wins THEN 't' || CAST(c_eid % 5 AS VARCHAR) END AS tag
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # metadata-only counts: boot snapshot size + post-merge live size
     o["table_stats"] = f"""

@@ -1,0 +1,89 @@
+"""Day-2 operations on a long-lived table — the ops runbook in one script.
+
+A 100 TB CDC sink is not just merges: operators need to answer "how many
+rows right now?" without a scan, audit what each commit did, read the
+table as of an incident time, repair and re-drive rejected records, and
+keep metadata/storage bounded. This demo walks that loop on a small
+transcript table (reference analogs: store introspection
+``diffsync/store/local.py:91-103`` and the CONTINUE_ON_FAILURE logging of
+``diffsync/helpers.py:442-446`` — here the failures are durable data you
+can fix and requeue, not log lines).
+
+Run:  PYTHONPATH=. python examples/06_day2_operations.py
+"""
+
+import datetime
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from diffsync_spark import SnapshotTable, build_session
+from diffsync_spark.model import TRANSCRIPT_MODEL
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, op string"
+)
+
+
+def main() -> None:
+    spark = build_session(master="local[4]", shuffle_partitions=4,
+                          app_name="day2_operations")
+    tmp = tempfile.mkdtemp(prefix="day2_")
+    t0 = datetime.datetime(2031, 1, 1)
+    boot = spark.createDataFrame(
+        [(f"conv{c}", i, "user", f"c{c} turn {i}", None, t0, "insert")
+         for c in range(6) for i in range(4)],
+        SCHEMA,
+    )
+    table = SnapshotTable.create(spark, f"{tmp}/tbl", TRANSCRIPT_MODEL,
+                                 schema=boot.drop("op").schema, n_buckets=8)
+    table.merge(boot, mode="force", checkpoint_id="boot", batch_id=0)
+
+    # 1) metadata-only count: a dict sum over the manifest, never a scan
+    print(f"rows now (no scan): {table.count_rows()}")
+    t_before_incident = time.time()
+
+    # 2) a bad batch: one valid update + one row with a NULL key
+    t1 = t0 + datetime.timedelta(hours=1)
+    r = table.merge(spark.createDataFrame(
+        [("conv0", 0, "user", "EDITED turn 0", None, t1, "update"),
+         (None, 99, "user", "dropped key", None, t1, "insert")],
+        SCHEMA), checkpoint_id="feed", batch_id=1)
+    print(f"merge applied={r['n_update']} quarantined={r['n_quarantined']}")
+
+    # 3) audit: per-snapshot wall clock, live rows, quarantine presence
+    table.history().select(
+        "version", "n_live_rows", "has_quarantine", "committed_at_us"
+    ).show()
+
+    # 4) time travel: the state as of just before the incident
+    old = table.read_as_of(t_before_incident)
+    print("turn 0 as of pre-incident:",
+          old.filter("conv_id = 'conv0' and turn_idx = 0")
+             .select("text").first()["text"])
+
+    # 5) inspect + repair + requeue the rejected row
+    print("quarantined rows:")
+    table.quarantine_df().select("conv_id", "turn_idx", "_status_reason").show()
+    rq = table.requeue_quarantine(
+        fix=lambda df: df.withColumn(
+            "conv_id", F.coalesce(F.col("conv_id"), F.lit("conv_recovered"))
+        )
+    )
+    print(f"requeued: created={rq['n_create']} "
+          f"re-quarantined={rq['n_quarantined']}")
+    print("recovered row:", table.lookup(("conv_recovered", 99))["text"])
+
+    # 6) bound storage and metadata: binpack fragmented buckets, drop
+    #    unreferenced attempt dirs, expire old snapshots
+    print("compact:", table.compact(min_files=2)["compacted_buckets"])
+    print("orphan GC:", table.remove_orphans())
+    print("expire:", table.expire_snapshots(keep_last=3))
+    print(f"rows after ops (unchanged): {table.count_rows()}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
