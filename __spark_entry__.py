@@ -1173,6 +1173,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["debezium_decode"] = debezium
 
+    # --- Kafka transport decode: the same Debezium envelopes wrapped in
+    # the Kafka source contract (binary value, partition, offset); the LWW
+    # tiebreak becomes the per-partition offset — the order a keyed CDC
+    # topic actually guarantees
+    def kafka(spark, sf):
+        from pyspark.sql import Window
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sources.cdc_formats import from_kafka
+
+        e = _events(spark, sf)
+        opcode = (
+            F.when(F.col("event_id") % 97 == 0, "x")  # unknown → NULL op
+            .when(F.col("event_id") % 4 == 0, "c")
+            .when(F.col("event_id") % 4 == 1, "u")
+            .when(F.col("event_id") % 4 == 2, "d")
+            .otherwise("r")
+        )
+        img = F.struct(
+            "user_id", "event_id", "event_type",
+            F.round("value", 4).alias("val"),
+        )
+        env = F.to_json(
+            F.struct(
+                F.when(opcode == "d", img).alias("before"),
+                F.when(opcode != "d", img).alias("after"),
+                opcode.alias("op"),
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+                F.struct(
+                    F.col("event_id").alias("lsn"),
+                    F.lit("events").alias("table"),
+                ).alias("source"),
+            )
+        )
+        part = (F.col("event_id") % 4).cast("int")
+        w = Window.partitionBy(part).orderBy("event_id")
+        raw = e.select(
+            F.encode(env, "UTF-8").alias("value"),
+            part.alias("partition"),
+            F.row_number().over(w).cast("long").alias("offset"),
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        chg = from_kafka(raw, EVENT_MODEL, row_schema, envelope="debezium",
+                         seq_source="offset")
+        return chg.select(
+            "seq", "op", "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["kafka_decode"] = kafka
+
     # --- ordered sequence assembly (conversation → ordered turn payloads);
     # the array is flattened to a separator join for engine-portable compare
     def assemble(spark, sf):
@@ -1947,6 +2006,21 @@ FROM (
 SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
        epoch_us(ts) AS ts_us
 FROM ({_dbz_decoded})"""
+    # Kafka transport twin: same envelopes with (partition, offset)
+    # attached; seq = the per-partition offset instead of the LSN
+    _kafka_raw = f"""
+SELECT value,
+       row_number() OVER (PARTITION BY part ORDER BY eid) AS koff
+FROM (SELECT value, event_id % 4 AS part, event_id AS eid
+      FROM ({_dbz_raw.replace("AS value", "AS value, event_id")}))"""
+    o["kafka_decode"] = f"""
+SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
+       epoch_us(ts) AS ts_us
+FROM ({debezium_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+        _kafka_raw, seq_expr="koff",
+    )})"""
     from diffsync_spark.functions.assemble import assemble_sql
 
     o["assemble_sequences"] = assemble_sql(

@@ -73,6 +73,7 @@ def from_debezium(
     model: ModelSchema,
     row_schema: T.StructType,
     value_col: str = "value",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Decode a frame of Debezium JSON envelopes (one per row in
     ``value_col``) into the changelog contract.
@@ -90,7 +91,10 @@ def from_debezium(
     yields NULL structs → NULL op → quarantine (never a dropped row).
     """
     env = debezium_envelope_schema(model, row_schema)
-    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    parsed = raw.select(
+        *[F.col(c) for c in keep_cols],
+        F.from_json(F.col(value_col), env).alias("e"),
+    )
     image = F.when(F.col("e.op") == "d", F.col("e.before")).otherwise(
         F.col("e.after")
     )
@@ -99,7 +103,7 @@ def from_debezium(
     cols.append(
         F.timestamp_millis(F.col("e.ts_ms")).alias("ts")
     )
-    return parsed.select(*cols)
+    return parsed.select(*cols, *[F.col(c) for c in keep_cols])
 
 
 def maxwell_envelope_schema(row_schema: T.StructType) -> T.StructType:
@@ -125,6 +129,7 @@ def from_maxwell(
     model: ModelSchema,
     row_schema: T.StructType,
     value_col: str = "value",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Decode Maxwell envelopes into the same changelog contract as
     :func:`from_debezium` — downstream code cannot tell the formats apart.
@@ -137,7 +142,10 @@ def from_maxwell(
     for unknown verbs/corrupt JSON → merge quarantine.
     """
     env = maxwell_envelope_schema(row_schema)
-    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    parsed = raw.select(
+        *[F.col(c) for c in keep_cols],
+        F.from_json(F.col(value_col), env).alias("e"),
+    )
     t = F.col("e.type")
     op = (
         F.when(t.isin("insert", "bootstrap-insert"), "insert")
@@ -150,7 +158,7 @@ def from_maxwell(
         for f in row_schema.fields
     ]
     cols.append(F.timestamp_seconds(F.col("e.ts")).alias("ts"))
-    return parsed.select(*cols)
+    return parsed.select(*cols, *[F.col(c) for c in keep_cols])
 
 
 def maxwell_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
@@ -197,6 +205,7 @@ def from_canal(
     model: ModelSchema,
     row_schema: T.StructType,
     value_col: str = "value",
+    keep_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Decode Canal envelopes into the same changelog contract as
     :func:`from_debezium` / :func:`from_maxwell`.
@@ -222,9 +231,12 @@ def from_canal(
       clock) — the LWW version.
     """
     env = canal_envelope_schema(row_schema)
-    parsed = raw.select(F.from_json(F.col(value_col), env).alias("e"))
+    parsed = raw.select(
+        *[F.col(c) for c in keep_cols],
+        F.from_json(F.col(value_col), env).alias("e"),
+    )
     exploded = parsed.select(
-        "e.type", "e.es", "e.id", "e.isDdl",
+        *keep_cols, "e.type", "e.es", "e.id", "e.isDdl",
         F.posexplode_outer("e.data").alias("pos", "row"),
     )
     t = F.upper(F.col("type"))
@@ -243,7 +255,7 @@ def from_canal(
         F.col("row").getField(f.name).alias(f.name) for f in row_schema.fields
     ]
     cols.append(F.timestamp_millis(F.col("es")).alias("ts"))
-    return exploded.select(*cols)
+    return exploded.select(*cols, *[F.col(c) for c in keep_cols])
 
 
 def canal_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
@@ -275,10 +287,17 @@ FROM (SELECT value,
       FROM ({source_expr}))"""
 
 
-def debezium_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
+def debezium_sql(
+    row_cols: list[tuple[str, str]],
+    source_expr: str,
+    seq_expr: str | None = None,
+) -> str:
     """DuckDB twin of :func:`from_debezium` over a relation with a JSON
     ``value`` column — for the driver's oracle gate. ``row_cols`` is
-    ``[(name, duckdb_type), ...]`` of the row-image columns."""
+    ``[(name, duckdb_type), ...]`` of the row-image columns. ``seq_expr``
+    overrides the seq source (default: the envelope LSN) — the twin of
+    :func:`from_kafka`'s ``seq_source='offset'``, referencing any column
+    of ``source_expr`` (e.g. a transport offset)."""
     image = (
         "CASE WHEN json_extract_string(value, '$.op') = 'd' "
         "THEN json_extract(value, '$.before') "
@@ -288,11 +307,79 @@ def debezium_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
         f"CAST(json_extract_string({image}, '$.{name}') AS {typ}) AS {name}"
         for name, typ in row_cols
     )
+    seq = seq_expr or "CAST(json_extract_string(value, '$.source.lsn') AS BIGINT)"
     return f"""
-SELECT CAST(json_extract_string(value, '$.source.lsn') AS BIGINT) AS seq,
+SELECT {seq} AS seq,
        CASE json_extract_string(value, '$.op')
             WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert'
             WHEN 'u' THEN 'update' WHEN 'd' THEN 'delete' END AS op,
        {fields},
        epoch_ms(CAST(json_extract_string(value, '$.ts_ms') AS BIGINT)) AS ts
 FROM ({source_expr})"""
+
+
+def from_kafka(
+    raw: DataFrame,
+    model: ModelSchema,
+    row_schema: T.StructType,
+    envelope: str = "debezium",
+    seq_source: str = "offset",
+    value_col: str = "value",
+    partition_col: str = "partition",
+    offset_col: str = "offset",
+) -> DataFrame:
+    """Decode Kafka-shaped CDC records — the transport the binlog tail
+    actually arrives on. ``raw`` has the Kafka source contract (binary
+    ``value``, int ``partition``, long ``offset`` — exactly what
+    ``spark.readStream.format("kafka")`` emits), carrying one of the
+    supported envelope formats in ``value``.
+
+    ``seq_source`` picks the LWW tiebreak:
+
+    - ``'offset'`` (default): the transport offset. Debezium/Maxwell/Canal
+      topics are keyed by primary key, so all changes to one key land in
+      ONE partition where offsets are strictly monotone — exactly the
+      per-key total order the merge's ``(ts, seq)`` tiebreak needs, and
+      it survives connectors that emit no LSN (SQLite, some MySQL
+      configs). For Canal (array-batched images) the offset majorizes the
+      within-envelope position, preserving intra-envelope order:
+      ``seq = offset * CANAL_SEQ_STRIDE + pos``.
+    - ``'envelope'``: keep the envelope's own sequence (LSN / xid /
+      binlog batch id) — the upstream log's order, preferable when one
+      topic interleaves several tables and the connector preserves LSNs.
+
+    Pure projection either way (one cast + one from_json + arithmetic);
+    identical on batch frames and ``readStream``. Corrupt/unknown
+    envelopes keep the NULL-op → quarantine contract of the per-format
+    decoders.
+    """
+    decoders = {
+        "debezium": from_debezium,
+        "maxwell": from_maxwell,
+        "canal": from_canal,
+    }
+    if envelope not in decoders:
+        raise ValueError(
+            f"unknown envelope {envelope!r}; pick one of {sorted(decoders)}"
+        )
+    if seq_source not in ("offset", "envelope"):
+        raise ValueError(
+            f"unknown seq_source {seq_source!r}; 'offset' or 'envelope'"
+        )
+    vals = raw.withColumn("__kafka_value", F.col(value_col).cast("string"))
+    decoded = decoders[envelope](
+        vals, model, row_schema, value_col="__kafka_value",
+        keep_cols=(partition_col, offset_col),
+    )
+    if seq_source == "offset":
+        off = F.col(offset_col).cast("long")
+        if envelope == "canal":
+            # keep the decoder's within-envelope position (seq % STRIDE)
+            # under the transport offset's majorization
+            seq = off * CANAL_SEQ_STRIDE + F.pmod(
+                F.col("seq"), F.lit(CANAL_SEQ_STRIDE)
+            )
+        else:
+            seq = off
+        decoded = decoded.withColumn("seq", seq)
+    return decoded.drop(partition_col, offset_col)

@@ -253,3 +253,68 @@ def test_canal_oversized_envelope_preserves_cross_envelope_order(spark):
         F.col("event_id") == 4500).collect()
     assert len(winner) == 1
     assert winner[0].event_type == "view" and winner[0].val == -1.0
+
+
+def test_from_kafka_offset_seq(spark):
+    """Kafka transport decode: binary value, per-partition offset becomes
+    the LWW tiebreak; envelope LSN kept when seq_source='envelope';
+    corrupt envelopes keep the quarantine contract."""
+    from diffsync_spark.sources.cdc_formats import from_kafka
+
+    rows = [
+        (_env("c", 1, 10, "click", 1.5, 1000, 7).encode(), 0, 100),
+        (_env("u", 1, 10, "click", 2.5, 2000, 8).encode(), 0, 101),
+        (_env("d", 2, 20, "view", 0.5, 3000, 9).encode(), 1, 55),
+        (b"{corrupt", 1, 56),
+    ]
+    raw = spark.createDataFrame(
+        rows, "value binary, partition int, offset long"
+    )
+    out = from_kafka(raw, MODEL, ROW).collect()
+    assert len(out) == 4
+    by_off = {r.seq: r for r in out}
+    assert by_off[100].op == "insert" and by_off[100].val == 1.5
+    assert by_off[101].op == "update"  # later offset = later LWW tiebreak
+    assert by_off[55].op == "delete" and by_off[55].user_id == 2
+    assert by_off[56].op is None  # corrupt → NULL op → quarantine
+    assert "partition" not in out[0].asDict() and "offset" not in out[0].asDict()
+    env_seq = {
+        r.event_id: r.seq
+        for r in from_kafka(raw, MODEL, ROW, seq_source="envelope").collect()
+        if r.event_id is not None
+    }
+    assert env_seq[10] in (7, 8) and env_seq[20] == 9
+
+
+def test_from_kafka_canal_offset_majorizes_position(spark):
+    """Canal over Kafka: the transport offset majorizes the decoder's
+    within-envelope position, so intra-envelope order survives."""
+    from diffsync_spark.sources.cdc_formats import CANAL_SEQ_STRIDE, from_kafka
+
+    env = _canal_env(
+        [(1, i, "x", 1.0) for i in range(3)], "INSERT", 5_000, id_=99,
+    )
+    raw = spark.createDataFrame(
+        [(env.encode(), 0, 42)], "value binary, partition int, offset long"
+    )
+    out = sorted(
+        from_kafka(raw, MODEL, ROW, envelope="canal").collect(),
+        key=lambda r: r.seq,
+    )
+    assert [r.event_id for r in out] == [0, 1, 2]
+    assert [r.seq for r in out] == [
+        42 * CANAL_SEQ_STRIDE + p for p in range(3)
+    ]
+
+
+def test_from_kafka_rejects_unknowns(spark):
+    from diffsync_spark.sources.cdc_formats import from_kafka
+    import pytest as _pytest
+
+    raw = spark.createDataFrame(
+        [(b"x", 0, 1)], "value binary, partition int, offset long"
+    )
+    with _pytest.raises(ValueError):
+        from_kafka(raw, MODEL, ROW, envelope="avro")
+    with _pytest.raises(ValueError):
+        from_kafka(raw, MODEL, ROW, seq_source="timestamp")
