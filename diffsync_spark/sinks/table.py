@@ -310,22 +310,32 @@ class SnapshotTable:
         man = self._manifest(version)
         public = T.StructType.fromJson(json.loads(man["schema"]))
         stored = {f.name: f.dataType for f in public.fields}
+        # try_cast, not cast: under Spark 4.1's default ANSI mode a lossy
+        # probe key (2**40 into an int key) would otherwise abort the whole
+        # bulk job; try_cast makes it NULL → hashes to some bucket, matches
+        # nothing → a miss, as the contract promises (same reasoning as the
+        # merge's key normalization)
         kdf = keys.select(
-            *[F.col(k).cast(stored[k]).alias(k) for k in ids]
+            *[F.col(k).try_cast(stored[k]).alias(k) for k in ids]
         ).dropDuplicates(ids)
         bucket_src = self.model.parent_key or ids
         splits = {
             int(b): int(s) for b, s in man.get("bucket_splits", {}).items()
         }
-        split_map = F.create_map(
-            *[x for b, s in splits.items() for x in (F.lit(b), F.lit(s))]
-        ) if splits else F.create_map()
         b_col = F.pmod(
             F.xxhash64(*bucket_src), F.lit(man["n_buckets"])
         ).cast("int")
-        s_col = F.pmod(
-            F.xxhash64(*ids), F.coalesce(split_map[b_col], F.lit(1))
-        ).cast("int")
+        if splits:
+            split_map = F.create_map(
+                *[x for b, s in splits.items() for x in (F.lit(b), F.lit(s))]
+            )
+            s_mod = F.coalesce(split_map[b_col], F.lit(1))
+        else:
+            # no splits recorded (fresh table / pre-fanout manifest): one
+            # slot per bucket — a zero-arg create_map() has VOID key type
+            # and fails analysis, so don't build one
+            s_mod = F.lit(1)
+        s_col = F.pmod(F.xxhash64(*ids), s_mod).cast("int")
         need: dict[int, set[int]] = {}
         for r in kdf.select(
             b_col.alias("b"), s_col.alias("s")
@@ -887,13 +897,30 @@ class SnapshotTable:
             bucket_splits[str(bk)] = splits.get(bk, 1)
         # live (non-tombstone) rows per bucket: untouched buckets carry the
         # previous snapshot's numbers forward copy-on-write, touched buckets
-        # take this write's observed counts — count_rows() sums these
-        live_rows = {
-            b: n for b, n in man.get("bucket_live_rows", {}).items()
-            if int(b) not in touched
+        # take this write's observed counts — count_rows() sums these.
+        # A parent manifest from before this field existed has untouched
+        # buckets with UNKNOWN live counts: emitting a partial dict would
+        # silently undercount forever, so only emit when every carried
+        # bucket's count is actually known (else count_rows falls back to
+        # one counting scan until all buckets have been rewritten)
+        parent_live = man.get("bucket_live_rows")
+        untouched_with_files = {
+            b for b in man["files"] if int(b) not in touched
         }
-        for bk in touched:
-            live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
+        if parent_live is None and untouched_with_files:
+            live_rows = None
+        else:
+            live_rows = {
+                b: n for b, n in (parent_live or {}).items()
+                if int(b) not in touched
+            }
+            if not untouched_with_files <= set(live_rows) | {
+                str(t) for t in touched
+            }:
+                live_rows = None  # a carried bucket has no known count
+            else:
+                for bk in touched:
+                    live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
         manifest = {
             "version": new_version,
             "snapshot_id": snapshot_id,
@@ -905,7 +932,7 @@ class SnapshotTable:
             "lineage": lineage_rows,
             "bucket_rows": bucket_rows,
             "bucket_splits": bucket_splits,
-            "bucket_live_rows": live_rows,
+            **({"bucket_live_rows": live_rows} if live_rows is not None else {}),
             "quarantine_dir": (
                 os.path.join(
                     self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
@@ -962,13 +989,19 @@ class SnapshotTable:
         """Latest retained snapshot committed at or before ``ts`` — the
         Iceberg ``snapshot_as_of``/``TIMESTAMP AS OF`` resolution step.
         ``ts`` is a datetime (naive = local clock, matching the commit
-        stamp) or epoch seconds/micros. Driver-side metadata walk only."""
+        stamp) or an epoch number in seconds, millis, or micros — the unit
+        is told apart by magnitude (seconds ≈ 1.7e9, millis ≈ 1.7e12,
+        micros ≈ 1.7e15 for present-day instants; the bands are separated
+        by ~1000× so e.g. a Debezium ``ts_ms`` passed straight through
+        resolves correctly). Driver-side metadata walk only."""
         if hasattr(ts, "timestamp"):
             want_us = int(ts.timestamp() * 1_000_000)
-        else:
-            # ints/floats: values below 1e12 read as epoch SECONDS,
-            # larger as epoch MICROS (micros since 2026 are ~1.7e15)
-            want_us = int(ts * 1_000_000) if ts < 1e12 else int(ts)
+        elif ts < 1e11:       # epoch seconds (covers through year 5138)
+            want_us = int(ts * 1_000_000)
+        elif ts < 1e14:       # epoch millis
+            want_us = int(ts * 1_000)
+        else:                 # epoch micros
+            want_us = int(ts)
         best = None
         for v in range(self.current_version(), 0, -1):
             try:
@@ -995,6 +1028,7 @@ class SnapshotTable:
         fix: "Any | None" = None,
         checkpoint_id: str | None = None,
         batch_id: int | None = None,
+        mode: str = "lww",
     ) -> dict[str, Any]:
         """Re-drive a commit's quarantined rows through the MERGE after
         repair — the operational closure of CONTINUE_ON_FAILURE (the
@@ -1004,7 +1038,10 @@ class SnapshotTable:
         repair hook applied to the rejected rows (status columns already
         stripped); without a fix, still-invalid rows simply quarantine
         again under the new commit — never lost, never duplicated (LWW
-        keeps the requeue idempotent)."""
+        keeps the requeue idempotent). ``mode`` passes through to
+        :meth:`merge` — versionless models (whose rejects came from
+        force-mode applies) must requeue with ``mode='force'``, since LWW
+        needs a version column."""
         man = self._manifest(version)
         qdir = man.get("quarantine_dir")
         if not qdir:
@@ -1019,6 +1056,7 @@ class SnapshotTable:
             rows,
             checkpoint_id=checkpoint_id or f"requeue-v{man['version']}",
             batch_id=batch_id,
+            mode=mode,
         )
 
     def history(self) -> DataFrame:

@@ -366,13 +366,20 @@ def from_kafka(
         raise ValueError(
             f"unknown seq_source {seq_source!r}; 'offset' or 'envelope'"
         )
-    vals = raw.withColumn("__kafka_value", F.col(value_col).cast("string"))
+    # transport columns ride the decode under reserved names so a payload
+    # field that happens to be called "partition" or "offset" (common for
+    # queue/ledger tables) neither collides nor gets dropped
+    vals = raw.select(
+        F.col(value_col).cast("string").alias("__kafka_value"),
+        F.col(partition_col).alias("__kafka_partition"),
+        F.col(offset_col).alias("__kafka_offset"),
+    )
     decoded = decoders[envelope](
         vals, model, row_schema, value_col="__kafka_value",
-        keep_cols=(partition_col, offset_col),
+        keep_cols=("__kafka_partition", "__kafka_offset"),
     )
     if seq_source == "offset":
-        off = F.col(offset_col).cast("long")
+        off = F.col("__kafka_offset").cast("long")
         if envelope == "canal":
             # keep the decoder's within-envelope position (seq % STRIDE)
             # under the transport offset's majorization
@@ -382,4 +389,4 @@ def from_kafka(
         else:
             seq = off
         decoded = decoded.withColumn("seq", seq)
-    return decoded.drop(partition_col, offset_col)
+    return decoded.drop("__kafka_partition", "__kafka_offset")

@@ -318,3 +318,31 @@ def test_from_kafka_rejects_unknowns(spark):
         from_kafka(raw, MODEL, ROW, envelope="avro")
     with _pytest.raises(ValueError):
         from_kafka(raw, MODEL, ROW, seq_source="timestamp")
+
+
+def test_from_kafka_payload_named_offset_survives(spark):
+    """A payload column named 'offset' (queue/ledger tables) must neither
+    collide with the transport offset nor get dropped."""
+    import json as _json
+
+    from diffsync_spark.sources.cdc_formats import from_kafka
+
+    row = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("offset", T.LongType()),  # payload field!
+        ]
+    )
+    model = ModelSchema(name="ledger", identifiers=("user_id", "event_id"),
+                        attributes=("offset",), version_cols=("ts",))
+    img = {"user_id": 1, "event_id": 2, "offset": 777}
+    env = _json.dumps({"before": None, "after": img, "op": "c",
+                       "ts_ms": 1000, "source": {"lsn": 1, "table": "l"}})
+    raw = spark.createDataFrame(
+        [(env.encode(), 0, 42)], "value binary, partition int, offset long"
+    )
+    out = from_kafka(raw, model, row).collect()
+    assert len(out) == 1
+    assert out[0]["offset"] == 777  # the PAYLOAD value, not the transport's
+    assert out[0]["seq"] == 42      # the transport offset became the seq

@@ -4,6 +4,7 @@ oracle, lineage, compaction, time travel."""
 from __future__ import annotations
 
 import datetime
+import json
 
 import pandas as pd
 import pytest
@@ -785,7 +786,69 @@ def test_count_rows_metadata(spark, tmp_path, target_df):
     hist = {r["version"]: r["n_live_rows"]
             for r in table.history().collect()}
     assert hist[v0] == n0
-    assert max(hist) in hist and hist[max(hist)] == n0 - len(victims)
+    assert max(hist) == table.current_version()
+    assert hist[max(hist)] == n0 - len(victims)
+
+
+def test_lookup_many_edge_cases(spark, tmp_path, target_df, target_pdf):
+    """Review regressions: a fresh/pre-fanout manifest (no bucket_splits)
+    must not crash the probe; a lossy probe key is a miss, not an
+    ANSI-cast poison pill that kills the whole bulk job."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    man_path = table._manifest_dir + f"/v{table.current_version()}.json"
+    man = json.loads(open(man_path).read())
+    man.pop("bucket_splits", None)
+    open(man_path, "w").write(json.dumps(man))
+    conv = target_pdf["conv_id"].iloc[0]
+    want = target_pdf[target_pdf.conv_id == conv]
+    keys = spark.createDataFrame(
+        [(conv, int(t)) for t in want["turn_idx"]],
+        "conv_id string, turn_idx int",
+    )
+    assert table.lookup_many(keys).count() == len(want)
+    # turn_idx stores as int; a long probe value beyond int range must
+    # come back as a miss (try_cast → NULL), with the valid keys intact
+    lossy = spark.createDataFrame(
+        [(conv, int(want["turn_idx"].iloc[0])), (conv, 2**40)],
+        "conv_id string, turn_idx long",
+    )
+    got = table.lookup_many(lossy).collect()
+    assert len(got) == 1 and got[0]["turn_idx"] == int(want["turn_idx"].iloc[0])
+
+
+def test_live_counts_unknown_for_pre_feature_manifests(spark, tmp_path,
+                                                       target_df, target_pdf):
+    """A manifest written before bucket_live_rows existed must NOT seed a
+    partial dict on the next incremental merge — count_rows falls back to
+    a real scan instead of silently undercounting."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    man_path = table._manifest_dir + f"/v{table.current_version()}.json"
+    man = json.loads(open(man_path).read())
+    man.pop("bucket_live_rows", None)
+    open(man_path, "w").write(json.dumps(man))
+    n0 = table.read().count()
+    assert table.count_rows() == n0  # fallback scan on the doctored manifest
+    # incremental merge touching ONE conv's bucket only
+    conv = target_pdf["conv_id"].iloc[0]
+    ts = datetime.datetime(2032, 1, 1)
+    table.merge(spark.createDataFrame(
+        [(conv, 10_001, "user", "new turn", None, ts, "insert")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string"), checkpoint_id="inc",
+        batch_id=7)
+    assert "bucket_live_rows" not in table._manifest()  # unknowable → absent
+    assert table.count_rows() == n0 + 1 == table.read().count()
+
+
+def test_version_as_of_accepts_all_epoch_units(spark, tmp_path, target_df):
+    import time as _time
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    v = table.current_version()
+    now = _time.time()
+    assert table.version_as_of(now) == v
+    assert table.version_as_of(now * 1_000) == v        # millis
+    assert table.version_as_of(int(now * 1_000_000)) == v  # micros
 
 
 def test_time_travel_and_requeue(spark, tmp_path, target_df):
