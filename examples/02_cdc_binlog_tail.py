@@ -97,6 +97,37 @@ def _run(spark, work: str) -> None:
     print("--- incremental changes since bootstrap (CDC read of the sink) ---")
     table.changes(1).select("conv_id", "turn_idx", "op").show()
 
+    # the same envelopes as a KAFKA topic would deliver them — binary
+    # value + (partition, offset); the per-partition offset becomes the
+    # LWW tiebreak (the order a primary-key-keyed topic guarantees)
+    from diffsync_spark.sources.cdc_formats import from_kafka
+
+    records = [
+        (envelope("c", "conv-1", 0, "hello", 1_000, 1), 0),
+        (envelope("c", "conv-1", 1, "hi! how can I help?", 2_000, 2), 0),
+        (envelope("u", "conv-1", 0, "hello there", 3_000, 3), 0),
+        (envelope("c", "conv-2", 0, "scratch conversation", 1_500, 4), 1),
+        (envelope("d", "conv-2", 0, "scratch conversation", 2_500, 5), 1),
+    ]
+    offsets = {}
+    kafka_rows = []
+    for value, part in records:
+        offsets[part] = offsets.get(part, -1) + 1
+        kafka_rows.append((value.encode(), part, offsets[part]))
+    raw = spark.createDataFrame(
+        kafka_rows, "value binary, partition int, offset long"
+    )
+    t2 = SnapshotTable.create(
+        spark, f"{work}/transcripts_kafka", TRANSCRIPT_MODEL,
+        schema=T.StructType(ROW.fields + [T.StructField("ts", T.TimestampType())]),
+        n_buckets=8,
+    )
+    t2.merge(from_kafka(raw, TRANSCRIPT_MODEL, ROW),
+             checkpoint_id="kafka", batch_id=0)
+    k_state = {(r.conv_id, r.turn_idx): r.text for r in t2.read().collect()}
+    assert k_state == state, "Kafka transport must land the same final state"
+    print("kafka-contract decode landed the identical final state")
+
 
 if __name__ == "__main__":
     main()
