@@ -704,6 +704,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_state"] = merge_state
 
+    # --- the same replay through the MERGE-ON-READ write mode: LWW merges
+    # append delta layers (no base rewrite), the read folds base+layers to
+    # one winner per key, and a PARTIAL compaction folds half the buckets —
+    # so the final read mixes folded base with still-layered buckets. The
+    # oracle is the identical patch algebra: MoR must be observationally
+    # equal to copy-on-write.
+    def mor_merge_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import replay_batches
+
+        tmp = tempfile.mkdtemp(prefix="mor_merge_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema,
+            n_buckets=8, write_mode="mor",
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        replay_batches(table, _changelog(spark, sf), n_batches=3,
+                       checkpoint_id="chg")
+        table.compact(buckets=[0, 1, 2, 3])
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["mor_merge_state"] = mor_merge_state
+
     # --- bulk keyed probe of the durable table: lookup_many reads only the
     # key set's buckets/slots; result must equal the patched state filtered
     # to the probed keys, with misses (never-existing probes) and deleted
@@ -1644,6 +1677,10 @@ SELECT coalesce(s_uid, c_uid) AS user_id,
 FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     o["patch_snapshot"] = _patch_core
     o["merge_state"] = _patch_core
+    # merge-on-read is observationally identical to copy-on-write: the
+    # delta-layer fold (table.py:_fold) must land the same final state the
+    # sequential patch algebra computes
+    o["mor_merge_state"] = _patch_core
     # bulk probe = patched state restricted to the probed key stratum
     # (the negative-id probes never existed, so the filter alone is exact)
     o["bulk_lookup"] = f"SELECT * FROM ({_patch_core}) WHERE user_id % 7 = 3"

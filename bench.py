@@ -215,6 +215,51 @@ def main() -> None:
     timings["replay"] = round(replay_s, 3)
     events_per_sec = round(total_events / replay_s, 1)
 
+    # --- the same replay through MERGE-ON-READ (best-of-3: the apply path
+    # writes only O(batch) bytes per merge instead of rewriting touched
+    # buckets, so it is both faster and less host-sensitive). The fold tax
+    # is measured honestly alongside: a full read-back of the final layered
+    # state, and a compact() that folds it away.
+    mor_reps: list[dict] = []
+    mor_s = read_mor_s = compact_s = float("inf")
+    for rep in range(min(n_reps, 3)):
+        tbl_dir = tempfile.mkdtemp(prefix=f"bench_mor_{rep}_", dir=base)
+        shutil.rmtree(tbl_dir)
+        table = SnapshotTable.create(
+            spark, tbl_dir, TRANSCRIPT_MODEL, schema=src_df.schema,
+            n_buckets=n_buckets, write_mode="mor",
+        )
+        table.merge(
+            src_df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        t0 = time.perf_counter()
+        replay_batches(table, chg_df, n_batches=n_batches, checkpoint_id="bench")
+        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        n_mor = table.read().count()
+        rd = time.perf_counter() - t1
+        t2 = time.perf_counter()
+        table.compact()
+        cp = time.perf_counter() - t2
+        assert n_mor == final_rows, (
+            f"MoR final state diverged: {n_mor} rows vs CoW {final_rows}"
+        )
+        mor_reps.append({
+            "sec": round(dt, 3),
+            "events_per_sec": round(total_events / dt, 1),
+            "read_back_sec": round(rd, 3),
+            "compact_sec": round(cp, 3),
+            "loadavg_after": _loadavg(),
+        })
+        mor_s = min(mor_s, dt)
+        read_mor_s = min(read_mor_s, rd)
+        compact_s = min(compact_s, cp)
+        shutil.rmtree(tbl_dir, ignore_errors=True)
+    timings["replay_mor"] = round(mor_s, 3)
+    timings["mor_read_back"] = round(read_mor_s, 3)
+    timings["mor_compact"] = round(compact_s, 3)
+
     # --- headline operators over the driver sf tables (after the replay:
     # the primary metric gets the coolest host window available)
     for t in ("events", "documents", "embeddings"):
@@ -309,6 +354,8 @@ def main() -> None:
         "replay_batches": n_batches,
         "replay_reps": reps,
         "replay_best_stages": best_stages,
+        "mor_events_per_sec": round(total_events / mor_s, 1),
+        "mor_reps": mor_reps,
         "final_rows": final_rows,
         "cpus": cpus,
         "prefilter": {

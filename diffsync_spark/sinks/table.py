@@ -56,7 +56,7 @@ import time
 import uuid
 from typing import Any, Sequence
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from diffsync_spark.errors import CommitConflict, DiffSyncSparkError
 from diffsync_spark.model import ModelSchema
@@ -65,6 +65,7 @@ from diffsync_spark.sinks.fsio import LocalCommitIO
 
 META_SEQ = "_seq"
 META_DELETED = "_deleted"
+META_COMMIT = "__commit"
 BUCKET = "_bucket"
 SLOT = "__slot"
 UPSERT_OPS = ("insert", "update", "create", "upsert")
@@ -141,9 +142,30 @@ class SnapshotTable:
         schema: T.StructType,
         n_buckets: int = 64,
         io: LocalCommitIO | None = None,
+        write_mode: str = "cow",
     ) -> "SnapshotTable":
         """Initialize an empty table. ``schema`` is the PUBLIC schema (payload
-        only); meta columns are managed internally."""
+        only); meta columns are managed internally.
+
+        ``write_mode`` picks the MERGE's physical strategy (the Iceberg v2
+        ``write.merge.mode`` dial):
+
+        - ``"cow"`` (copy-on-write, default): each merge reads the touched
+          buckets' current rows, joins, and REWRITES those buckets whole.
+          Reads stay a plain scan; writes pay bucket-rewrite amplification.
+        - ``"mor"`` (merge-on-read): an LWW merge never reads or rewrites
+          the base — it appends the deduped batch as a DELTA LAYER (same
+          bucket/slot fan-out) and readers fold base + layers back to one
+          winner per key at scan time. At 10^10 events a hot bucket's write
+          cost drops from O(bucket size) to O(batch rows); ``compact()``
+          folds layers back into the base. Force-mode merges (``apply_diff``
+          / ``delete_where``) still rewrite, clearing the touched buckets'
+          layers.
+        """
+        if write_mode not in ("cow", "mor"):
+            raise DiffSyncSparkError(
+                f"write_mode must be 'cow' or 'mor', got {write_mode!r}"
+            )
         table = cls(spark, path, model, io=io)
         table.io.makedirs(table._manifest_dir, exist_ok=False)
         table.io.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -156,6 +178,7 @@ class SnapshotTable:
             "files": {},
             "checkpoints": {},
             "lineage": [],
+            "write_mode": write_mode,
         }
         table._commit(manifest)
         return table
@@ -175,22 +198,104 @@ class SnapshotTable:
         fields.append(T.StructField(META_DELETED, T.BooleanType(), True))
         return T.StructType(fields)
 
+    @staticmethod
+    def _delta_buckets(man: dict, buckets: list[int] | None = None) -> set[int]:
+        """Buckets that have at least one delta layer (merge-on-read tables;
+        always empty on copy-on-write), intersected with ``buckets``."""
+        out: set[int] = set()
+        for layer in man.get("deltas") or []:
+            out.update(int(b) for b in layer["files"])
+        if buckets is not None:
+            out &= set(buckets)
+        return out
+
+    @staticmethod
+    def _delta_files(man: dict, buckets: set[int] | None = None) -> list[str]:
+        files: list[str] = []
+        for layer in man.get("deltas") or []:
+            for b, fl in layer["files"].items():
+                if buckets is None or int(b) in buckets:
+                    files.extend(fl)
+        return files
+
+    def _fold(self, df: DataFrame) -> DataFrame:
+        """Merge-on-read scan-time resolution: one winner per natural key
+        over base rows (``__commit`` 0) + delta-layer rows (``__commit`` =
+        the layer's commit version). The ordering reproduces the
+        copy-on-write MERGE's sequential LWW rule exactly:
+
+        - version col desc, NULLS FIRST — a null-ts row is always a
+          tombstone (upserts with a null version are quarantined at write)
+          and the cross-batch rule treats a null-ts delete as newest;
+        - ``_seq`` desc — the changelog tiebreak;
+        - ``__commit`` asc — on a full (ts, seq) tie the STORED row wins
+          under copy-on-write (strict ``>`` comparisons), i.e. the earliest
+          commit.
+
+        The window shuffles on the full natural key — high cardinality, so
+        hot conversations spread across partitions and the sort runs inside
+        tiny per-key groups. Only called for buckets that actually carry
+        delta layers; delta-free buckets bypass it entirely (see
+        :meth:`read_raw`)."""
+        ids = list(self.model.identifiers)
+        order = []
+        if self.model.version_cols:
+            order.append(F.col(self.model.version_cols[0]).desc_nulls_first())
+        order += [F.col(META_SEQ).desc(), F.col(META_COMMIT).asc()]
+        w = Window.partitionBy(*ids).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", META_COMMIT)
+        )
+
+    def _stored_frame(
+        self, man: dict, buckets: list[int] | None, public: T.StructType
+    ) -> DataFrame:
+        """All stored rows of the requested buckets through ``public``'s
+        evolved view — fold-aware: buckets carrying delta layers are read
+        base+layers and folded to one winner per key; delta-free buckets
+        stream through with no window/shuffle (at 100 TB with layers on a
+        few hot buckets, the rest of the table never shuffles on read)."""
+        full = self._full_schema(public)
+        dbk = self._delta_buckets(man, buckets)
+        plain_files: list[str] = []
+        base_fold_files: list[str] = []
+        for b, fl in man["files"].items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            (base_fold_files if int(b) in dbk else plain_files).extend(fl)
+        plain = (
+            self.spark.read.schema(full).parquet(*plain_files)
+            if plain_files else None
+        )
+        if not dbk:
+            return plain if plain is not None else self.spark.createDataFrame([], full)
+        fold_schema = T.StructType(
+            full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
+        )
+        base = (
+            self.spark.read.schema(full).parquet(*base_fold_files)
+            .withColumn(META_COMMIT, F.lit(0).cast("long"))
+            if base_fold_files
+            else self.spark.createDataFrame([], fold_schema)
+        )
+        deltas = self.spark.read.schema(fold_schema).parquet(
+            *self._delta_files(man, dbk)
+        )
+        folded = self._fold(base.unionByName(deltas))
+        return plain.unionByName(folded) if plain is not None else folded
+
     def read_raw(
         self, version: int | None = None, buckets: list[int] | None = None
     ) -> DataFrame:
         """All stored rows (including tombstones + meta cols), optionally
         pruned to a bucket subset via the manifest — the file-skipping path
-        every MERGE uses."""
+        every MERGE uses. On a merge-on-read table this is the folded view:
+        exactly one (winning) row per key, same invariant as copy-on-write."""
         man = self._manifest(version)
         public = T.StructType.fromJson(json.loads(man["schema"]))
-        full = self._full_schema(public)
-        files: list[str] = []
-        for b, fl in man["files"].items():
-            if buckets is None or int(b) in buckets:
-                files.extend(fl)
-        if not files:
-            return self.spark.createDataFrame([], full)
-        return self.spark.read.schema(full).parquet(*files)
+        return self._stored_frame(man, buckets, public)
 
     def read(
         self, version: int | None = None, buckets: list[int] | None = None
@@ -255,16 +360,35 @@ class SnapshotTable:
             F.xxhash64(*ids).alias("h"),
         ).first()
         files = self._lookup_files(man, sel.b, sel.h)
+        dfiles = self._lookup_delta_files(man, sel.b, sel.h)
         full = self._full_schema(public)
-        frame = (
-            self.spark.read.schema(full).parquet(*files)
-            if files else self.spark.createDataFrame([], full)
-        )
-        cond = ~F.coalesce(F.col(META_DELETED), F.lit(False))
+        key_cond = F.lit(True)
         for k, v in zip(ids, key):
-            cond = cond & (F.col(k) == F.lit(v))
+            key_cond = key_cond & (F.col(k) == F.lit(v))
+        if dfiles:
+            # merge-on-read: the key's row may live in the base AND in any
+            # layer — filter the key FIRST (parquet row-group pushdown on
+            # the write-ordered files), then fold the handful of survivors
+            fold_schema = T.StructType(
+                full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
+            )
+            base = (
+                self.spark.read.schema(full).parquet(*files)
+                .withColumn(META_COMMIT, F.lit(0).cast("long"))
+                if files else self.spark.createDataFrame([], fold_schema)
+            )
+            frame = self._fold(
+                base.unionByName(
+                    self.spark.read.schema(fold_schema).parquet(*dfiles)
+                ).filter(key_cond)
+            )
+        else:
+            frame = (
+                self.spark.read.schema(full).parquet(*files)
+                if files else self.spark.createDataFrame([], full)
+            ).filter(key_cond)
         rows = (
-            frame.filter(cond)
+            frame.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
             .select(*[f.name for f in public.fields])
             .take(1)
         )
@@ -281,6 +405,23 @@ class SnapshotTable:
         seg = f"{os.sep}{SLOT}={slot}{os.sep}"
         pruned = [p for p in allfiles if seg in p]
         return pruned if pruned else allfiles
+
+    def _lookup_delta_files(
+        self, man: dict, bucket: int, key_hash: int
+    ) -> list[str]:
+        """Delta-layer files a point lookup must also read (merge-on-read):
+        per layer, the key's bucket — slot-pruned with THAT layer's recorded
+        fan-out, since every layer plans its own splits."""
+        out: list[str] = []
+        for layer in man.get("deltas") or []:
+            allf = layer["files"].get(str(bucket), [])
+            if not allf:
+                continue
+            slot = key_hash % int(layer.get("splits", {}).get(str(bucket), 1))
+            seg = f"{os.sep}{SLOT}={slot}{os.sep}"
+            pruned = [p for p in allf if seg in p]
+            out.extend(pruned if pruned else allf)
+        return out
 
     def lookup_many(
         self, keys: DataFrame, version: int | None = None
@@ -354,6 +495,32 @@ class SnapshotTable:
                 if f"{os.sep}{SLOT}=" not in p or any(g in p for g in segs):
                     files.append(p)
         full = self._full_schema(public)
+        # merge-on-read: layers of the needed buckets join the probe too
+        # (bucket-pruned; layers are batch-sized, so per-layer slot pruning
+        # is skipped — the collected (bucket, slot) pairs are computed with
+        # the BASE fan-out and layers plan their own), and the semi-join
+        # runs BEFORE the fold so only probed keys pay the window
+        dfiles = self._delta_files(
+            man, self._delta_buckets(man, list(need))
+        )
+        if dfiles:
+            fold_schema = T.StructType(
+                full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
+            )
+            base = (
+                self.spark.read.schema(full).parquet(*files)
+                .withColumn(META_COMMIT, F.lit(0).cast("long"))
+                if files else self.spark.createDataFrame([], fold_schema)
+            )
+            frame = base.unionByName(
+                self.spark.read.schema(fold_schema).parquet(*dfiles)
+            )
+            matched = frame.join(kdf, on=ids, how="left_semi")
+            return (
+                self._fold(matched)
+                .filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+                .select(*[f.name for f in public.fields])
+            )
         frame = (
             self.spark.read.schema(full).parquet(*files)
             if files else self.spark.createDataFrame([], full)
@@ -560,18 +727,48 @@ class SnapshotTable:
         payload_fields = [f for f in evolved.fields if f.name not in ids]
         payload_cols = [f.name for f in payload_fields]
 
+        # ---- merge-on-read fast path: an LWW merge on a MoR table reads
+        # and rewrites NOTHING — the deduped batch becomes a delta layer
+        # (same bucket/slot fan-out) and readers fold it in. Write cost is
+        # O(batch rows) instead of O(touched bucket bytes): at 10^10 events
+        # hitting hot conversations this removes the dominant write
+        # amplification of copy-on-write. Rebase under a lost commit race is
+        # trivially convergent — the layer's content doesn't depend on the
+        # snapshot it lands on (only its commit number and schema do).
+        write_mode = man.get("write_mode", "cow")
+        has_stored = any(int(b) in touched for b in man["files"]) or bool(
+            self._delta_buckets(man, touched)
+        )
+        if write_mode == "mor" and mode == "lww" and has_stored:
+            if not version_col:
+                raise DiffSyncSparkError("lww merge requires model.version_cols")
+            delta = batch.select(
+                *[F.col(k) for k in ids],
+                *[
+                    (F.col(f.name).try_cast(f.dataType) if f.name in batch.columns
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in payload_fields
+                ],
+                (F.col("seq") if "seq" in batch.columns else F.lit(-1))
+                .cast("long").alias(META_SEQ),
+                (F.lower(F.col("op")) == DELETE_OP).alias(META_DELETED),
+                F.lit(new_version).cast("long").alias(META_COMMIT),
+            ).withColumn(
+                BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
+            )
+            return self._append_commit(
+                delta, man, new_version, touched, n_quarantined, checkpoint_id,
+                batch_id, evolved, batch_rows, snapshot_id,
+            )
+
         # ---- current rows of touched buckets only (manifest file pruning),
-        # read through the widened schema (old files → nulls for new cols)
-        cur_files: list[str] = []
-        for b, fl in man["files"].items():
-            if int(b) in touched:
-                cur_files.extend(fl)
+        # read through the widened schema (old files → nulls for new cols).
+        # Fold-aware: on a MoR table a FORCE merge (authoritative diff apply)
+        # folds base+layers here, rewrites the touched buckets, and clears
+        # their layers at commit (_write_commit).
         full = self._full_schema(evolved)
-        empty_target = not cur_files
-        if cur_files:
-            cur = self.spark.read.schema(full).parquet(*cur_files)
-        else:
-            cur = self.spark.createDataFrame([], full)
+        empty_target = not has_stored
+        cur = self._stored_frame(man, touched, evolved)
 
         # ---- the MERGE join: batch (unique keys) vs current rows
         # batch payload columns are try_cast to the EVOLVED types: a no-op
@@ -921,6 +1118,20 @@ class SnapshotTable:
             else:
                 for bk in touched:
                     live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
+        # merge-on-read layers: a rewrite of a bucket (force merge /
+        # bootstrap) subsumes its delta layers — clear the touched buckets'
+        # entries, carry the rest forward, drop layers that emptied out
+        deltas = []
+        for layer in man.get("deltas") or []:
+            kept = {b: fl for b, fl in layer["files"].items()
+                    if int(b) not in touched}
+            if kept:
+                deltas.append({
+                    "commit": layer["commit"],
+                    "files": kept,
+                    "splits": {b: s for b, s in layer.get("splits", {}).items()
+                               if b in kept},
+                })
         manifest = {
             "version": new_version,
             "snapshot_id": snapshot_id,
@@ -928,6 +1139,8 @@ class SnapshotTable:
             "schema": evolved.json(),
             "n_buckets": man["n_buckets"],
             "files": files,
+            **({"deltas": deltas} if deltas else {}),
+            **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
             "checkpoints": checkpoints,
             "lineage": lineage_rows,
             "bucket_rows": bucket_rows,
@@ -955,6 +1168,142 @@ class SnapshotTable:
             # pre-LWW-dedup) — the denominator for pre-filter reduction
             "n_input": sum((batch_rows or {}).values()),
             **{f"n_{k}": v for k, v in totals.items()},
+        }
+
+    def _append_commit(
+        self,
+        delta: DataFrame,
+        man: dict,
+        new_version: int,
+        touched: list[int],
+        n_quarantined: int,
+        checkpoint_id: str,
+        batch_id: int | None,
+        evolved: T.StructType,
+        batch_rows: dict[int, int] | None,
+        snapshot_id: str,
+    ) -> dict[str, Any]:
+        """Commit one merge-on-read DELTA LAYER: write the deduped batch
+        with the same bucket/slot fan-out the base uses (so lookups can
+        slot-prune layers too), then append a layer record to the manifest.
+        The base file lists are untouched — this is the Iceberg v2
+        merge-on-read write path recast for LWW: no equality-delete files
+        are needed because every row IS its own last-writer-wins resolution
+        record (``(ts, _seq, __commit)`` total-orders it against base rows
+        and other layers at read time, :meth:`_fold`).
+
+        Live row counts for the layered buckets become UNKNOWN (computing a
+        layer's net effect is exactly the read this mode defers), so
+        ``count_rows()`` falls back to a scan until ``compact()`` folds the
+        layers and re-observes."""
+        data_dir = os.path.join(
+            self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
+        )
+        splits = self._plan_splits(
+            {b: (batch_rows or {}).get(b, 0) for b in touched}
+        )
+        out = self._fanout_frame(delta, touched, splits)
+        obs = None
+        if touched and len(touched) <= 512:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"append_v{new_version}")
+            out = out.observe(obs, *[
+                F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
+                for b in touched
+            ])
+        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        layer_files: dict[str, list[str]] = {}
+        for bk in touched:
+            listed = self._list_bucket_files(data_dir, bk)
+            if listed:
+                layer_files[str(bk)] = listed
+        per_bucket: dict[int, int] = {}
+        if obs is not None:
+            m = obs.get
+            per_bucket = {b: m[f"b{b}_rows"] for b in touched}
+        elif touched:
+            written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
+            for r in written.groupBy(BUCKET).agg(F.count("*").alias("n")).collect():
+                per_bucket[r[BUCKET]] = r["n"]
+
+        deltas = list(man.get("deltas") or [])
+        deltas.append({
+            "commit": new_version,
+            "files": layer_files,
+            "splits": {b: splits.get(int(b), 1) for b in layer_files},
+        })
+        lineage_rows = [
+            {
+                "checkpoint_id": checkpoint_id,
+                "batch_id": batch_id,
+                "snapshot_id": snapshot_id,
+                "partition": bk,
+                # create/update/delete cannot be classified without reading
+                # the base — the whole point of this path; the applied row
+                # count is recorded honestly as n_append instead
+                "n_create": 0, "n_update": 0, "n_delete": 0, "n_noop": 0,
+                "n_quarantined": 0,
+                "n_append": per_bucket.get(bk, 0),
+            }
+            for bk in touched
+        ]
+        if n_quarantined:
+            lineage_rows.append({
+                "checkpoint_id": checkpoint_id,
+                "batch_id": batch_id,
+                "snapshot_id": snapshot_id,
+                "partition": -1,
+                "n_create": 0, "n_update": 0, "n_delete": 0, "n_noop": 0,
+                "n_quarantined": n_quarantined,
+                "n_append": 0,
+            })
+        checkpoints = dict(man["checkpoints"])
+        if batch_id is not None:
+            checkpoints[checkpoint_id] = batch_id
+        bucket_rows = dict(man.get("bucket_rows", {}))
+        for bk in touched:
+            bucket_rows[str(bk)] = (
+                bucket_rows.get(str(bk), 0) + per_bucket.get(bk, 0)
+            )
+        manifest = {
+            "version": new_version,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": man["snapshot_id"],
+            "schema": evolved.json(),
+            "n_buckets": man["n_buckets"],
+            "files": man["files"],
+            "deltas": deltas,
+            "write_mode": "mor",
+            "checkpoints": checkpoints,
+            "lineage": lineage_rows,
+            "bucket_rows": bucket_rows,
+            "bucket_splits": man.get("bucket_splits", {}),
+            # bucket_live_rows intentionally omitted once layers exist —
+            # see docstring; compact() re-establishes it
+            **(
+                {"bucket_live_rows": man["bucket_live_rows"]}
+                if not touched and man.get("bucket_live_rows") is not None
+                else {}
+            ),
+            "quarantine_dir": (
+                os.path.join(
+                    self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
+                )
+                if n_quarantined
+                else None
+            ),
+        }
+        self._commit(manifest)
+        return {
+            "skipped": False,
+            "snapshot_id": snapshot_id,
+            "version": new_version,
+            "touched_buckets": touched,
+            "n_input": sum((batch_rows or {}).values()),
+            "n_append": sum(per_bucket.values()),
+            "n_quarantined": n_quarantined,
+            "n_delta_layers": len(deltas),
         }
 
     def apply_diff(self, diff_df: DataFrame, checkpoint_id: str = "diff",
@@ -1088,13 +1437,14 @@ class SnapshotTable:
                 "n_checkpoints": len(man.get("checkpoints", {})),
                 "has_quarantine": bool(man.get("quarantine_dir")),
                 "committed_at_us": man.get("committed_at"),
+                "n_delta_layers": len(man.get("deltas") or []),
             })
         return self.spark.createDataFrame(
             rows,
             "version int, snapshot_id string, parent_snapshot_id string, "
             "is_current boolean, n_columns int, n_buckets_with_data int, "
             "n_files int, n_rows long, n_live_rows long, n_checkpoints int, "
-            "has_quarantine boolean, committed_at_us long",
+            "has_quarantine boolean, committed_at_us long, n_delta_layers int",
         )
 
     def quarantine_df(self, version: int | None = None) -> DataFrame | None:
@@ -1119,24 +1469,43 @@ class SnapshotTable:
             except FileNotFoundError:
                 continue  # expired snapshot
             for r in man.get("lineage", []):
-                rows.append({**r, "table_version": v})
+                # n_append: rows landed as a merge-on-read delta layer
+                # (commits predating the field, and all copy-on-write
+                # commits, default to 0)
+                rows.append({"n_append": 0, **r, "table_version": v})
         schema = (
             "checkpoint_id string, batch_id long, snapshot_id string, "
             "partition int, n_create long, n_update long, n_delete long, "
-            "n_noop long, n_quarantined long, table_version int"
+            "n_noop long, n_quarantined long, n_append long, table_version int"
         )
         return self.spark.createDataFrame(rows, schema=schema)
 
+    @staticmethod
+    def _bucket_signature(man: dict) -> dict[str, tuple]:
+        """Per-bucket content signature: base file list + the ordered delta
+        layers touching the bucket. Two snapshots whose signature matches
+        hold byte-identical logical content for that bucket."""
+        sig: dict[str, tuple] = {
+            b: (tuple(fl), ()) for b, fl in man["files"].items()
+        }
+        for layer in man.get("deltas") or []:
+            for b, fl in layer["files"].items():
+                base, layers = sig.get(b, ((), ()))
+                sig[b] = (base, layers + ((layer["commit"], tuple(fl)),))
+        return sig
+
     def changed_buckets(self, from_version: int, to_version: int | None = None) -> list[int]:
-        """Buckets whose file sets differ between two snapshots — the
-        manifest-level pruning unit for incremental reads."""
-        man_from = self._manifest(from_version)
-        man_to = self._manifest(to_version)
-        out = []
-        for b in set(man_from["files"]) | set(man_to["files"]):
-            if man_from["files"].get(b) != man_to["files"].get(b):
-                out.append(int(b))
-        return sorted(out)
+        """Buckets whose stored content differs between two snapshots — the
+        manifest-level pruning unit for incremental reads. Compares base
+        file lists AND delta layers, so a merge-on-read append (which never
+        touches base files) still marks its buckets changed."""
+        sig_from = self._bucket_signature(self._manifest(from_version))
+        sig_to = self._bucket_signature(self._manifest(to_version))
+        return sorted(
+            int(b)
+            for b in set(sig_from) | set(sig_to)
+            if sig_from.get(b) != sig_to.get(b)
+        )
 
     def committed_batch(self, checkpoint_id: str) -> int:
         """Highest batch_id committed under ``checkpoint_id`` (-1 if none) —
@@ -1211,20 +1580,32 @@ class SnapshotTable:
         buckets: list[int] | None = None,
     ) -> dict[str, Any]:
         man = self._manifest()
+        # per-bucket file counts across base + delta layers: on a
+        # merge-on-read table a bucket with 1 base file and 9 layers is
+        # exactly what compaction exists to fold
+        n_files_by_bucket: dict[str, int] = {
+            b: len(fl) for b, fl in man["files"].items()
+        }
+        for layer in man.get("deltas") or []:
+            for b, fl in layer["files"].items():
+                n_files_by_bucket[b] = n_files_by_bucket.get(b, 0) + len(fl)
         if buckets is not None:
             targets = sorted(set(int(b) for b in buckets))
         elif min_files is not None:
             targets = sorted(
-                int(b) for b, fl in man["files"].items()
-                if len(fl) >= min_files
+                int(b) for b, n in n_files_by_bucket.items()
+                if n >= min_files
             )
         else:
-            targets = sorted(int(b) for b in man["files"])
+            targets = sorted(int(b) for b in n_files_by_bucket)
         if not targets:
             return {"skipped": True, "version": man["version"],
                     "compacted_buckets": [], "n_files": 0}
         new_version = man["version"] + 1
         snapshot_id = uuid.uuid4().hex
+        # fold-aware read: on a MoR table this IS the fold — base + layers
+        # resolve to one winner per key (tombstones kept: they must stay to
+        # beat late-arriving older updates), written back as plain base
         raw = self.read_raw(man["version"], buckets=targets).withColumn(
             BUCKET, self._bucket_col()
         )
@@ -1236,9 +1617,22 @@ class SnapshotTable:
         # instead of collapsing into one oversized file
         cur_rows = {int(b): n for b, n in man.get("bucket_rows", {}).items()}
         splits = self._plan_splits({b: cur_rows.get(b, 0) for b in targets})
-        self._fanout_frame(raw, targets, splits).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET, SLOT).parquet(data_dir)
+        out = self._fanout_frame(raw, targets, splits)
+        # re-observe row + live counts for the folded buckets — restores
+        # the metadata-only count_rows() a MoR append had to give up
+        obs = None
+        if len(targets) * 2 <= 512:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"compact_v{new_version}")
+            _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
+            out = out.observe(obs, *(
+                [F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
+                 for b in targets]
+                + [F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
+                   for b in targets]
+            ))
+        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         # untouched buckets carry their existing file lists forward
         files = {b: fl for b, fl in man["files"].items()
                  if int(b) not in set(targets)}
@@ -1254,6 +1648,18 @@ class SnapshotTable:
             else:
                 files.pop(str(bk), None)
                 bucket_splits.pop(str(bk), None)
+        # folded buckets leave their delta layers behind
+        deltas = []
+        for layer in man.get("deltas") or []:
+            kept = {b: fl for b, fl in layer["files"].items()
+                    if int(b) not in set(targets)}
+            if kept:
+                deltas.append({
+                    "commit": layer["commit"],
+                    "files": kept,
+                    "splits": {b: s for b, s in layer.get("splits", {}).items()
+                               if b in kept},
+                })
         manifest = {
             **man,
             "version": new_version,
@@ -1264,6 +1670,37 @@ class SnapshotTable:
             "lineage": [],
             "quarantine_dir": None,  # a compaction rejects nothing
         }
+        if deltas:
+            manifest["deltas"] = deltas
+        else:
+            manifest.pop("deltas", None)
+        if obs is not None:
+            counts = obs.get
+            bucket_rows = {
+                b: n for b, n in man.get("bucket_rows", {}).items()
+                if int(b) not in set(targets)
+            }
+            for bk in targets:
+                n = counts[f"b{bk}_rows"]
+                if n:
+                    bucket_rows[str(bk)] = n
+            manifest["bucket_rows"] = bucket_rows
+            # live counts follow the all-known-or-nothing rule (see
+            # _write_commit): only publish when every carried bucket —
+            # including ones still holding delta layers — has a known count
+            parent_live = man.get("bucket_live_rows")
+            carried = {b for b in files if int(b) not in set(targets)}
+            layered = {b for lay in deltas for b in lay["files"]}
+            live_rows = {
+                b: n for b, n in (parent_live or {}).items()
+                if int(b) not in set(targets)
+            }
+            if carried <= set(live_rows) and not layered:
+                for bk in targets:
+                    live_rows[str(bk)] = counts[f"b{bk}_live"]
+                manifest["bucket_live_rows"] = live_rows
+            else:
+                manifest.pop("bucket_live_rows", None)
         self._commit(manifest)
         return {
             "skipped": False,
@@ -1310,7 +1747,12 @@ class SnapshotTable:
                 man = self._manifest(v)
             except FileNotFoundError:
                 continue
-            for fl in man["files"].values():
+            all_file_lists = list(man["files"].values()) + [
+                fl
+                for layer in man.get("deltas") or []
+                for fl in layer["files"].values()
+            ]
+            for fl in all_file_lists:
                 for p in fl:
                     # file layout: .../data/v{N}-{sid}/_bucket=K[/__slot=S]/
                     # part-*.parquet — find the v{N}-{sid} component by
@@ -1358,10 +1800,16 @@ class SnapshotTable:
         cutoff = cur - keep_last + 1
         if cutoff <= 1:
             return {"expired_versions": [], "removed_files": 0}
+        def _all_files(man: dict):
+            for fl in man["files"].values():
+                yield from fl
+            for layer in man.get("deltas") or []:
+                for fl in layer["files"].values():
+                    yield from fl
+
         keep_files: set[str] = set()
         for v in range(cutoff, cur + 1):
-            for fl in self._manifest(v)["files"].values():
-                keep_files.update(fl)
+            keep_files.update(_all_files(self._manifest(v)))
         expired: list[int] = []
         n_removed = 0
         for v in range(1, cutoff):
@@ -1369,11 +1817,10 @@ class SnapshotTable:
                 man = self._manifest(v)
             except FileNotFoundError:
                 continue  # already expired earlier
-            for fl in man["files"].values():
-                for p in fl:
-                    if p not in keep_files:
-                        self.io.remove_file(p)
-                        n_removed += 1
+            for p in _all_files(man):
+                if p not in keep_files:
+                    self.io.remove_file(p)
+                    n_removed += 1
             if man.get("quarantine_dir"):
                 self.io.remove_dir(man["quarantine_dir"])
             self.io.remove_file(
