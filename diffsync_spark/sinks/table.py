@@ -1710,6 +1710,31 @@ class SnapshotTable:
         }
 
     # ---------------------------------------------------------- maintenance
+    def maintain(self, max_delta_layers: int = 8,
+                 max_commit_retries: int = 5) -> dict[str, Any]:
+        """Bound the merge-on-read read tax: fold (only) the buckets whose
+        outstanding delta-layer count reached ``max_delta_layers`` back into
+        base files. The steady-state contract for a continuously-ingesting
+        MoR table — call it on a maintenance cadence (or every K batches
+        from the ingest loop) and every read folds at most
+        ``max_delta_layers`` layers per bucket while cold buckets are never
+        rewritten. No-op (and no commit) on copy-on-write tables or when no
+        bucket is over the threshold."""
+        if max_delta_layers < 1:
+            raise DiffSyncSparkError("max_delta_layers must be >= 1")
+        man = self._manifest()
+        layer_count: dict[int, int] = {}
+        for layer in man.get("deltas") or []:
+            for b in layer["files"]:
+                layer_count[int(b)] = layer_count.get(int(b), 0) + 1
+        over = sorted(b for b, n in layer_count.items()
+                      if n >= max_delta_layers)
+        if not over:
+            return {"skipped": True, "version": man["version"],
+                    "compacted_buckets": [], "n_files": 0}
+        return self.compact(buckets=over,
+                            max_commit_retries=max_commit_retries)
+
     def remove_orphans(self, min_versions_old: int = 1) -> dict[str, Any]:
         """Delete data/quarantine dirs referenced by NO retained manifest —
         the droppings of losing commit attempts and crashed writers (the

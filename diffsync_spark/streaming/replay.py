@@ -63,6 +63,8 @@ def stream_replay(
     stateful_prefilter: bool = False,
     state_ttl: str | None = None,
     results: list | None = None,
+    maintain_every: int | None = None,
+    max_delta_layers: int = 8,
 ) -> StreamingQuery:
     """Tail a changelog directory (append-only parquet — the stand-in for a
     binlog/Kafka topic) and merge each micro-batch into the table.
@@ -85,6 +87,13 @@ def stream_replay(
 
     ``results``, when given a list, collects each micro-batch's merge result
     dict (driver-side, one tiny dict per batch).
+
+    ``maintain_every=K`` runs :meth:`SnapshotTable.maintain` after every
+    K-th merged batch — the steady-state dial for a MERGE-ON-READ sink:
+    buckets whose outstanding delta-layer count reached
+    ``max_delta_layers`` are folded back into base inside the stream, so
+    the fold-read tax stays bounded while ingest keeps writing O(batch)
+    bytes. A no-op (no commit) on copy-on-write tables.
     """
     spark: SparkSession = table.spark
     ckpt_id = "stream_" + hashlib.sha1(checkpoint_dir.encode()).hexdigest()[:12]
@@ -98,11 +107,17 @@ def stream_replay(
 
         reader = stateful_lww_filter(reader, table.model, state_ttl=state_ttl)
 
+    n_applied = [0]
+
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         res = table.merge(df, checkpoint_id=ckpt_id, batch_id=batch_id,
                           mode="lww")
         if results is not None:
             results.append(res)
+        if not res.get("skipped"):
+            n_applied[0] += 1
+            if maintain_every and n_applied[0] % maintain_every == 0:
+                table.maintain(max_delta_layers=max_delta_layers)
 
     writer = (
         reader.writeStream.foreachBatch(apply_batch)

@@ -318,3 +318,70 @@ def test_mor_racing_writers(spark, tmp_path, target_df):
     layers = table._manifest()["deltas"]
     assert len(layers) == 2
     assert layers[0]["commit"] != layers[1]["commit"]
+
+
+def test_maintain_folds_only_over_layered_buckets(spark, tmp_path, target_df,
+                                                  changelog_df):
+    """maintain(max_delta_layers=N) folds exactly the buckets that reached
+    N outstanding layers; cooler buckets keep theirs (never rewritten)."""
+    mor = _bootstrap(spark, tmp_path / "m", target_df)
+    # 4 batches → up to 4 layers on hot buckets
+    replay_batches(mor, changelog_df, n_batches=4, checkpoint_id="r")
+    man = mor._manifest()
+    layer_count: dict[int, int] = {}
+    for layer in man["deltas"]:
+        for b in layer["files"]:
+            layer_count[int(b)] = layer_count.get(int(b), 0) + 1
+    n_max = max(layer_count.values())
+    over = sorted(b for b, n in layer_count.items() if n >= n_max)
+    under = sorted(b for b, n in layer_count.items() if n < n_max)
+    before = _state(mor)
+    res = mor.maintain(max_delta_layers=n_max)
+    assert sorted(res["compacted_buckets"]) == over
+    remaining = mor._delta_buckets(mor._manifest())
+    assert not (set(over) & remaining)
+    assert set(under) <= remaining
+    pd.testing.assert_frame_equal(_state(mor), before)
+    # below-threshold call is a commit-free no-op
+    v = mor.current_version()
+    assert mor.maintain(max_delta_layers=99)["skipped"]
+    assert mor.current_version() == v
+
+
+def test_stream_replay_mor_with_inline_maintenance(spark, tmp_path,
+                                                   target_pdf, target_df,
+                                                   changelog_pdf):
+    """The north-star path on a MoR sink: stream the changelog dir in
+    micro-batches with maintain_every bounding the layer count; final
+    state must equal the CoW stream of the same feed."""
+    import os
+
+    from diffsync_spark.streaming.replay import stream_replay
+
+    log_dir = str(tmp_path / "log")
+    os.makedirs(log_dir, exist_ok=True)
+    span = (len(changelog_pdf) + 5) // 6
+    for i in range(6):
+        part = changelog_pdf.iloc[i * span: (i + 1) * span]
+        if len(part):
+            spark.createDataFrame(part).coalesce(1).write.mode(
+                "append").parquet(log_dir)
+    ddl = ("seq long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, ts timestamp")
+    cow = _bootstrap(spark, tmp_path / "cow", target_df, write_mode="cow")
+    mor = _bootstrap(spark, tmp_path / "mor", target_df, write_mode="mor")
+    for t, name, extra in (
+        (cow, "c", {}),
+        (mor, "m", {"maintain_every": 2, "max_delta_layers": 2}),
+    ):
+        q = stream_replay(t, log_dir, ddl, str(tmp_path / f"ckpt_{name}"),
+                          max_files_per_trigger=2, **extra)
+        q.awaitTermination(300)
+    pd.testing.assert_frame_equal(_state(cow), _state(mor))
+    # the inline maintenance kept the outstanding layer count bounded
+    man = mor._manifest()
+    layer_count: dict[int, int] = {}
+    for layer in man.get("deltas") or []:
+        for b in layer["files"]:
+            layer_count[int(b)] = layer_count.get(int(b), 0) + 1
+    assert max(layer_count.values(), default=0) <= 2

@@ -218,3 +218,57 @@ def test_ivf_topk_corpus_never_hash_shuffled(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "BroadcastExchange" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_mor_fold_one_exchange_with_mapside_prune(spark, tmp_path):
+    """The merge-on-read fold (PLANS.md "merge-on-read fold"): base+layers
+    resolve through ONE hash exchange on the natural key, and Spark's
+    rank-limit pushdown inserts a PARTIAL WindowGroupLimit BEFORE it, so
+    per-key losers are pruned map-side and the shuffle carries only
+    candidate winners."""
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    src = spark.createDataFrame(_rows(8), _CDC).drop("op", "seq")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "mor_plan"), TRANSCRIPT_MODEL,
+        schema=src.schema, n_buckets=4, write_mode="mor",
+    )
+    t.merge(src.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    t.merge(spark.createDataFrame(_rows(8), _CDC), checkpoint_id="c",
+            batch_id=1)
+    assert t._manifest().get("deltas"), "setup: expected a delta layer"
+    plan = _plan(t.read())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("WindowGroupLimit") == 2  # Partial (map-side) + Final
+    # map-side prune sits BELOW the exchange
+    assert plan.index("WindowGroupLimit") < plan.index(
+        "Exchange hashpartitioning"
+    ) or "Partial" in plan[: plan.index("Exchange hashpartitioning")]
+    # the fold's LWW ordering is the committed one
+    assert "DESC NULLS FIRST" in plan and "__commit" in plan
+
+
+def test_mor_delta_free_buckets_skip_the_fold(spark, tmp_path):
+    """Buckets with no delta layers must stream through WITHOUT a window:
+    reading only such buckets plans zero exchanges (pure scan+filter)."""
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    src = spark.createDataFrame(_rows(64), _CDC).drop("op", "seq")
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "mor_prune"), TRANSCRIPT_MODEL,
+        schema=src.schema, n_buckets=8, write_mode="mor",
+    )
+    t.merge(src.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    # touch exactly one key → one bucket gets a layer
+    t.merge(spark.createDataFrame(_rows(1), _CDC), checkpoint_id="c",
+            batch_id=1)
+    layered = sorted(t._delta_buckets(t._manifest()))
+    assert len(layered) == 1
+    clean = [b for b in range(8) if b not in layered]
+    plan = _plan(t.read(buckets=clean))
+    assert "Exchange" not in plan and "Window" not in plan
+    # while the layered bucket's read does fold
+    plan_l = _plan(t.read(buckets=layered))
+    assert "Window" in plan_l
