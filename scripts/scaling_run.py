@@ -31,6 +31,7 @@ cpus, src_path, chg_path, n_batches, n_buckets = (
     int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4]), int(sys.argv[5])
 )
 shuffle_mult = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+write_mode = sys.argv[7] if len(sys.argv) > 7 else "cow"
 work = os.path.dirname(src_path)
 tempfile.tempdir = work  # table + shuffle co-located with the input (tmpfs)
 spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus * shuffle_mult,
@@ -40,7 +41,8 @@ src_df = spark.read.parquet(src_path)
 chg_df = spark.read.parquet(chg_path)
 tbl = tempfile.mkdtemp(prefix=f"scale_{cpus}_"); shutil.rmtree(tbl)
 table = SnapshotTable.create(spark, tbl, TRANSCRIPT_MODEL,
-                             schema=src_df.schema, n_buckets=n_buckets)
+                             schema=src_df.schema, n_buckets=n_buckets,
+                             write_mode=write_mode)
 table.merge(src_df.withColumn("op", F.lit("insert")), mode="force",
             checkpoint_id="boot", batch_id=0)
 n_events = chg_df.count()
@@ -74,6 +76,11 @@ def main() -> None:
     # allocation bounded as parallelism grows (real clusters size partitions
     # to total cores too)
     ap.add_argument("--shuffle-mult", type=int, default=1, dest="shuffle_mult")
+    # 'mor' runs the same replay through the merge-on-read write path —
+    # the apply writes O(batch) bytes, so the scaling measurement isolates
+    # the shuffle/compute path from bucket-rewrite write bandwidth
+    ap.add_argument("--write-mode", default="cow", dest="write_mode",
+                    choices=("cow", "mor"))
     args = ap.parse_args()
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
@@ -112,7 +119,7 @@ spark.stop()
             out = subprocess.run(
                 [sys.executable, "-c", RUNNER, str(cpus), f"{work}/src",
                  f"{work}/chg", str(args.batches), str(args.buckets),
-                 str(args.shuffle_mult)],
+                 str(args.shuffle_mult), args.write_mode],
                 check=True, env=run_env, capture_output=True, text=True,
             )
             line = [l for l in out.stdout.splitlines()
@@ -125,6 +132,7 @@ spark.stop()
     t_4n = best[args.n * 4]["events_per_sec"]
     eff = round((t_4n / t_n) / 4, 3)
     summary = {
+        "write_mode": args.write_mode,
         "n_cores": args.n,
         "4n_cores": args.n * 4,
         "events": best[args.n]["events"],
