@@ -1710,6 +1710,115 @@ class SnapshotTable:
         }
 
     # ---------------------------------------------------------- maintenance
+    def rebucket(self, n_buckets: int,
+                 max_commit_retries: int = 5) -> dict[str, Any]:
+        """Change the table's bucket count — partition-spec evolution
+        (Iceberg ``REPLACE PARTITION FIELD bucket(N, key)``). A table sized
+        at creation for 10^8 rows needs more buckets at 10^10: MERGE
+        parallelism, file pruning granularity, and writer fan-out all key
+        off ``n_buckets``, and this is the only dial that moves them.
+
+        One full-table rewrite (fold-aware: outstanding merge-on-read
+        layers are folded in; tombstones kept) committed as a snapshot with
+        the NEW bucket count. Every manifest carries its own ``n_buckets``,
+        so time travel to pre-rebucket versions keeps routing lookups and
+        incremental reads with the old count — nothing is invalidated.
+        ``changes()`` across the rebucket boundary degrades gracefully: all
+        buckets compare as changed (numbering moved), so the diff scans the
+        full pair of snapshots and still returns only real row changes.
+
+        Loses a commit race like compact: re-read, re-select, retry."""
+        attempt = 0
+        while True:
+            try:
+                return self._rebucket_attempt(n_buckets)
+            except CommitConflict:
+                attempt += 1
+                if attempt > max_commit_retries:
+                    raise
+
+    def _rebucket_attempt(self, n_buckets: int) -> dict[str, Any]:
+        if n_buckets < 1:
+            raise DiffSyncSparkError("n_buckets must be >= 1")
+        man = self._manifest()
+        if n_buckets == man["n_buckets"]:
+            return {"skipped": True, "version": man["version"],
+                    "n_buckets": n_buckets}
+        new_version = man["version"] + 1
+        snapshot_id = uuid.uuid4().hex
+        public = T.StructType.fromJson(json.loads(man["schema"]))
+        ids = list(self.model.identifiers)
+        bucket_src = self.model.parent_key or ids
+        raw = self._stored_frame(man, None, public).withColumn(
+            BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
+        )
+        # uniform writer fan-out: rebucketing rebalances by construction, so
+        # every new bucket gets the same slot count (no per-bucket maps —
+        # at 4,096 buckets a literal create_map would bloat the plan)
+        total = sum(man.get("bucket_rows", {}).values())
+        per_bucket_est = max(1, total // n_buckets)
+        uniform = self._plan_splits({0: per_bucket_est})[0]
+        out = (
+            raw.withColumn(
+                SLOT, F.pmod(F.xxhash64(*ids), F.lit(uniform)).cast("int")
+            )
+            .repartition(
+                n_buckets * uniform,
+                (F.col(BUCKET) * uniform + F.col(SLOT)).cast("int"),
+            )
+            .sortWithinPartitions(BUCKET, SLOT, *ids)
+        )
+        obs = None
+        if n_buckets * 2 <= 512:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"rebucket_v{new_version}")
+            _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
+            out = out.observe(obs, *(
+                [F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
+                 for b in range(n_buckets)]
+                + [F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
+                   for b in range(n_buckets)]
+            ))
+        data_dir = os.path.join(
+            self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
+        )
+        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        files: dict[str, list[str]] = {}
+        for bk in range(n_buckets):
+            listed = self._list_bucket_files(data_dir, bk)
+            if listed:
+                files[str(bk)] = listed
+        manifest = {
+            "version": new_version,
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": man["snapshot_id"],
+            "schema": man["schema"],
+            "n_buckets": n_buckets,
+            "files": files,
+            **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
+            "checkpoints": man["checkpoints"],
+            "lineage": [],
+            "bucket_splits": {b: uniform for b in files},
+            "quarantine_dir": None,
+        }
+        if obs is not None:
+            counts = obs.get
+            manifest["bucket_rows"] = {
+                str(b): counts[f"b{b}_rows"]
+                for b in range(n_buckets) if counts[f"b{b}_rows"]
+            }
+            manifest["bucket_live_rows"] = {
+                str(b): counts[f"b{b}_live"] for b in files
+            }
+        self._commit(manifest)
+        return {
+            "skipped": False,
+            "version": new_version,
+            "n_buckets": n_buckets,
+            "n_files": sum(map(len, files.values())),
+        }
+
     def maintain(self, max_delta_layers: int = 8,
                  max_commit_retries: int = 5) -> dict[str, Any]:
         """Bound the merge-on-read read tax: fold (only) the buckets whose

@@ -385,3 +385,44 @@ def test_stream_replay_mor_with_inline_maintenance(spark, tmp_path,
         for b in layer["files"]:
             layer_count[int(b)] = layer_count.get(int(b), 0) + 1
     assert max(layer_count.values(), default=0) <= 2
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_rebucket_preserves_everything(spark, tmp_path, target_df,
+                                       changelog_df, mode):
+    """Partition-spec evolution: growing the bucket count is one rewrite
+    that preserves state, lookups, metadata counts, exactly-once history,
+    and time travel; outstanding MoR layers fold in."""
+    t = _bootstrap(spark, tmp_path / mode, target_df, write_mode=mode,
+                   n_buckets=4)
+    replay_batches(t, changelog_df, n_batches=3, checkpoint_id="r")
+    before = _state(t)
+    pre_version = t.current_version()
+    res = t.rebucket(16)
+    assert not res["skipped"] and res["n_buckets"] == 16
+    assert t._manifest()["n_buckets"] == 16
+    if mode == "mor":
+        assert not t._manifest().get("deltas"), "rebucket must fold layers"
+    pd.testing.assert_frame_equal(_state(t), before)
+    # metadata-only count restored/kept
+    assert t.count_rows() == len(before)
+    assert t._manifest().get("bucket_live_rows") is not None
+    # lookups route with the NEW bucket count
+    row = before.iloc[5]
+    assert t.lookup((row.conv_id, int(row.turn_idx)))["text"] == row.text
+    # time travel to the pre-rebucket snapshot routes with the OLD count
+    pd.testing.assert_frame_equal(_state(t, version=pre_version), before)
+    # exactly-once survives: an already-committed batch is still skipped
+    assert t.merge(changelog_df, checkpoint_id="r", batch_id=2)["skipped"]
+    # and new merges land in the new layout
+    extra = spark.createDataFrame(
+        [("rb_new", 0, "insert", "after-rebucket",
+          datetime.datetime(2033, 1, 1), 10_000_000)],
+        "conv_id string, turn_idx int, op string, text string, ts timestamp, "
+        "seq long",
+    )
+    t.merge(extra, checkpoint_id="r2", batch_id=0)
+    assert t.lookup(("rb_new", 0))["text"] == "after-rebucket"
+    # same-count rebucket is a commit-free no-op
+    v = t.current_version()
+    assert t.rebucket(16)["skipped"] and t.current_version() == v
