@@ -737,6 +737,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mor_merge_state"] = mor_merge_state
 
+    # --- partition-spec evolution under the same algebra: replay into a
+    # deliberately-undersized 2-bucket table, grow it to 16 buckets
+    # (rebucket = one fold-aware rewrite), then keep merging into the new
+    # layout. Final state must be layout-independent.
+    def rebucket_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import replay_batches
+
+        tmp = tempfile.mkdtemp(prefix="rebucket_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=2,
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        chg = _changelog(spark, sf)
+        half = chg.agg(F.avg("seq")).first()[0]
+        table.merge(chg.filter(F.col("seq") <= half), checkpoint_id="chg",
+                    batch_id=1)
+        table.rebucket(16)
+        table.merge(chg.filter(F.col("seq") > half), checkpoint_id="chg",
+                    batch_id=2)
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["rebucket_state"] = rebucket_state
+
     # --- bulk keyed probe of the durable table: lookup_many reads only the
     # key set's buckets/slots; result must equal the patched state filtered
     # to the probed keys, with misses (never-existing probes) and deleted
@@ -1681,6 +1715,9 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # delta-layer fold (table.py:_fold) must land the same final state the
     # sequential patch algebra computes
     o["mor_merge_state"] = _patch_core
+    # the physical layout (bucket count, pre/post-rebucket file sets) must
+    # be invisible to the logical state
+    o["rebucket_state"] = _patch_core
     # bulk probe = patched state restricted to the probed key stratum
     # (the negative-id probes never existed, so the filter alone is exact)
     o["bulk_lookup"] = f"SELECT * FROM ({_patch_core}) WHERE user_id % 7 = 3"
