@@ -1547,6 +1547,7 @@ class SnapshotTable:
         max_commit_retries: int = 5,
         min_files: int | None = None,
         buckets: list[int] | None = None,
+        purge_tombstones_older_than: Any | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets into fresh files (small-file maintenance, like
         Iceberg ``rewrite_data_files``). New snapshot; no logical change.
@@ -1561,6 +1562,21 @@ class SnapshotTable:
         - ``buckets=[...]``: an explicit bucket subset;
         - neither: every bucket (the original full rewrite).
 
+        ``purge_tombstones_older_than=H`` (a value comparable to the
+        model's version column, e.g. a timestamp) additionally DROPS
+        tombstone rows whose version is older than ``H`` — the Delta-style
+        delete-retention horizon. Tombstones exist to make a deleted key
+        lose against late-arriving OLDER events; once the caller can
+        promise no event older than ``H`` will still arrive (the stream's
+        watermark), a tombstone older than ``H`` protects nothing and is
+        pure dead weight — at 10^10 events with churn they otherwise
+        accumulate forever. NULL-version tombstones (the "admin delete is
+        always newest" rule) are NEVER purged: absence would let a future
+        event land where the tombstone would have beaten it. This is the
+        one compaction variant with a (caller-authorized) logical change;
+        ``changes()`` across it reports nothing, since purged rows were
+        already invisible to ``read()``.
+
         A no-op selection (nothing fragmented) commits NOTHING and returns
         ``{"skipped": True}``. Loses any commit race gracefully: rebase =
         re-read the (new) current snapshot and re-select, bounded by
@@ -1568,7 +1584,8 @@ class SnapshotTable:
         attempt = 0
         while True:
             try:
-                return self._compact_attempt(min_files, buckets)
+                return self._compact_attempt(min_files, buckets,
+                                             purge_tombstones_older_than)
             except CommitConflict:
                 attempt += 1
                 if attempt > max_commit_retries:
@@ -1578,6 +1595,7 @@ class SnapshotTable:
         self,
         min_files: int | None = None,
         buckets: list[int] | None = None,
+        purge_tombstones_older_than: Any | None = None,
     ) -> dict[str, Any]:
         man = self._manifest()
         # per-bucket file counts across base + delta layers: on a
@@ -1609,6 +1627,22 @@ class SnapshotTable:
         raw = self.read_raw(man["version"], buckets=targets).withColumn(
             BUCKET, self._bucket_col()
         )
+        if purge_tombstones_older_than is not None:
+            if not self.model.version_cols:
+                raise DiffSyncSparkError(
+                    "tombstone purge needs model.version_cols"
+                )
+            vc = F.col(self.model.version_cols[0])
+            # keep everything EXCEPT ts-tombstones older than the horizon;
+            # NULL-version tombstones are always-newest by rule and never
+            # purgeable (see compact() docstring)
+            raw = raw.filter(
+                ~(
+                    F.coalesce(F.col(META_DELETED), F.lit(False))
+                    & vc.isNotNull()
+                    & (vc < F.lit(purge_tombstones_older_than))
+                )
+            )
         data_dir = os.path.join(
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
@@ -1920,6 +1954,56 @@ class SnapshotTable:
                     removed.append(full)
         return {"removed_dirs": sorted(removed)}
 
+    # ------------------------------------------------------------------ refs
+    @property
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "refs")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (the Iceberg TAG ref):
+        ``read(version=table.tag_version(name))`` then works forever —
+        tagged versions survive ``expire_snapshots`` (their manifests and
+        exclusively-referenced files are retained), which is the actual
+        point: "the dataset we trained run X on" must stay readable after
+        routine retention. Exclusive-create: re-tagging an existing name
+        raises (delete first) — so a tag can never silently move."""
+        if not re.fullmatch(r"[A-Za-z0-9._\-]{1,128}", name):
+            raise DiffSyncSparkError(f"invalid tag name {name!r}")
+        if version is None:
+            version = self.current_version()
+        self._manifest(version)  # raises if unknown/expired
+        self.io.makedirs(self._refs_dir, exist_ok=True)
+        try:
+            self.io.write_exclusive(
+                os.path.join(self._refs_dir, name), str(version)
+            )
+        except FileExistsError:
+            raise DiffSyncSparkError(
+                f"tag {name!r} already exists (tags are immutable; "
+                "delete_tag first)"
+            ) from None
+        return version
+
+    def tag_version(self, name: str) -> int:
+        path = os.path.join(self._refs_dir, name)
+        if not self.io.exists(path):
+            raise DiffSyncSparkError(f"no tag {name!r}")
+        return int(self.io.read_text(path).strip())
+
+    def tags(self) -> dict[str, int]:
+        if not self.io.exists(self._refs_dir):
+            return {}
+        return {
+            n: int(self.io.read_text(os.path.join(self._refs_dir, n)).strip())
+            for n in self.io.list_files(self._refs_dir)
+        }
+
+    def delete_tag(self, name: str) -> None:
+        path = os.path.join(self._refs_dir, name)
+        if not self.io.exists(path):
+            raise DiffSyncSparkError(f"no tag {name!r}")
+        self.io.remove_file(path)
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
         """Drop manifests older than the newest ``keep_last`` versions and
         delete the data files ONLY they reference (Iceberg
@@ -1941,12 +2025,20 @@ class SnapshotTable:
                 for fl in layer["files"].values():
                     yield from fl
 
+        # tagged snapshots are retention-proof: their manifests stay and
+        # their files count as referenced (Iceberg tag semantics)
+        tagged = set(self.tags().values())
         keep_files: set[str] = set()
-        for v in range(cutoff, cur + 1):
-            keep_files.update(_all_files(self._manifest(v)))
+        for v in sorted(set(range(cutoff, cur + 1)) | tagged):
+            try:
+                keep_files.update(_all_files(self._manifest(v)))
+            except FileNotFoundError:
+                continue  # tag pointing at an already-expired version
         expired: list[int] = []
         n_removed = 0
         for v in range(1, cutoff):
+            if v in tagged:
+                continue
             try:
                 man = self._manifest(v)
             except FileNotFoundError:

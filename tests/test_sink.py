@@ -943,3 +943,96 @@ def test_targeted_compaction(spark, tmp_path, target_df, changelog_df):
     # nothing has >= 99 files -> no-op, no commit
     res2 = table.compact(min_files=99)
     assert res2["skipped"] and table.current_version() == res["version"]
+
+
+def test_compact_purges_old_tombstones(spark, tmp_path, target_df):
+    """Delete-retention horizon: compact(purge_tombstones_older_than=H)
+    drops ts-tombstones older than H, keeps younger and NULL-ts ones, and
+    changes() across the purge reports nothing (the rows were already
+    invisible)."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    rows = target_df.orderBy(*IDS).take(3)
+    k_old, k_new, k_null = [(r.conv_id, r.turn_idx) for r in rows]
+    batch = spark.createDataFrame(
+        [
+            (k_old[0], k_old[1], "delete", datetime.datetime(2026, 1, 1), 1),
+            (k_new[0], k_new[1], "delete", datetime.datetime(2030, 1, 1), 2),
+            (k_null[0], k_null[1], "delete", None, 3),
+        ],
+        "conv_id string, turn_idx int, op string, ts timestamp, seq long",
+    )
+    table.merge(batch, checkpoint_id="d", batch_id=1)
+    v_before = table.current_version()
+    live_before = _state(table)
+
+    def tombstones():
+        return {
+            (r.conv_id, r.turn_idx)
+            for r in table.read_raw().filter("_deleted").collect()
+        }
+
+    assert tombstones() == {k_old, k_new, k_null}
+    res = table.compact(
+        purge_tombstones_older_than=datetime.datetime(2028, 1, 1)
+    )
+    assert not res["skipped"]
+    assert tombstones() == {k_new, k_null}, "only the old ts-tombstone goes"
+    pd.testing.assert_frame_equal(_state(table), live_before)
+    assert table.changes(v_before).count() == 0
+    # the documented trade: after the purge, an event OLDER than the horizon
+    # for the purged key lands again (the caller promised none would arrive)
+    late = spark.createDataFrame(
+        [(k_old[0], k_old[1], "update", "pre-horizon straggler",
+          datetime.datetime(2025, 6, 1), 4)],
+        "conv_id string, turn_idx int, op string, text string, ts timestamp, "
+        "seq long",
+    )
+    table.merge(late, checkpoint_id="d", batch_id=2)
+    assert table.lookup(k_old) is not None
+    # while the RETAINED young tombstone still protects its key
+    late2 = spark.createDataFrame(
+        [(k_new[0], k_new[1], "update", "straggler",
+          datetime.datetime(2029, 1, 1), 5)],
+        "conv_id string, turn_idx int, op string, text string, ts timestamp, "
+        "seq long",
+    )
+    table.merge(late2, checkpoint_id="d", batch_id=3)
+    assert table.lookup(k_new) is None
+
+
+def test_tags_pin_snapshots_through_expiration(spark, tmp_path, target_df,
+                                               changelog_df):
+    """Iceberg TAG refs: an immutable name pins a version; expire_snapshots
+    keeps tagged manifests and their files alive past retention."""
+    import pytest as _pytest
+
+    from diffsync_spark.errors import DiffSyncSparkError
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    replay_batches(table, changelog_df, n_batches=6, checkpoint_id="r")
+    tagged_v = 4  # mid-replay snapshot
+    assert table.create_tag("train-run-x", tagged_v) == tagged_v
+    state_at_tag = (
+        table.read(version=tagged_v).toPandas()
+        .sort_values(IDS).reset_index(drop=True)
+    )
+    assert table.tags() == {"train-run-x": tagged_v}
+    # immutable: re-tagging raises
+    with _pytest.raises(DiffSyncSparkError, match="already exists"):
+        table.create_tag("train-run-x", 5)
+    with _pytest.raises(DiffSyncSparkError, match="invalid tag"):
+        table.create_tag("bad/name")
+    res = table.expire_snapshots(keep_last=2)
+    assert tagged_v not in res["expired_versions"], "tagged version expired"
+    got = (
+        table.read(version=table.tag_version("train-run-x")).toPandas()
+        .sort_values(IDS).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, state_at_tag)
+    # untagged old versions really are gone
+    assert res["expired_versions"]
+    # after dropping the tag, the next expiration may reclaim it
+    table.delete_tag("train-run-x")
+    assert table.tags() == {}
+    res2 = table.expire_snapshots(keep_last=2)
+    assert tagged_v in res2["expired_versions"]
