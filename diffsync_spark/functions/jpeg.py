@@ -1,0 +1,435 @@
+"""Baseline JPEG codec — pure Python + numpy, no PIL.
+
+Scope (honest): baseline sequential DCT (SOF0), 8-bit samples, grayscale or
+3-component YCbCr with sampling factors in {1, 2} (4:4:4 and 4:2:0 tested),
+Huffman entropy coding with tables read from the stream's own DHT segments,
+8- or 16-bit quantization tables, no restart intervals, no progressive
+(SOF2) — unsupported features raise ``ValueError`` and surface as the
+multimodal layer's per-row ``decode_ok=False``, never a crash.
+
+Both directions are implemented so the test fixtures are REAL encodings:
+``encode_jpeg`` writes a spec-shaped stream (JFIF APP0, DQT, SOF0, DHT,
+SOS, byte-stuffed entropy data) that ``decode_jpeg`` — and any external
+baseline decoder — can read. The decoder never assumes the encoder's
+tables: everything comes from the file. Self-oracle risk (a bug mirrored
+in both directions) is covered in tests by a HAND-ASSEMBLED bitstream with
+analytically-known pixels (DC-only blocks: IDCT of S00 alone is exactly
+S00/8 + 128) plus roundtrip tolerance bounds derived from quantization
+alone.
+
+Reference behavior parity: the reference ships no media handling at all;
+this exists for SURVEY §2.13's multimodal plumbing, where the decode step
+must be a real per-batch Arrow kernel, not a placeholder.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order (ITU T.81 Figure 5): ZIGZAG[i] = raster index of the
+# i-th coefficient in scan order
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# 8-point DCT basis: spatial = C.T @ coeff @ C ; coeff = C @ spatial @ C.T
+_X = np.arange(8)
+_C = 0.5 * np.cos((2 * _X[None, :] + 1) * _X[:, None] * np.pi / 16)
+_C[0, :] *= 1 / np.sqrt(2)
+
+# Huffman tables written by the ENCODER (read back from DHT by any
+# decoder). Compact custom tables covering every symbol the encoder can
+# emit — NOT the Annex K defaults; baseline decoders read tables from the
+# stream, so interop only requires spec-shaped DHT segments, which these
+# are. DC: categories 0..11. AC: all (run, size) pairs with size 1..10,
+# run 0..15, plus EOB (0x00) and ZRL (0xF0).
+_DC_BITS = [0, 0, 2, 2, 3, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 1, 1, 2, 3, 4, 8, 16, 32, 95, 0, 0, 0, 0, 0, 0]
+_AC_VALS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for s in range(1, 11) for r in range(16)]
+)
+assert sum(_AC_BITS) == len(_AC_VALS) == 162
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for bit-serial decoding."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _build_codes(bits, vals).items()
+    }
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 un-stuffing."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+        self.cur = 0
+
+    def read_bit(self) -> int:
+        if self.bit == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated after 0xFF")
+                marker = self.data[self.pos]
+                if marker == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{marker:02X} in scan "
+                        "(restart intervals unsupported)"
+                    )
+            self.cur = b
+            self.bit = 8
+        self.bit -= 1
+        return (self.cur >> self.bit) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map magnitude bits to signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to an (h, w, ch) uint8 array (ch 1 or 3)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = 0
+    pos = 2
+    scan_pos = None
+    while scan_pos is None:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
+        seg = payload[pos + 2: pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                raster = np.zeros(64, np.int32)
+                raster[ZIGZAG] = tbl
+                qt[tq] = raster.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1: i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17: i + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = seg[0]
+            if precision != 8:
+                raise ValueError(f"{precision}-bit JPEG unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"SOF{marker - 0xC0}: only baseline supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            for s in range(ns):
+                cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
+                for c in comps:
+                    if c["id"] == cs:
+                        c["td"], c["ta"] = tdta >> 4, tdta & 0xF
+            scan_pos = pos
+        elif marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        # APPn/COM/etc: skipped
+    if not comps or w == 0:
+        raise ValueError("no SOF0 before SOS")
+    if len(comps) not in (1, 3):
+        raise ValueError(f"{len(comps)}-component JPEG unsupported")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]          # blocks across the padded plane
+        c["bh"] = mcuy * c["v"]
+        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
+        c["pred"] = 0
+
+    reader = _BitReader(payload, scan_pos)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = np.zeros(64, np.int32)
+                        t = reader.read_symbol(huff_dc[c["td"]])
+                        diff = _extend(reader.read_bits(t), t)
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break        # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coeff = blk.reshape(8, 8) * qt[c["tq"]]
+                        spatial = _C.T @ coeff @ _C + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0:y0 + 8, x0:x0 + 8] = spatial
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        # upsample subsampled chroma to full resolution (nearest)
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                      hmax // c["h"], axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        out = planes[0][..., None]
+    else:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------------ encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _encode_block(bw: _BitWriter, blk: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Huffman-encode one quantized 8x8 block; returns the new DC pred."""
+    zz = blk.reshape(64)[ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    run = 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Pad (edge-replicate) to exactly ``bh`` x ``bw`` 8x8 blocks — the MCU
+    grid's demand, which can exceed the next 8-multiple when the component
+    is the max-sampling one — and return blocks of shape (by, bx, 8, 8)."""
+    ph, pw = bh * 8, bw * 8
+    p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+               mode="edge")
+    return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg(px: np.ndarray, quant: int = 8,
+                subsample: bool = False) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array (ch 1 or 3) as baseline
+    JPEG. ``quant`` is a flat quantization value (1 = near-lossless up to
+    DCT rounding); ``subsample=True`` writes 4:2:0 chroma."""
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    if ch not in (1, 3):
+        raise ValueError("need 1 or 3 channels")
+    f = px.astype(np.float64)
+    if ch == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            ph = -(-h // 2) * 2
+            pw = -(-w // 2) * 2
+            def _half(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return 0.25 * (p[0::2, 0::2] + p[1::2, 0::2]
+                               + p[0::2, 1::2] + p[1::2, 1::2])
+            planes = [y, _half(cb), _half(cr)]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [f[..., 0]]
+        samp = [(1, 1)]
+
+    qtbl = np.full((8, 8), quant, np.int32)
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    zz_q = qtbl.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + zz_q)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (sh, sv) in enumerate(samp):
+        sof += bytes([i + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    out += seg(0xC4, dht)
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # quantize every plane's blocks up front, padded to the MCU grid
+    qblocks = []
+    for p, (sh, sv) in zip(planes, samp):
+        blocks = _plane_blocks(p - 128.0, mcuy * sv, mcux * sh)
+        coeff = np.einsum("ux,byxw,wv->byuv", _C, blocks, _C.T)
+        qblocks.append(np.round(coeff / qtbl).astype(np.int32))
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = qblocks[ci][my * sv + by, mx * sh + bx]
+                        preds[ci] = _encode_block(
+                            bw, blk, preds[ci], dc_codes, ac_codes
+                        )
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_features(
+    payload: bytes, feat_dim: int
+) -> tuple[int, int, list[float]]:
+    """(width, height, band-mean features) — same feature contract as the
+    PPM/PNG codecs in multimodal.py."""
+    px = decode_jpeg(payload)
+    h, w = px.shape[:2]
+    bands = np.array_split(px.astype(np.float64) / 255.0, feat_dim, axis=0)
+    return w, h, [float(b.mean()) if b.size else 0.0 for b in bands]

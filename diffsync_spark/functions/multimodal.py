@@ -10,8 +10,13 @@ signatures) is real and tested. Three codecs are REAL and dependency-free:
 - ``image/png`` — chunk walk + stdlib ``zlib`` inflate + per-scanline
   unfilter (all five PNG filter types), for 8-bit gray / gray+alpha / RGB /
   RGBA, non-interlaced; same band-mean features as PPM.
+- ``image/jpeg`` — baseline sequential DCT decoded from scratch
+  (marker walk, stream-supplied Huffman/quant tables, IDCT, 4:2:0
+  upsampling, YCbCr→RGB) in ``jpeg.py``; progressive/restart-interval
+  streams surface as ``decode_ok=False``.
 
-Everything else (JPEG, MP4, ...) needs PIL/ffmpeg, absent in this container:
+Everything else (MP4, progressive JPEG, ...) needs PIL/ffmpeg, absent in
+this container:
 those payloads go through the clearly-marked stub boundary — either the
 deterministic hash-derived fake (``fake=True``) or per-row ``decode_ok=False``
 (``fake=False``; a 100 TB pipeline treats an undecodable asset as a data
@@ -36,6 +41,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from diffsync_spark.functions.jpeg import decode_jpeg_features, encode_jpeg
+
 try:  # pragma: no cover - not present in this container
     import PIL.Image  # type: ignore # noqa: F401
 
@@ -44,7 +51,8 @@ except Exception:  # pragma: no cover
     _HAS_EXTERNAL_CODECS = False
 
 # formats decodable with the built-in pure-Python parsers below
-BUILTIN_MIMES = {"audio/wav", "image/x-portable-pixmap", "image/png"}
+BUILTIN_MIMES = {"audio/wav", "image/x-portable-pixmap", "image/png",
+                 "image/jpeg"}
 
 ASSET_SCHEMA = (
     "asset_id long, kind string, payload binary, width int, height int, "
@@ -253,28 +261,41 @@ def encode_ppm(px: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------------ fixtures
 def fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic asset table. WAV, PPM and PNG payloads are
-    REAL encodings (decodable by the built-in codecs; PNG alternates RGB and
-    RGBA with a rotating scanline filter, so every unfilter path runs);
-    video stays an opaque blob (no container-side codec — the stub
-    boundary)."""
+    """Deterministic synthetic asset table. WAV, PPM, PNG and JPEG
+    payloads are REAL encodings (decodable by the built-in codecs; PNG
+    alternates RGB/RGBA with a rotating scanline filter so every unfilter
+    path runs; JPEG alternates grayscale 4:4:4 and color 4:2:0 so both
+    sampling paths run); video stays an opaque blob (no container-side
+    codec — the stub boundary)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "image":
             w, h = int(rng.integers(4, 32)), int(rng.integers(4, 32))
-            if (i // 3) % 2 == 0:
+            if (i // 3) % 3 == 0:
                 payload = encode_ppm(
                     rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8))
                 mime = "image/x-portable-pixmap"
-            else:
+            elif (i // 3) % 3 == 1:
                 ch = 3 if (i // 6) % 2 == 0 else 4
                 payload = encode_png(
                     rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8),
                     filter_type=(i // 3) % 5,
                 )
                 mime = "image/png"
+            else:
+                if (i // 9) % 2 == 0:
+                    payload = encode_jpeg(
+                        rng.integers(0, 256, size=(h, w)).astype(np.uint8),
+                        quant=2,
+                    )
+                else:
+                    payload = encode_jpeg(
+                        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8),
+                        quant=2, subsample=True,
+                    )
+                mime = "image/jpeg"
             rows.append((i, kind, bytearray(payload), w, h, None, mime))
         elif kind == "audio":
             n_samp = int(rng.integers(400, 4000))
@@ -332,6 +353,13 @@ def decode_assets(assets: DataFrame, feat_dim: int = 8, fake: bool | None = None
                 elif mime == "image/png":
                     try:
                         width, height, feat = decode_png(data, feat_dim)
+                        ok = True
+                    except Exception:
+                        ok = False
+                elif mime == "image/jpeg":
+                    try:
+                        width, height, feat = decode_jpeg_features(
+                            data, feat_dim)
                         ok = True
                     except Exception:
                         ok = False

@@ -76,12 +76,36 @@ def main() -> None:
           f"re-quarantined={rq['n_quarantined']}")
     print("recovered row:", table.lookup(("conv_recovered", 99))["text"])
 
-    # 6) bound storage and metadata: binpack fragmented buckets, drop
-    #    unreferenced attempt dirs, expire old snapshots
+    # 6) pin "the dataset run X trained on" BEFORE retention runs: tags
+    #    are immutable names that expire_snapshots never reclaims
+    tag_v = table.create_tag("train-run-2031w01")
+
+    # 7) bound storage and metadata: binpack fragmented buckets, drop
+    #    unreferenced attempt dirs, expire old snapshots — the tagged
+    #    snapshot survives and stays readable
     print("compact:", table.compact(min_files=2)["compacted_buckets"])
     print("orphan GC:", table.remove_orphans())
     print("expire:", table.expire_snapshots(keep_last=3))
     print(f"rows after ops (unchanged): {table.count_rows()}")
+    print("tagged snapshot still reads:",
+          table.read(version=table.tag_version("train-run-2031w01")).count(),
+          f"rows at v{tag_v}")
+
+    # 8) delete-retention: once the stream's watermark guarantees no event
+    #    older than H can still arrive, tombstones older than H protect
+    #    nothing — purge them so churned keys don't bloat the table forever
+    table.delete_where(F.col("conv_id") == "conv1")
+    n_tomb = table.read_raw().filter("_deleted").count()
+    table.compact(purge_tombstones_older_than=t0
+                  + datetime.timedelta(days=365))
+    print(f"tombstones {n_tomb} -> "
+          f"{table.read_raw().filter('_deleted').count()} after purge")
+
+    # 9) the table outgrew its create-time layout: grow the bucket count
+    #    (one rewrite; old snapshots keep routing with their own layout)
+    print("rebucket:", table.rebucket(32))
+    print("lookup in the new layout:",
+          table.lookup(("conv0", 0))["text"])
     spark.stop()
 
 
