@@ -1464,6 +1464,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["canal_decode"] = canal
 
+    # --- wal2json (format v2) envelope decode: the Postgres WAL-tail JSON
+    # (name/value column arrays, identity image on deletes, textual X/Y
+    # LSN, B/C transaction markers filtered, T truncate → NULL-op
+    # quarantine row, corrupt JSON kept as an all-NULL row). Envelopes are
+    # synthesized per event; every 101st is corrupt, every 89th a
+    # truncate, every 97th a begin marker (dropped by the decoder).
+    def wal2json(spark, sf):
+        from pyspark.sql import types as T
+
+        from diffsync_spark.sources.cdc_formats import from_wal2json
+
+        e = _events(spark, sf)
+        eid = F.col("event_id")
+
+        def entry(name, col):
+            return F.struct(
+                F.lit(name).alias("name"), col.cast("string").alias("value")
+            )
+
+        img = F.array(
+            entry("user_id", F.col("user_id")),
+            entry("event_id", eid),
+            entry("event_type", F.col("event_type")),
+            entry("val", F.round("value", 4)),
+        )
+        action = (
+            F.when(eid % 89 == 0, "T")
+            .when(eid % 97 == 0, "B")
+            .when(eid % 3 == 0, "I")
+            .when(eid % 3 == 1, "U")
+            .otherwise("D")
+        )
+        envelope = F.to_json(
+            F.struct(
+                action.alias("action"),
+                F.lit("public").alias("schema"),
+                F.lit("events").alias("table"),
+                F.when(action.isin("I", "U"), img).alias("columns"),
+                F.when(action == "D", img).alias("identity"),
+                F.concat(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    F.lit("+00"),
+                ).alias("timestamp"),
+                F.concat(
+                    F.hex(eid % 7 + 1), F.lit("/"), F.hex(eid)
+                ).alias("lsn"),
+            )
+        )
+        raw = e.select(
+            F.when(eid % 101 == 0, "corrupt {").otherwise(envelope).alias(
+                "value"
+            )
+        )
+        row_schema = T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("val", T.DoubleType()),
+            ]
+        )
+        chg = from_wal2json(raw, EVENT_MODEL, row_schema)
+        return chg.select(
+            "seq", "op", "user_id", "event_id", "event_type",
+            F.round("val", 4).alias("val"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+
+    q["wal2json_decode"] = wal2json
+
     # --- per-stratum quality filtering (exact percent_rank path)
     def topfrac(spark, sf):
         from diffsync_spark.functions.sampling import filter_top_fraction
@@ -2189,6 +2259,40 @@ FROM (
 SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
        epoch_us(ts) AS ts_us
 FROM ({_cnl_decoded})"""
+    from diffsync_spark.sources.cdc_formats import wal2json_sql
+
+    _w2j_raw = """
+SELECT CASE WHEN event_id % 101 = 0 THEN 'corrupt {'
+            ELSE CAST(to_json(struct_pack(
+                   action := action,
+                   "schema" := 'public', "table" := 'events',
+                   columns := CASE WHEN action IN ('I', 'U') THEN img END,
+                   identity := CASE WHEN action = 'D' THEN img END,
+                   "timestamp" := strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                                    || '+00',
+                   lsn := to_hex(event_id % 7 + 1) || '/' || to_hex(event_id)
+                 )) AS VARCHAR) END AS value
+FROM (
+  SELECT event_id, ts,
+         CASE WHEN event_id % 89 = 0 THEN 'T'
+              WHEN event_id % 97 = 0 THEN 'B'
+              WHEN event_id % 3 = 0 THEN 'I'
+              WHEN event_id % 3 = 1 THEN 'U' ELSE 'D' END AS action,
+         [struct_pack(name := 'user_id', value := CAST(user_id AS VARCHAR)),
+          struct_pack(name := 'event_id', value := CAST(event_id AS VARCHAR)),
+          struct_pack(name := 'event_type', value := event_type),
+          struct_pack(name := 'val',
+                      value := CAST(round(value, 4) AS VARCHAR))] AS img
+  FROM events)"""
+    _w2j_decoded = wal2json_sql(
+        [("user_id", "BIGINT"), ("event_id", "BIGINT"),
+         ("event_type", "VARCHAR"), ("val", "DOUBLE")],
+        _w2j_raw,
+    )
+    o["wal2json_decode"] = f"""
+SELECT seq, op, user_id, event_id, event_type, round(val, 4) AS val,
+       epoch_us(ts) AS ts_us
+FROM ({_w2j_decoded})"""
     o["filter_top_fraction"] = """
 WITH r AS (
   SELECT doc_id, lang,

@@ -4,7 +4,9 @@ from diffsync_spark.sources.cdc_formats import (
     from_canal,
     from_debezium,
     from_maxwell,
+    from_wal2json,
     maxwell_envelope_schema,
+    wal2json_envelope_schema,
 )
 from diffsync_spark.sources.io import (
     load_from_records,
@@ -21,7 +23,9 @@ __all__ = [
     "from_canal",
     "from_debezium",
     "from_maxwell",
+    "from_wal2json",
     "maxwell_envelope_schema",
+    "wal2json_envelope_schema",
     "load_from_records",
     "read_changelog",
     "read_snapshot",

@@ -287,6 +287,154 @@ FROM (SELECT value,
       FROM ({source_expr}))"""
 
 
+def wal2json_envelope_schema() -> T.StructType:
+    """wal2json format-version-2 per-change message (Postgres logical
+    decoding's most common JSON plugin; also what Debezium's
+    ``pgoutput``-less deployments tail): one JSON document per row change
+    with ``action`` (``I``/``U``/``D``, plus ``B``/``C`` transaction
+    markers, ``T`` truncate, ``M`` message), a ``columns`` array of
+    ``{name, type, value}`` entries (the new row image), an ``identity``
+    array (the replica-identity/old-key image, what deletes carry),
+    ``timestamp`` (text, with ``include-timestamp``) and ``lsn`` (text
+    ``X/Y`` hex, with ``include-lsn``). Spec from the public wal2json
+    README (https://github.com/eulerto/wal2json — format version 2).
+
+    ``value`` is declared STRING: Spark's JSON parser renders any scalar
+    token (number/bool/null) as its text for a StringType field, so the
+    heterogeneous wal2json values decode losslessly and are cast to the
+    model's types afterwards."""
+    col_entry = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("value", T.StringType()),
+            ]
+        )
+    )
+    return T.StructType(
+        [
+            T.StructField("action", T.StringType()),
+            T.StructField("schema", T.StringType()),
+            T.StructField("table", T.StringType()),
+            T.StructField("columns", col_entry),
+            T.StructField("identity", col_entry),
+            T.StructField("timestamp", T.StringType()),
+            T.StructField("lsn", T.StringType()),
+        ]
+    )
+
+
+# an LSN is "X/Y" with both halves hex; anything else (or NULL) → NULL seq.
+# The guard matters because F.conv maps garbage to 0, not NULL, and a
+# spurious seq=0 would silently lose LWW tiebreaks instead of quarantining.
+_LSN_RE = "^[0-9A-Fa-f]{1,8}/[0-9A-Fa-f]{1,8}$"
+
+
+def _lsn_to_seq(lsn: Column) -> Column:
+    hi = F.conv(F.split(lsn, "/").getItem(0), 16, 10).cast("long")
+    lo = F.conv(F.split(lsn, "/").getItem(1), 16, 10).cast("long")
+    return F.when(lsn.rlike(_LSN_RE), hi * F.lit(2 ** 32) + lo)
+
+
+def from_wal2json(
+    raw: DataFrame,
+    model: ModelSchema,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Decode wal2json (format version 2) messages into the same changelog
+    contract as :func:`from_debezium` — the fourth wire format, covering
+    Postgres WAL tails that don't run a Kafka Connect stack.
+
+    Structural differences handled here:
+
+    - the row image is an ARRAY of ``{name, value}`` entries, not a typed
+      struct → ``map_from_entries`` + per-column ``try_element_at`` +
+      ``try_cast`` to the model type. ``try_*`` throughout: a missing
+      column (wal2json omits unchanged TOAST values) or an unparsable
+      value becomes NULL and flows to quarantine via the merge contract
+      instead of throwing under Spark's default ANSI mode;
+    - deletes carry the replica-identity image in ``identity`` (no
+      ``columns``), so the image source switches on action ``D``;
+    - transaction markers ``B``/``C`` and standalone ``M`` messages carry
+      no row image and are FILTERED (they are framing, not changes);
+      ``T`` (truncate) and unknown actions keep a NULL-op row →
+      quarantine, and corrupt JSON (NULL action) is kept, never dropped;
+    - ``seq`` = the LSN ``X/Y`` parsed as ``X * 2**32 + Y`` (Postgres'
+      own byte-position encoding), the WAL total order; malformed LSNs
+      yield NULL seq (see ``_LSN_RE``);
+    - ``ts`` = ``try_to_timestamp`` of the textual commit timestamp
+      (``include-timestamp`` format, e.g. ``2019-12-29 04:58:34.806671+00``).
+
+    Pure projection (from_json + map build + casts): zero shuffle, batch
+    and readStream alike.
+    """
+    env = wal2json_envelope_schema()
+    parsed = raw.select(
+        *[F.col(c) for c in keep_cols],
+        F.from_json(F.col(value_col), env).alias("e"),
+    )
+    act = F.col("e.action")
+    parsed = parsed.where(act.isNull() | ~act.isin("B", "C", "M"))
+    img = F.when(act == "D", F.col("e.identity")).otherwise(F.col("e.columns"))
+    m = F.map_from_entries(
+        F.transform(img, lambda c: F.struct(c["name"], c["value"]))
+    )
+    op = (
+        F.when(act == "I", "insert")
+        .when(act == "U", "update")
+        .when(act == "D", "delete")
+    )
+    cols = [_lsn_to_seq(F.col("e.lsn")).alias("seq"), op.alias("op")]
+    cols += [
+        F.try_element_at(m, F.lit(f.name)).try_cast(f.dataType).alias(f.name)
+        for f in row_schema.fields
+    ]
+    cols.append(F.try_to_timestamp(F.col("e.timestamp")).alias("ts"))
+    return parsed.select(*cols, *[F.col(c) for c in keep_cols])
+
+
+def wal2json_sql(row_cols: list[tuple[str, str]], source_expr: str) -> str:
+    """DuckDB twin of :func:`from_wal2json`. The ``json_valid`` guard
+    mirrors PERMISSIVE from_json (corrupt → NULL row, kept — DuckDB's
+    ``TRY_CAST(x AS JSON)`` still throws on malformed input, so it can't
+    be used); the image lookup filters the columns/identity JSON array by
+    entry name, exactly the ``map_from_entries`` + ``try_element_at``
+    path."""
+    img = (
+        "CASE WHEN json_extract_string(j, '$.action') = 'D' "
+        "THEN json_extract(j, '$.identity') "
+        "ELSE json_extract(j, '$.columns') END"
+    )
+    fields = ", ".join(
+        f"TRY_CAST(json_extract_string(list_filter(CAST({img} AS JSON[]), "
+        f"x -> json_extract_string(x, '$.name') = '{name}')[1], "
+        f"'$.value') AS {typ}) AS {name}"
+        for name, typ in row_cols
+    )
+    return f"""
+SELECT CASE WHEN regexp_matches(json_extract_string(j, '$.lsn'),
+                                '{_LSN_RE}')
+            THEN TRY_CAST('0x' || lower(split_part(
+                   json_extract_string(j, '$.lsn'), '/', 1)) AS BIGINT)
+                   * 4294967296
+                 + TRY_CAST('0x' || lower(split_part(
+                     json_extract_string(j, '$.lsn'), '/', 2)) AS BIGINT)
+            END AS seq,
+       CASE json_extract_string(j, '$.action')
+            WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update'
+            WHEN 'D' THEN 'delete' END AS op,
+       {fields},
+       make_timestamp(epoch_us(TRY_CAST(json_extract_string(j, '$.timestamp')
+                                        AS TIMESTAMPTZ))) AS ts
+FROM (SELECT CASE WHEN json_valid(value) THEN CAST(value AS JSON) END AS j
+      FROM ({source_expr}))
+WHERE coalesce(json_extract_string(j, '$.action') NOT IN ('B', 'C', 'M'),
+               TRUE)"""
+
+
 def debezium_sql(
     row_cols: list[tuple[str, str]],
     source_expr: str,
@@ -357,6 +505,7 @@ def from_kafka(
         "debezium": from_debezium,
         "maxwell": from_maxwell,
         "canal": from_canal,
+        "wal2json": from_wal2json,
     }
     if envelope not in decoders:
         raise ValueError(

@@ -346,3 +346,74 @@ def test_from_kafka_payload_named_offset_survives(spark):
     assert len(out) == 1
     assert out[0]["offset"] == 777  # the PAYLOAD value, not the transport's
     assert out[0]["seq"] == 42      # the transport offset became the seq
+
+
+def _w2j(action, uid, eid, et, val, ts, lsn, image_key="columns",
+         omit=()):
+    """A wal2json format-v2 message with the README's real shape:
+    numeric values UNQUOTED, per-entry type names, textual lsn/timestamp."""
+    import json
+
+    entries = [
+        {"name": "user_id", "type": "bigint", "value": uid},
+        {"name": "event_id", "type": "bigint", "value": eid},
+        {"name": "event_type", "type": "text", "value": et},
+        {"name": "val", "type": "double precision", "value": val},
+    ]
+    entries = [e for e in entries if e["name"] not in omit]
+    msg = {"action": action, "schema": "public", "table": "events",
+           image_key: entries, "timestamp": ts, "lsn": lsn}
+    return json.dumps(msg)
+
+
+def test_wal2json_decode_semantics(spark):
+    from diffsync_spark.sources.cdc_formats import from_wal2json
+
+    ts = "2019-12-29 04:58:34.806671+00"
+    rows = [
+        ('{"action":"B","lsn":"0/16B2D00"}',),          # begin marker
+        (_w2j("I", 1, 10, "click", 1.5, ts, "0/16B2D50"),),
+        (_w2j("U", 1, 10, "click", 2.5, ts, "0/16B2D60"),),
+        # delete: replica-identity image only, no `columns`
+        (_w2j("D", 1, 10, "click", 2.5, ts, "0/16B2D70",
+              image_key="identity"),),
+        # TOAST-omitted column: `val` missing from the image → NULL
+        (_w2j("U", 2, 20, "view", None, ts, "1/0000000A", omit=("val",)),),
+        # truncate → NULL op (quarantine), no image
+        ('{"action":"T","schema":"public","table":"events",'
+         '"timestamp":"' + ts + '","lsn":"0/16B2D90"}',),
+        ('{"action":"C","lsn":"0/16B2DA0"}',),          # commit marker
+        ("corrupt {",),                                  # malformed JSON
+        # malformed lsn → NULL seq (F.conv would give 0 — guard pins NULL)
+        (_w2j("I", 3, 30, "view", 0.5, ts, "zz/nothex"),),
+    ]
+    raw = spark.createDataFrame(rows, "value string")
+    out = from_wal2json(raw, MODEL, ROW).collect()
+    # B and C markers filtered; everything else kept
+    assert len(out) == 7
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[0x16B2D50].op == "insert" and by_seq[0x16B2D50].val == 1.5
+    assert by_seq[0x16B2D60].op == "update" and by_seq[0x16B2D60].val == 2.5
+    d = by_seq[0x16B2D70]
+    assert d.op == "delete" and d.user_id == 1 and d.event_id == 10
+    # the X half of the LSN is the high 32 bits
+    toast = by_seq[(1 << 32) + 0x0000000A]
+    assert toast.op == "update" and toast.user_id == 2 and toast.val is None
+    trunc = by_seq[0x16B2D90]
+    assert trunc.op is None and trunc.user_id is None  # quarantine row
+    # corrupt JSON and malformed-lsn rows both land with seq NULL
+    null_seq = [r for r in out if r.seq is None]
+    assert len(null_seq) == 2
+    bad_lsn = [r for r in null_seq if r.user_id == 3]
+    assert len(bad_lsn) == 1 and bad_lsn[0].op == "insert"
+    # commit timestamp parsed to the exact instant (UTC session)
+    assert by_seq[0x16B2D50].ts.isoformat() == "2019-12-29T04:58:34.806671"
+
+
+def test_wal2json_is_pure_projection(spark):
+    """No shuffle: the decode must stay a scan→filter→project pipeline."""
+    from diffsync_spark.sources.cdc_formats import from_wal2json
+
+    raw = spark.createDataFrame([("x",)], "value string")
+    plan = from_wal2json(raw, MODEL, ROW)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
