@@ -14,13 +14,19 @@ signatures) is real and tested. Three codecs are REAL and dependency-free:
   (marker walk, stream-supplied Huffman/quant tables, IDCT, 4:2:0
   upsampling, YCbCr→RGB) in ``jpeg.py``; progressive/restart-interval
   streams surface as ``decode_ok=False``.
+- ``video/mp4`` — ISO BMFF container parsed from scratch in ``mp4.py``
+  (box walk + full stsd/stts/stsc/stsz/stco/co64 sample-table
+  resolution); Motion-JPEG tracks decode for real through ``jpeg.py``
+  (container metadata + first-frame features here; per-timestamp frame
+  sampling via :func:`frame_sample`).
 
-Everything else (MP4, progressive JPEG, ...) needs PIL/ffmpeg, absent in
-this container:
-those payloads go through the clearly-marked stub boundary — either the
-deterministic hash-derived fake (``fake=True``) or per-row ``decode_ok=False``
-(``fake=False``; a 100 TB pipeline treats an undecodable asset as a data
-quality fact, not a job-killing exception).
+The remaining stub boundary is CODEC payloads only — compressed video
+bitstreams (avc1/hev1/mp4v) and progressive JPEG, which need
+PIL/ffmpeg, absent in this container: those payloads go through the
+clearly-marked boundary — either the deterministic hash-derived fake
+(``fake=True``) or per-row ``decode_ok=False`` (``fake=False``; a 100 TB
+pipeline treats an undecodable asset as a data quality fact, not a
+job-killing exception), with the container metadata still decoded.
 
 Pattern: ``mapInPandas`` so each task pulls Arrow record batches, decodes a
 batch of binary payloads at once, and yields feature rows — never one row at
@@ -42,6 +48,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from diffsync_spark.functions.jpeg import decode_jpeg_features, encode_jpeg
+from diffsync_spark.functions.mp4 import (  # noqa: F401 (re-export)
+    encode_mp4_mjpeg,
+    frame_sample,
+    parse_mp4,
+    sample_video_frames,
+)
 
 try:  # pragma: no cover - not present in this container
     import PIL.Image  # type: ignore # noqa: F401
@@ -52,7 +64,7 @@ except Exception:  # pragma: no cover
 
 # formats decodable with the built-in pure-Python parsers below
 BUILTIN_MIMES = {"audio/wav", "image/x-portable-pixmap", "image/png",
-                 "image/jpeg"}
+                 "image/jpeg", "video/mp4"}
 
 ASSET_SCHEMA = (
     "asset_id long, kind string, payload binary, width int, height int, "
@@ -261,12 +273,13 @@ def encode_ppm(px: np.ndarray) -> bytes:
 
 # ------------------------------------------------------------------ fixtures
 def fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic asset table. WAV, PPM, PNG and JPEG
+    """Deterministic synthetic asset table. WAV, PPM, PNG, JPEG and MP4
     payloads are REAL encodings (decodable by the built-in codecs; PNG
     alternates RGB/RGBA with a rotating scanline filter so every unfilter
     path runs; JPEG alternates grayscale 4:4:4 and color 4:2:0 so both
-    sampling paths run); video stays an opaque blob (no container-side
-    codec — the stub boundary)."""
+    sampling paths run; video alternates MJPEG-in-MP4 with stco/co64
+    offsets, plus every third video an opaque garbage blob for the
+    decode_ok=False container path)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -303,9 +316,28 @@ def fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
             rows.append((i, kind, bytearray(payload), None, None,
                          int(round(1000 * n_samp / 8000)), "audio/wav"))
         else:
-            payload = rng.bytes(128 + int(rng.integers(0, 512)))
+            if (i // 3) % 3 == 2:
+                # opaque garbage: the decode_ok=False container path
+                payload = rng.bytes(128 + int(rng.integers(0, 512)))
+                dur = int(rng.integers(100, 60_000))
+            else:
+                # REAL MJPEG-in-MP4 (grayscale and color alternate; every
+                # 2nd real video uses 64-bit co64 chunk offsets)
+                w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                n_frames = int(rng.integers(2, 7))
+                color = (i // 6) % 2 == 0
+                shape = (h, w, 3) if color else (h, w)
+                frames = [
+                    rng.integers(0, 256, size=shape).astype(np.uint8)
+                    for _ in range(n_frames)
+                ]
+                payload = encode_mp4_mjpeg(
+                    frames, fps=5, samples_per_chunk=2,
+                    use_co64=(i // 3) % 2 == 0,
+                )
+                dur = n_frames * 200  # 5 fps at timescale 1000
             rows.append((i, kind, bytearray(payload), None, None,
-                         int(rng.integers(100, 60_000)), "video/mp4"))
+                         dur, "video/mp4"))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 
@@ -363,6 +395,25 @@ def decode_assets(assets: DataFrame, feat_dim: int = 8, fake: bool | None = None
                         ok = True
                     except Exception:
                         ok = False
+                elif mime == "video/mp4":
+                    # container metadata is real for any well-formed MP4;
+                    # ok=True requires the track's frames to actually
+                    # decode (MJPEG) — a compressed-codec track keeps its
+                    # real width/height/duration with decode_ok=False
+                    try:
+                        info = parse_mp4(data)
+                        duration = info.duration_ms
+                        trk = info.video_track()
+                        if trk is not None:
+                            width, height = trk.width, trk.height
+                        first = sample_video_frames(
+                            data, every_ms=1 << 30, feat_dim=feat_dim
+                        )[0]
+                        if first[5]:
+                            width, height, feat = first[2], first[3], first[4]
+                            ok = True
+                    except Exception:
+                        ok = False
                 # else: needs PIL/ffmpeg — honest per-row failure, not a crash
                 out["n_bytes"].append(len(data))
                 out["sha256"].append(sha)
@@ -382,8 +433,9 @@ def decode_assets(assets: DataFrame, feat_dim: int = 8, fake: bool | None = None
 
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: rows (asset_id, frame_ts_ms) for each
-    sample point — the Spark-side fan-out a real decoder would consume.
-    Pure JVM (sequence + explode); the decode itself is the stub above."""
+    sample point — the Spark-side fan-out from METADATA only (no payload
+    bytes touched; pure JVM sequence + explode). The real byte-level
+    sampler is :func:`diffsync_spark.functions.mp4.frame_sample`."""
     vids = assets.filter(F.col("kind") == "video").select(
         "asset_id", "duration_ms"
     )

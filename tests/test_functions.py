@@ -499,8 +499,8 @@ def test_embedding_neardup_self(emb):
 def test_multimodal_real_codecs(spark):
     """WAV/PPM payloads decode with the built-in pure-Python parsers; the
     recovered metadata must equal the metadata the fixture encoded with.
-    Video (no codec in this container) is a per-row decode_ok=False, not a
-    crash."""
+    MJPEG-in-MP4 videos decode for real (container parse + first frame);
+    the garbage-blob videos are a per-row decode_ok=False, not a crash."""
     assets = fake_assets(spark, n=60)
     pdf = (
         decode_assets(assets, feat_dim=8)
@@ -512,7 +512,10 @@ def test_multimodal_real_codecs(spark):
     assert len(pdf) == 60
     img, aud, vid = (pdf[pdf.kind == k] for k in ("image", "audio", "video"))
     assert img["decode_ok"].all() and aud["decode_ok"].all()
-    assert not vid["decode_ok"].any()
+    # real MJPEG MP4s decode; the opaque blobs stay honest failures
+    assert vid["decode_ok"].any() and not vid["decode_ok"].all()
+    vok = vid[vid.decode_ok]
+    assert (vok["duration_ms"] == vok["want_ms"]).all()
     # decoded dimensions/duration match what was encoded
     assert (img["width"] == img["want_w"]).all()
     assert (img["height"] == img["want_h"]).all()
@@ -669,9 +672,10 @@ def test_png_through_decode_assets(spark):
         assert bool(got.loc[aid, "decode_ok"]) is True
         assert got.loc[aid, "width"] == row["width"]
         assert got.loc[aid, "height"] == row["height"]
-    # video remains the honest stub boundary
+    # the garbage-blob videos remain the honest stub boundary; MJPEG MP4s
+    # decode for real (covered in depth by test_mp4.py)
     vids = feats[feats.kind == "video"]
-    assert (~vids["decode_ok"]).all()
+    assert (~vids["decode_ok"]).any()
 
 def test_extend_ann_index(spark, tmp_path):
     """Incremental index maintenance: extended vectors use the INDEX'S
