@@ -737,6 +737,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["mor_merge_state"] = mor_merge_state
 
+    # --- write-audit-publish under the same algebra: the changelog lands
+    # on a BRANCH (main never sees the in-flight batches), an audit reads
+    # the branch, and publish() fast-forwards main as a metadata-only
+    # commit. Main's final state must equal a direct merge — WAP is
+    # observationally transparent, it only changes WHEN readers see data.
+    def wap_publish_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import replay_batches
+
+        tmp = tempfile.mkdtemp(prefix="wap_publish_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.create_branch("audit")
+        br = table.branch("audit")
+        replay_batches(br, _changelog(spark, sf), n_batches=2,
+                       checkpoint_id="chg")
+        # the audit step: validate the staged state before anyone sees it
+        assert br.read().count() > 0
+        table.publish("audit", delete_branch=True)
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["wap_publish_state"] = wap_publish_state
+
+    # --- incrementally-maintained AGGREGATE view (gold layer): a per-user
+    # rollup table is bootstrapped from the boot snapshot, the changelog
+    # replays upstream in 2 batches, and pipe_aggregate recomputes ONLY
+    # the dirty groups (bucket-pruned: user_id IS the upstream bucketing
+    # key). Oracle = GROUP BY over the same patch-algebra final state —
+    # the incremental path must equal the from-scratch aggregate
+    # (count / distinct-count / max survive deletes only because whole
+    # dirty groups recompute, which is the operator's point).
+    def pipe_rollup_state(spark, sf):
+        import tempfile
+
+        from pyspark.sql import types as T
+
+        from diffsync_spark.model import ModelSchema
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.streaming.replay import (
+            pipe_aggregate, replay_batches,
+        )
+
+        rollup_model = ModelSchema(
+            name="user_rollup",
+            identifiers=("user_id",),
+            attributes=("n_events", "n_types", "max_ts_us", "max_val"),
+        )
+
+        def agg(df):
+            return df.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("event_type").alias("n_types"),
+                F.max(
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                ).alias("max_ts_us"),
+                F.round(F.max("val"), 6).alias("max_val"),
+            )
+
+        tmp = tempfile.mkdtemp(prefix="pipe_rollup_state_")
+        snap = _src(spark, sf)
+        up = SnapshotTable.create(
+            spark, f"{tmp}/up", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        up.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        down = SnapshotTable.create(
+            spark, f"{tmp}/rollup", rollup_model,
+            schema=T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("n_events", T.LongType()),
+                T.StructField("n_types", T.LongType()),
+                T.StructField("max_ts_us", T.LongType()),
+                T.StructField("max_val", T.DoubleType()),
+            ]),
+            n_buckets=4,
+        )
+        pipe_aggregate(up, down, agg, checkpoint_id="roll")  # bootstrap
+        replay_batches(up, _changelog(spark, sf), n_batches=2,
+                       checkpoint_id="chg")
+        pipe_aggregate(up, down, agg, checkpoint_id="roll")  # dirty hops
+        return down.read().select(
+            "user_id", "n_events", "n_types", "max_ts_us",
+            F.round("max_val", 6).alias("max_val"),
+        )
+
+    q["pipe_rollup_state"] = pipe_rollup_state
+
     # --- partition-spec evolution under the same algebra: replay into a
     # deliberately-undersized 2-bucket table, grow it to 16 buckets
     # (rebucket = one fold-aware rewrite), then keep merging into the new
@@ -1785,6 +1886,15 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # delta-layer fold (table.py:_fold) must land the same final state the
     # sequential patch algebra computes
     o["mor_merge_state"] = _patch_core
+    o["wap_publish_state"] = _patch_core
+    # incremental aggregate view == from-scratch GROUP BY over the same
+    # final state (round/max commute: round is monotone, so rounding the
+    # max equals the max of the rounded values the twin's val carries)
+    o["pipe_rollup_state"] = f"""
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       max(ts_us) AS max_ts_us, max(val) AS max_val
+FROM ({_patch_core}) GROUP BY user_id"""
     # the physical layout (bucket count, pre/post-rebucket file sets) must
     # be invisible to the logical state
     o["rebucket_state"] = _patch_core

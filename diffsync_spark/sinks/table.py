@@ -87,6 +87,13 @@ class SnapshotTable:
         # all non-Spark I/O (manifests, pointer, file listing) goes through
         # this seam — swap for an object-store/catalog backend (fsio.py)
         self.io = io or LocalCommitIO()
+        # which ref this handle's commits advance: "main" (the _current
+        # pointer) or a branch name (branches/<name>) — see branch()
+        self.ref = "main"
+        # flips to True after any commit conflict: from then on version
+        # numbers are allocated past EVERY existing manifest, so a retry
+        # can never ping-pong on a number another ref's writer took
+        self._alloc_global = False
 
     # ------------------------------------------------------------- manifest
     @property
@@ -95,7 +102,33 @@ class SnapshotTable:
 
     @property
     def _current_path(self) -> str:
-        return os.path.join(self.path, "_current")
+        if self.ref == "main":
+            return os.path.join(self.path, "_current")
+        return os.path.join(self._branches_dir, self.ref)
+
+    @property
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "branches")
+
+    def _next_version(self, man: dict) -> int:
+        """Next snapshot number for a commit on top of ``man``. Version
+        numbers are a SINGLE space shared by main and every branch (the
+        exclusive manifest create arbitrates); when branches exist (or a
+        conflict proved another writer is active), allocate past every
+        manifest on disk so two refs' writers can't fight over a number."""
+        nxt = man["version"] + 1
+        branched = self.ref != "main" or (
+            self.io.exists(self._branches_dir)
+            and bool(self.io.list_files(self._branches_dir))
+        )
+        if branched or self._alloc_global:
+            taken = [
+                int(f[1:-5])
+                for f in self.io.list_files(self._manifest_dir)
+                if re.fullmatch(r"v\d+\.json", f)
+            ]
+            nxt = max(nxt, max(taken, default=0) + 1)
+        return nxt
 
     def current_version(self) -> int:
         return int(self.io.read_text(self._current_path).strip())
@@ -107,15 +140,25 @@ class SnapshotTable:
             self.io.read_text(os.path.join(self._manifest_dir, f"v{version}.json"))
         )
 
-    def _commit(self, manifest: dict) -> None:
+    def _commit(self, manifest: dict, parent: int | None = None) -> None:
         """Write the manifest with exclusive-create (conflict detection), then
-        atomically swing the _current pointer. On a real object store this
-        would be a metastore/catalog swap; locally os.replace is atomic.
+        atomically swing this ref's pointer (main's ``_current`` or the
+        branch file). On a real object store this would be a
+        metastore/catalog swap; locally os.replace is atomic.
+
+        ``parent`` records the numeric base version — needed because branch
+        commits and publishes make version numbers jump, so ``version - 1``
+        is no longer always the parent (chain walkers fall back to it for
+        pre-branch manifests).
 
         Raises :class:`CommitConflict` when another writer committed the same
         version first — ``merge()``/``compact()`` catch it and rebase against
         the new snapshot (optimistic concurrency, the Iceberg commit loop)."""
         version = manifest["version"]
+        if parent is not None:
+            manifest["parent"] = parent
+        if self.ref != "main":
+            manifest["ref"] = self.ref
         # commit wall clock (epoch micros) — the single choke point stamps
         # every snapshot (create/merge/compact/expire), enabling
         # version_as_of()/read_as_of() wall-clock time travel
@@ -124,6 +167,7 @@ class SnapshotTable:
         try:
             self.io.write_exclusive(target, json.dumps(manifest, default=str))
         except FileExistsError as e:
+            self._alloc_global = True  # someone else is allocating numbers
             raise CommitConflict(
                 f"snapshot v{version} already committed by a concurrent writer"
             ) from e
@@ -600,7 +644,7 @@ class SnapshotTable:
         next version first; ``merge()`` owns the retry/rebase loop."""
         ids = list(self.model.identifiers)
         version_col = self.model.version_cols[0] if self.model.version_cols else None
-        new_version = man["version"] + 1
+        new_version = self._next_version(man)
         # the snapshot id doubles as the per-attempt directory suffix: two
         # racing writers computing the same new_version write to DISJOINT
         # dirs, so the loser's files can never clobber the winner's commit
@@ -1154,7 +1198,7 @@ class SnapshotTable:
                 else None
             ),
         }
-        self._commit(manifest)
+        self._commit(manifest, parent=man["version"])
         totals = {
             o: sum(r[f"n_{o}"] for r in lineage_rows)
             for o in ("create", "update", "delete", "noop", "quarantined")
@@ -1294,7 +1338,7 @@ class SnapshotTable:
                 else None
             ),
         }
-        self._commit(manifest)
+        self._commit(manifest, parent=man["version"])
         return {
             "skipped": False,
             "snapshot_id": snapshot_id,
@@ -1415,7 +1459,7 @@ class SnapshotTable:
         Driver-side metadata only (one small JSON per retained version)."""
         rows = []
         cur = self.current_version()
-        for v in range(1, cur + 1):
+        for v in sorted(self._chain(cur)):  # this ref's ancestry only
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
@@ -1463,7 +1507,7 @@ class SnapshotTable:
         T6; versions dropped by ``expire_snapshots`` are skipped)."""
         rows = []
         cur = self.current_version()
-        for v in range(1, cur + 1):
+        for v in sorted(self._chain(cur)):  # this ref's ancestry only
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
@@ -1619,7 +1663,7 @@ class SnapshotTable:
         if not targets:
             return {"skipped": True, "version": man["version"],
                     "compacted_buckets": [], "n_files": 0}
-        new_version = man["version"] + 1
+        new_version = self._next_version(man)
         snapshot_id = uuid.uuid4().hex
         # fold-aware read: on a MoR table this IS the fold — base + layers
         # resolve to one winner per key (tombstones kept: they must stay to
@@ -1735,7 +1779,7 @@ class SnapshotTable:
                 manifest["bucket_live_rows"] = live_rows
             else:
                 manifest.pop("bucket_live_rows", None)
-        self._commit(manifest)
+        self._commit(manifest, parent=man["version"])
         return {
             "skipped": False,
             "version": new_version,
@@ -1778,7 +1822,7 @@ class SnapshotTable:
         if n_buckets == man["n_buckets"]:
             return {"skipped": True, "version": man["version"],
                     "n_buckets": n_buckets}
-        new_version = man["version"] + 1
+        new_version = self._next_version(man)
         snapshot_id = uuid.uuid4().hex
         public = T.StructType.fromJson(json.loads(man["schema"]))
         ids = list(self.model.identifiers)
@@ -1845,7 +1889,7 @@ class SnapshotTable:
             manifest["bucket_live_rows"] = {
                 str(b): counts[f"b{b}_live"] for b in files
             }
-        self._commit(manifest)
+        self._commit(manifest, parent=man["version"])
         return {
             "skipped": False,
             "version": new_version,
@@ -2004,6 +2048,143 @@ class SnapshotTable:
             raise DiffSyncSparkError(f"no tag {name!r}")
         self.io.remove_file(path)
 
+    # -------------------------------------------------------------- branches
+    def create_branch(self, name: str, version: int | None = None) -> int:
+        """Cut a mutable named ref at ``version`` (default: this ref's
+        head) — the Iceberg BRANCH analog, and the write half of
+        write-audit-publish: ingest commits to the branch, validation
+        queries read it, :meth:`publish` fast-forwards main only after the
+        audit passes. Branch commits share the table's data layout, commit
+        protocol, and version-number space (exclusive manifest create
+        arbitrates across refs); only the pointer differs."""
+        if not re.fullmatch(r"[A-Za-z0-9._\-]{1,128}", name):
+            raise DiffSyncSparkError(f"invalid branch name {name!r}")
+        if version is None:
+            version = self.current_version()
+        self._manifest(version)  # raises if unknown/expired
+        self.io.makedirs(self._branches_dir, exist_ok=True)
+        try:
+            self.io.write_exclusive(
+                os.path.join(self._branches_dir, name), str(version)
+            )
+        except FileExistsError:
+            raise DiffSyncSparkError(
+                f"branch {name!r} already exists"
+            ) from None
+        return version
+
+    def branch(self, name: str) -> "SnapshotTable":
+        """A handle whose reads and commits target branch ``name``. All
+        table operations (merge/compact/lookup/changes/history/...) work
+        unchanged — they just follow the branch pointer."""
+        if not self.io.exists(os.path.join(self._branches_dir, name)):
+            raise DiffSyncSparkError(f"no branch {name!r}")
+        t = type(self)(self.spark, self.path, self.model, io=self.io)
+        t.ref = name
+        return t
+
+    def branch_version(self, name: str) -> int:
+        path = os.path.join(self._branches_dir, name)
+        if not self.io.exists(path):
+            raise DiffSyncSparkError(f"no branch {name!r}")
+        return int(self.io.read_text(path).strip())
+
+    def branches(self) -> dict[str, int]:
+        if not self.io.exists(self._branches_dir):
+            return {}
+        return {
+            n: int(self.io.read_text(
+                os.path.join(self._branches_dir, n)).strip())
+            for n in self.io.list_files(self._branches_dir)
+        }
+
+    def delete_branch(self, name: str) -> None:
+        """Drop the branch pointer. Its commits' manifests stay on disk
+        (retention/GC reclaims unpublished data in time); number
+        allocation stays conflict-safe because any collision flips
+        writers to global allocation."""
+        path = os.path.join(self._branches_dir, name)
+        if not self.io.exists(path):
+            raise DiffSyncSparkError(f"no branch {name!r}")
+        self.io.remove_file(path)
+
+    def _chain(self, head: int, stop_after: int = 0) -> "list[int]":
+        """Version numbers along the parent chain from ``head`` down to
+        (and excluding) ``stop_after``; missing (expired) manifests end
+        the walk. Pre-branch manifests have no ``parent`` field —
+        ``version - 1`` is their parent by construction."""
+        out: list[int] = []
+        v = head
+        while v > stop_after:
+            out.append(v)
+            try:
+                v = int(self._manifest(v).get("parent", v - 1))
+            except FileNotFoundError:
+                break
+        return out
+
+    def publish(
+        self, name: str, delete_branch: bool = False, max_retries: int = 5
+    ) -> dict[str, Any]:
+        """The publish step of write-audit-publish: fast-forward MAIN to
+        branch ``name``'s head as a METADATA-ONLY commit (no data files
+        move — the new main manifest is the branch head's content under a
+        fresh version number, Iceberg ``fastForward``). The branch head's
+        checkpoint watermarks come along, so a replayed source batch stays
+        exactly-once across the publish.
+
+        Requires main to be an ancestor of the branch head: if main
+        advanced past the branch point, raises :class:`CommitConflict`
+        (the audit ran against a stale base — cut a fresh branch and
+        re-ingest). Racing publishers/writers are arbitrated by the usual
+        exclusive manifest create; a publish that lost the race but whose
+        content already landed (same branch, same head) reports
+        ``skipped``."""
+        if self.ref != "main":
+            raise DiffSyncSparkError("publish() must run on the main handle")
+        last_err: Exception | None = None
+        for _ in range(max_retries + 1):
+            head = self.branch_version(name)
+            head_man = self._manifest(head)
+            main_cur = self.current_version()
+            if head == main_cur:
+                return {"skipped": True, "version": main_cur}
+            main_man = self._manifest(main_cur)
+            pub = main_man.get("published_from")
+            if pub and pub.get("branch") == name and pub.get("version") == head:
+                return {"skipped": True, "version": main_cur}
+            chain = self._chain(head, stop_after=main_cur)
+            parent_of_last = (
+                int(self._manifest(chain[-1]).get("parent", chain[-1] - 1))
+                if chain else head
+            )
+            if not chain or parent_of_last != main_cur:
+                raise CommitConflict(
+                    f"branch {name!r} (v{head}) does not descend from main "
+                    f"v{main_cur}: cut a fresh branch and re-run the audit"
+                )
+            manifest = dict(head_man)
+            manifest["version"] = self._next_version(head_man)
+            manifest["snapshot_id"] = uuid.uuid4().hex
+            manifest["parent_snapshot_id"] = main_man["snapshot_id"]
+            manifest["published_from"] = {"branch": name, "version": head}
+            manifest.pop("ref", None)
+            try:
+                self._commit(manifest, parent=main_cur)
+            except CommitConflict as e:  # number taken — re-read and retry
+                last_err = e
+                continue
+            if delete_branch:
+                self.delete_branch(name)
+            return {
+                "skipped": False,
+                "version": manifest["version"],
+                "from_branch": name,
+                "branch_head": head,
+                "snapshot_id": manifest["snapshot_id"],
+            }
+        raise last_err  # type: ignore[misc]
+
     def expire_snapshots(self, keep_last: int = 10) -> dict[str, Any]:
         """Drop manifests older than the newest ``keep_last`` versions and
         delete the data files ONLY they reference (Iceberg
@@ -2025,9 +2206,12 @@ class SnapshotTable:
                 for fl in layer["files"].values():
                     yield from fl
 
-        # tagged snapshots are retention-proof: their manifests stay and
-        # their files count as referenced (Iceberg tag semantics)
-        tagged = set(self.tags().values())
+        # tagged snapshots and branch HEADS are retention-proof: their
+        # manifests stay and their files count as referenced (Iceberg
+        # tag/branch ref semantics; branch ancestors below the horizon do
+        # expire — each manifest is self-contained, so the head stays
+        # readable)
+        tagged = set(self.tags().values()) | set(self.branches().values())
         keep_files: set[str] = set()
         for v in sorted(set(range(cutoff, cur + 1)) | tagged):
             try:

@@ -258,3 +258,103 @@ def pipe_changes(
                 checkpoint_id=checkpoint_id, batch_id=v_to,
             ))
     return results
+
+
+def pipe_aggregate(
+    upstream: SnapshotTable,
+    downstream: SnapshotTable,
+    agg,
+    checkpoint_id: str = "rollup",
+    poll_interval: float = 1.0,
+    until_version: int | None = None,
+    max_idle_polls: int = 1,
+) -> list[dict]:
+    """Incrementally-maintained AGGREGATE view (the gold-layer analog of
+    :func:`pipe_changes`): ``downstream`` holds one row per group — its
+    model's identifiers are the group key — and each upstream hop
+    recomputes ONLY the groups the delta touched ("dirty-group"
+    incremental view maintenance), never the whole aggregate.
+
+    ``agg`` is a callable ``(DataFrame) -> DataFrame``: given upstream
+    rows (already restricted to the dirty groups), return one row per
+    group — the group columns plus the aggregate payload. Because whole
+    dirty groups are recomputed from the pinned upstream snapshot, ANY
+    aggregate works — max/min/distinct-count included, which pure
+    delta-folding cannot maintain under deletes.
+
+    Scale shape: a hop touching G groups reads only those groups' rows —
+    when the group key IS the upstream's bucketing key (parent_key), the
+    read is manifest-pruned to the dirty groups' buckets (the bucket-id
+    set is collected, bounded by n_buckets — never group rows), then
+    semi-joined on the group key (AQE broadcasts a small dirty set).
+    Groups whose rows all disappeared upstream are tombstoned downstream.
+    Exactly-once across restarts rides the downstream's own
+    ``(checkpoint_id, batch_id=upstream_version)`` commit metadata,
+    exactly like :func:`pipe_changes`.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    from diffsync_spark.errors import DiffSyncSparkError
+
+    group_cols = list(downstream.model.identifiers)
+
+    def _null(field: T.StructField):
+        return F.lit(None).cast(field.dataType).alias(field.name)
+
+    def _apply(state: DataFrame, dirty: DataFrame | None,
+               batch_id: int) -> dict:
+        fresh = agg(state)
+        missing = [c for c in group_cols if c not in fresh.columns]
+        if missing:
+            raise DiffSyncSparkError(
+                f"agg() result lacks group columns {missing}"
+            )
+        batch = fresh.withColumn("op", F.lit("upsert"))
+        if dirty is not None:
+            down_schema = T.StructType.fromJson(
+                json.loads(downstream._manifest()["schema"])
+            )
+            payload_fields = [f for f in down_schema.fields
+                              if f.name not in group_cols]
+            gone = dirty.join(fresh, on=group_cols, how="left_anti").select(
+                *group_cols, F.lit("delete").alias("op"),
+                *[_null(f) for f in payload_fields],
+            )
+            batch = batch.select(
+                *group_cols, "op",
+                *[f.name for f in payload_fields],
+            ).unionByName(gone)
+        return downstream.merge(
+            batch, mode="force",
+            checkpoint_id=checkpoint_id, batch_id=batch_id,
+        )
+
+    results: list[dict] = []
+    resume = downstream.committed_batch(checkpoint_id)
+    if resume < 0:
+        boot_v = upstream.current_version()
+        results.append(_apply(upstream.read(boot_v), None, boot_v))
+        resume = boot_v
+    bucket_src = list(upstream.model.parent_key or upstream.model.identifiers)
+    for _, v_to, delta in stream_changes(
+        upstream, from_version=resume, poll_interval=poll_interval,
+        until_version=until_version, max_idle_polls=max_idle_polls,
+    ):
+        dirty = delta.select(*group_cols).dropDuplicates(group_cols)
+        if group_cols == bucket_src:
+            man = upstream._manifest(v_to)
+            b_col = F.pmod(
+                F.xxhash64(*group_cols), F.lit(man["n_buckets"])
+            ).cast("int")
+            buckets = sorted(
+                r[0] for r in
+                dirty.select(b_col.alias("b")).distinct().collect()
+            )
+            state = upstream.read(v_to, buckets=buckets)
+        else:
+            state = upstream.read(v_to)
+        state = state.join(dirty, on=group_cols, how="left_semi")
+        results.append(_apply(state, dirty, v_to))
+    return results

@@ -1,0 +1,239 @@
+"""Branches + write-audit-publish: branch isolation, shared version-number
+space, fast-forward publish (metadata-only, checkpoint-preserving),
+divergence detection, retention protection of branch heads."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from diffsync_spark.errors import DiffSyncSparkError
+from diffsync_spark.fixtures import gen_source
+from diffsync_spark.model import TRANSCRIPT_MODEL
+from diffsync_spark.sinks.table import CommitConflict, SnapshotTable
+
+IDS = ["conv_id", "turn_idx"]
+
+
+def _table(spark, tmp_path, n_convs=30) -> SnapshotTable:
+    df = spark.createDataFrame(gen_source(n_convs=n_convs, seed=7))
+    t = SnapshotTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_MODEL,
+        schema=df.schema, n_buckets=4,
+    )
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    return t
+
+
+def _upsert_batch(spark, conv, turn, text, ts="2030-01-01 00:00:00"):
+    import datetime
+
+    dt = datetime.datetime.fromisoformat(ts)
+    return spark.createDataFrame(
+        [(conv, turn, "upsert", "assistant", text, None, dt)],
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, tool string, ts timestamp",
+    )
+
+
+def test_branch_isolation_and_publish(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    base = t.current_version()
+    t.create_branch("audit")
+    br = t.branch("audit")
+
+    res = br.merge(_upsert_batch(spark, "wap-conv", 0, "staged"),
+                   checkpoint_id="ingest", batch_id=1)
+    assert not res["skipped"]
+    # branch advanced, main untouched
+    assert br.current_version() > base
+    assert t.current_version() == base
+    assert br.read().filter("conv_id = 'wap-conv'").count() == 1
+    assert t.read().filter("conv_id = 'wap-conv'").count() == 0
+
+    # audit passed → publish: main fast-forwards, METADATA only (the main
+    # manifest's files are exactly the branch head's)
+    head = br.current_version()
+    pub = t.publish("audit")
+    assert not pub["skipped"] and pub["branch_head"] == head
+    assert t.current_version() == pub["version"] > head
+    assert t.read().filter("conv_id = 'wap-conv'").count() == 1
+    assert t._manifest()["files"] == br._manifest(head)["files"]
+
+    # checkpoint watermarks ride the publish: replaying the source batch
+    # into MAIN is an exactly-once skip, not a double-apply
+    again = t.merge(_upsert_batch(spark, "wap-conv", 0, "dup"),
+                    checkpoint_id="ingest", batch_id=1)
+    assert again["skipped"]
+
+    # re-publishing the same head is a no-op
+    assert t.publish("audit")["skipped"]
+
+
+def test_publish_detects_divergence(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create_branch("audit")
+    br = t.branch("audit")
+    br.merge(_upsert_batch(spark, "staged", 0, "x"),
+             checkpoint_id="ingest", batch_id=1)
+    # main advances past the branch point before the audit completes
+    t.merge(_upsert_batch(spark, "hotfix", 0, "y"),
+            checkpoint_id="hotfix", batch_id=1)
+    with pytest.raises(CommitConflict):
+        t.publish("audit")
+    # the failed publish must not have moved main
+    assert t.read().filter("conv_id = 'staged'").count() == 0
+
+
+def test_shared_version_space_no_livelock(spark, tmp_path):
+    """Main and branch writers share one number space: commits on both
+    refs interleave without exhausting retries, and every version number
+    is unique."""
+    t = _table(spark, tmp_path)
+    t.create_branch("b")
+    br = t.branch("b")
+    versions = [t.current_version()]
+    for i in range(3):
+        r1 = br.merge(_upsert_batch(spark, f"bc{i}", 0, "b"),
+                      checkpoint_id="bb", batch_id=i + 1)
+        r2 = t.merge(_upsert_batch(spark, f"mc{i}", 0, "m"),
+                     checkpoint_id="mm", batch_id=i + 1)
+        assert not r1["skipped"] and not r2["skipped"]
+        versions += [br.current_version(), t.current_version()]
+    assert len(set(versions)) == len(versions)
+    # each ref's chain stays consistent: branch rows only on branch
+    assert br.read().filter("conv_id like 'bc%'").count() == 3
+    assert br.read().filter("conv_id like 'mc%'").count() == 0
+    assert t.read().filter("conv_id like 'mc%'").count() == 3
+    assert t.read().filter("conv_id like 'bc%'").count() == 0
+
+
+def test_branch_history_and_lineage_follow_the_chain(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create_branch("b")
+    br = t.branch("b")
+    br.merge(_upsert_batch(spark, "bc", 0, "b"), checkpoint_id="bb", batch_id=1)
+    t.merge(_upsert_batch(spark, "mc", 0, "m"), checkpoint_id="mm", batch_id=1)
+    bh = {r.version for r in br.history().collect()}
+    mh = {r.version for r in t.history().collect()}
+    assert br.current_version() in bh and br.current_version() not in mh
+    assert t.current_version() in mh and t.current_version() not in bh
+    assert bh & mh  # shared ancestry up to the branch point
+    # lineage likewise scoped per ref
+    assert {r.checkpoint_id for r in br.lineage_df().collect()} == {"boot", "bb"}
+    assert {r.checkpoint_id for r in t.lineage_df().collect()} == {"boot", "mm"}
+
+
+def test_expire_protects_branch_heads(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.create_branch("keep")
+    br = t.branch("keep")
+    br.merge(_upsert_batch(spark, "bc", 0, "b"), checkpoint_id="bb", batch_id=1)
+    head = br.current_version()
+    for i in range(6):  # push main far ahead
+        t.merge(_upsert_batch(spark, f"m{i}", 0, "m"),
+                checkpoint_id="mm", batch_id=i + 1)
+    t.expire_snapshots(keep_last=2)
+    # the branch head survives retention and stays readable
+    assert br.read().filter("conv_id = 'bc'").count() == 1
+    assert br.current_version() == head
+
+
+def test_publish_delete_branch_and_errors(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(DiffSyncSparkError):
+        t.branch("nope")
+    t.create_branch("once")
+    with pytest.raises(DiffSyncSparkError):
+        t.create_branch("once")
+    br = t.branch("once")
+    br.merge(_upsert_batch(spark, "bc", 0, "b"), checkpoint_id="bb", batch_id=1)
+    with pytest.raises(DiffSyncSparkError):
+        br.publish("once")  # publish only from the main handle
+    t.publish("once", delete_branch=True)
+    assert "once" not in t.branches()
+    assert t.read().filter("conv_id = 'bc'").count() == 1
+
+
+# ---------------------------------------------------------- pipe_aggregate
+def _agg(df):
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+    )
+
+
+def _rollup_pair(spark, tmp_path):
+    from diffsync_spark.model import ModelSchema
+
+    up = _table(spark, tmp_path, n_convs=20)
+    model = ModelSchema(name="conv_rollup", identifiers=("conv_id",),
+                        attributes=("n_turns", "max_ts_us"))
+    import pyspark.sql.types as T
+    down = SnapshotTable.create(
+        spark, str(tmp_path / "rollup"), model,
+        schema=T.StructType([
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns", T.LongType()),
+            T.StructField("max_ts_us", T.LongType()),
+        ]),
+        n_buckets=4,
+    )
+    return up, down
+
+
+def test_pipe_aggregate_incremental_and_tombstones(spark, tmp_path):
+    from diffsync_spark.streaming.replay import pipe_aggregate
+
+    up, down = _rollup_pair(spark, tmp_path)
+    r = pipe_aggregate(up, down, _agg, checkpoint_id="roll")
+    assert len(r) == 1 and not r[0]["skipped"]  # bootstrap
+    want = {x.conv_id: x.n_turns for x in _agg(up.read()).collect()}
+    got = {x.conv_id: x.n_turns for x in down.read().collect()}
+    assert got == want
+
+    # add a turn to one conv, delete ANOTHER conv entirely
+    victim = sorted(want)[0]
+    grown = sorted(want)[1]
+    up.merge(_upsert_batch(spark, grown, 999, "extra"),
+             checkpoint_id="chg", batch_id=1)
+    up.delete_where(F.col("conv_id") == victim, batch_id=2)
+
+    r2 = pipe_aggregate(up, down, _agg, checkpoint_id="roll")
+    assert len(r2) == 1  # one coalesced dirty hop, no re-bootstrap
+    got2 = {x.conv_id: x.n_turns for x in down.read().collect()}
+    assert victim not in got2                 # group tombstoned downstream
+    assert got2[grown] == want[grown] + 1     # dirty group recomputed
+    untouched = sorted(want)[2]
+    assert got2[untouched] == want[untouched]  # clean groups untouched
+    # downstream state equals a from-scratch aggregate at every point
+    want2 = {x.conv_id: x.n_turns for x in _agg(up.read()).collect()}
+    assert got2 == want2
+
+    # idle re-run: nothing upstream → no new downstream commits
+    v = down.current_version()
+    pipe_aggregate(up, down, _agg, checkpoint_id="roll")
+    assert down.current_version() == v
+
+
+def test_pipe_aggregate_redelivered_hop_is_exactly_once(spark, tmp_path):
+    from diffsync_spark.streaming.replay import pipe_aggregate
+
+    up, down = _rollup_pair(spark, tmp_path)
+    pipe_aggregate(up, down, _agg, checkpoint_id="roll")
+    up.merge(_upsert_batch(spark, "newc", 0, "x"),
+             checkpoint_id="chg", batch_id=1)
+    pipe_aggregate(up, down, _agg, checkpoint_id="roll")
+    # simulate a crash-and-replay: force the pipe to re-deliver the hop by
+    # resuming from a stale version — the downstream's (checkpoint, batch)
+    # metadata must skip it
+    from diffsync_spark.streaming.replay import stream_changes
+    stale = [h for h in stream_changes(up, from_version=1, max_idle_polls=1)]
+    assert stale  # the hop exists
+    r = down.merge(
+        _agg(up.read()).withColumn("op", F.lit("upsert")), mode="force",
+        checkpoint_id="roll", batch_id=up.current_version(),
+    )
+    assert r["skipped"]  # already applied under this (checkpoint, batch)
