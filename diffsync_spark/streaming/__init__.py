@@ -1,4 +1,5 @@
 from diffsync_spark.streaming.replay import (
+    pipe_aggregate,
     pipe_changes,
     replay_batches,
     stream_changes,
@@ -10,6 +11,7 @@ from diffsync_spark.streaming.windowed import (
 )
 
 __all__ = [
+    "pipe_aggregate",
     "pipe_changes",
     "replay_batches",
     "stream_changes",
