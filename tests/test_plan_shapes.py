@@ -272,3 +272,25 @@ def test_mor_delta_free_buckets_skip_the_fold(spark, tmp_path):
     # while the layered bucket's read does fold
     plan_l = _plan(t.read(buckets=layered))
     assert "Window" in plan_l
+
+
+def test_frame_sample_filters_before_the_arrow_udf(spark):
+    """Video frame sampling: the kind filter and the payload-only
+    projection must sit BELOW MapInPandas (only video payload bytes cross
+    into Arrow), and the whole decode is shuffle-free."""
+    from diffsync_spark.functions.multimodal import fake_assets, frame_sample
+
+    plan = _plan(frame_sample(fake_assets(spark, n=12), every_ms=500))
+    assert "Exchange" not in plan
+    # the formatted tree roots at MapInPandas with Filter+Project below it
+    assert "MapInPandas" in plan and "Filter" in plan
+    assert "kind" in plan  # the video predicate exists JVM-side
+    # tree-string roots first: Filter/Project must sit BELOW MapInPandas
+    assert plan.index("Filter") > plan.index("MapInPandas")
+    # the UDF's input is exactly (asset_id, payload) — wide asset columns
+    # (mime, duration_ms, width, ...) are projected away before Arrow
+    proj_lines = [ln for ln in plan.splitlines()
+                  if "Project [" in ln and "payload" in ln]
+    assert proj_lines, plan
+    assert all("duration_ms" not in ln and "mime" not in ln
+               for ln in proj_lines)
