@@ -1,21 +1,30 @@
-"""Baseline JPEG codec — pure Python + numpy, no PIL.
+"""JPEG codec — pure Python + numpy, no PIL.
 
-Scope (honest): baseline sequential DCT (SOF0), 8-bit samples, grayscale or
-3-component YCbCr with sampling factors in {1, 2} (4:4:4 and 4:2:0 tested),
-Huffman entropy coding with tables read from the stream's own DHT segments,
-8- or 16-bit quantization tables, no restart intervals, no progressive
-(SOF2) — unsupported features raise ``ValueError`` and surface as the
-multimodal layer's per-row ``decode_ok=False``, never a crash.
+Scope (honest): baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+ITU T.81 Annex G: spectral selection, successive approximation, EOB-run
+coding, interleaved DC scans + non-interleaved AC scans), 8-bit samples,
+grayscale or 3-component YCbCr with sampling factors in {1, 2} (4:4:4 and
+4:2:0 tested), Huffman entropy coding with tables read from the stream's
+own DHT segments, 8- or 16-bit quantization tables, no restart intervals,
+no arithmetic coding, no hierarchical/lossless modes — unsupported
+features raise ``ValueError`` and surface as the multimodal layer's
+per-row ``decode_ok=False``, never a crash.
 
 Both directions are implemented so the test fixtures are REAL encodings:
-``encode_jpeg`` writes a spec-shaped stream (JFIF APP0, DQT, SOF0, DHT,
-SOS, byte-stuffed entropy data) that ``decode_jpeg`` — and any external
-baseline decoder — can read. The decoder never assumes the encoder's
-tables: everything comes from the file. Self-oracle risk (a bug mirrored
-in both directions) is covered in tests by a HAND-ASSEMBLED bitstream with
-analytically-known pixels (DC-only blocks: IDCT of S00 alone is exactly
-S00/8 + 128) plus roundtrip tolerance bounds derived from quantization
-alone.
+``encode_jpeg`` writes a spec-shaped stream (JFIF APP0, DQT, SOF0/SOF2,
+DHT, SOS, byte-stuffed entropy data) that ``decode_jpeg`` — and any
+external decoder — can read. ``progressive=True`` emits a 4-scan-class
+plan (DC first with successive-approximation Al=1, DC refinement, then
+per-component AC spectral bands with real EOB-run codes), so the
+progressive decode paths are exercised by genuine multi-scan streams;
+the AC-refinement path (G.1.2.3), which the encoder does not emit, is
+pinned by a hand-assembled bitstream test. The decoder never assumes the
+encoder's tables: everything comes from the file. Self-oracle risk (a bug
+mirrored in both directions) is covered in tests by HAND-ASSEMBLED
+bitstreams with analytically-known pixels (DC-only blocks: IDCT of S00
+alone is exactly S00/8 + 128) plus the invariant that a progressive
+encode of the same quantized coefficients decodes BIT-IDENTICAL to the
+baseline encode.
 
 Reference behavior parity: the reference ships no media handling at all;
 this exists for SURVEY §2.13's multimodal plumbing, where the decode step
@@ -56,6 +65,13 @@ _AC_VALS = (
     + [(r << 4) | s for s in range(1, 11) for r in range(16)]
 )
 assert sum(_AC_BITS) == len(_AC_VALS) == 162
+
+# Progressive AC table: same symbols plus the EOBn run-length codes
+# (r<<4 | 0 for r = 1..14, T.81 G.1.2.2) at length 11. Kraft sum 1932/2048
+# — a valid prefix code per Annex C.
+_PROG_AC_BITS = [0, 1, 1, 2, 3, 4, 8, 16, 32, 95, 14, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = _AC_VALS + [r << 4 for r in range(1, 15)]
+assert sum(_PROG_AC_BITS) == len(_PROG_AC_VALS) == 176
 
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
@@ -134,8 +150,179 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _block_ac_first(reader, coef, ss, se, al, ac_tbl, eobrun) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2). ``coef`` is
+    the block's raster-order int32[64]; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.read_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << r) - 1  # this block counts as one of the run
+            if r:
+                eobrun += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _block_ac_refine(reader, coef, ss, se, al, ac_tbl, eobrun) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): newly
+    nonzero coefficients arrive with size 1; already-nonzero ones receive
+    one correction bit each as the scan passes them."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.read_bit() and not (coef[ZIGZAG[k]] & p1):
+            coef[ZIGZAG[k]] += p1 if coef[ZIGZAG[k]] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.read_symbol(ac_tbl)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement size must be 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if coef[ZIGZAG[k]]:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[ZIGZAG[k]]:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _block_sequential(reader, coef, dc_tbl, ac_tbl, pred) -> int:
+    """Baseline scan for one block: DC diff + AC run/size to the end."""
+    t = reader.read_symbol(dc_tbl)
+    pred += _extend(reader.read_bits(t), t)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = reader.read_symbol(ac_tbl)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break        # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past block end")
+        coef[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
+                 huff_dc, huff_ac, mcux, mcuy) -> None:
+    """Decode one entropy-coded scan into the components' coefficient
+    arrays. Baseline: the full interleaved DC+AC pass. Progressive: DC
+    scans (first/refinement, interleaved or not) and single-component AC
+    band scans (first/refinement with EOB runs)."""
+    for c in scan_comps:
+        c["pred"] = 0
+    if not progressive:
+        if len(scan_comps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                c["pred"] = _block_sequential(
+                                    reader,
+                                    c["coef"][my * c["v"] + by,
+                                              mx * c["h"] + bx],
+                                    huff_dc[c["td"]], huff_ac[c["ta"]],
+                                    c["pred"],
+                                )
+        else:
+            c = scan_comps[0]
+            for by in range(c["cbh"]):
+                for bx in range(c["cbw"]):
+                    c["pred"] = _block_sequential(
+                        reader, c["coef"][by, bx],
+                        huff_dc[c["td"]], huff_ac[c["ta"]], c["pred"],
+                    )
+        return
+    if ss == 0:  # DC scan (se must be 0): interleaved iff ns > 1
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+
+        def dc_block(c, by, bx):
+            coef = c["coef"][by, bx]
+            if ah == 0:  # first DC scan (with point transform Al)
+                t = reader.read_symbol(huff_dc[c["td"]])
+                c["pred"] += _extend(reader.read_bits(t), t)
+                coef[0] = c["pred"] << al
+            else:        # refinement: one bit appends to the magnitude
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+
+        if len(scan_comps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c in scan_comps:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_block(c, my * c["v"] + by,
+                                         mx * c["h"] + bx)
+        else:
+            c = scan_comps[0]
+            for by in range(c["cbh"]):
+                for bx in range(c["cbw"]):
+                    dc_block(c, by, bx)
+        return
+    # AC scan: T.81 G.1.1 — never interleaved
+    if len(scan_comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    c = scan_comps[0]
+    ac_tbl = huff_ac[c["ta"]]
+    block_fn = _block_ac_first if ah == 0 else _block_ac_refine
+    eobrun = 0
+    for by in range(c["cbh"]):
+        for bx in range(c["cbw"]):
+            eobrun = block_fn(
+                reader, c["coef"][by, bx], ss, se, al, ac_tbl, eobrun
+            )
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, ch) uint8 array (ch 1 or 3)."""
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG to an
+    (h, w, ch) uint8 array (ch 1 or 3). Scans accumulate into per-block
+    coefficient arrays; dequantization + IDCT run once at EOI, so the
+    multi-scan progressive refinement and the single baseline scan share
+    one reconstruction path."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -143,13 +330,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     comps: list[dict] = []
     w = h = 0
+    progressive = False
+    mcux = mcuy = hmax = vmax = 0
     pos = 2
-    scan_pos = None
-    while scan_pos is None:
+    saw_scan = False
+    while True:
+        if pos + 1 >= len(payload):
+            if saw_scan:
+                break  # tolerate a missing EOI after a complete scan
+            raise ValueError("truncated before EOI")
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
         pos += 2
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         (seg_len,) = struct.unpack(">H", payload[pos:pos + 2])
@@ -169,7 +364,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raster = np.zeros(64, np.int32)
                 raster[ZIGZAG] = tbl
                 qt[tq] = raster.reshape(8, 8)
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may be redefined between scans)
             i = 0
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0xF
@@ -178,7 +373,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(seg[i + 17: i + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise ValueError(f"{precision}-bit JPEG unsupported")
@@ -188,71 +384,64 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            if len(comps) not in (1, 3):
+                raise ValueError(f"{len(comps)}-component JPEG unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcux * c["h"]      # MCU-padded block grid
+                c["bh"] = mcuy * c["v"]
+                # non-interleaved (single-component-scan) block grid:
+                # ceil(component dimension / 8), T.81 A.2.2
+                cw = -(-(w * c["h"]) // hmax)
+                chh = -(-(h * c["v"]) // vmax)
+                c["cbw"] = -(-cw // 8)
+                c["cbh"] = -(-chh // 8)
+                c["coef"] = np.zeros((c["bh"], c["bw"], 64), np.int32)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"SOF{marker - 0xC0}: only baseline supported")
+            raise ValueError(
+                f"SOF{marker - 0xC0}: only baseline/progressive supported"
+            )
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) unsupported")
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
+            if not comps or w == 0:
+                raise ValueError("no SOF before SOS")
             ns = seg[0]
+            scan_comps = []
             for s in range(ns):
                 cs, tdta = seg[1 + 2 * s], seg[2 + 2 * s]
                 for c in comps:
                     if c["id"] == cs:
                         c["td"], c["ta"] = tdta >> 4, tdta & 0xF
-            scan_pos = pos
-        elif marker == 0xD9:
-            raise ValueError("EOI before SOS")
+                        scan_comps.append(c)
+            ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            reader = _BitReader(payload, pos)
+            _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
+                         huff_dc, huff_ac, mcux, mcuy)
+            saw_scan = True
+            pos = reader.pos
+            # skip pad bits/fill bytes to the next marker
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0x00
+            ):
+                pos += 1
         # APPn/COM/etc: skipped
-    if not comps or w == 0:
-        raise ValueError("no SOF0 before SOS")
-    if len(comps) not in (1, 3):
-        raise ValueError(f"{len(comps)}-component JPEG unsupported")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]          # blocks across the padded plane
-        c["bh"] = mcuy * c["v"]
-        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), np.float64)
-        c["pred"] = 0
-
-    reader = _BitReader(payload, scan_pos)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for c in comps:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = np.zeros(64, np.int32)
-                        t = reader.read_symbol(huff_dc[c["td"]])
-                        diff = _extend(reader.read_bits(t), t)
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = reader.read_symbol(huff_ac[c["ta"]])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break        # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            blk[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        coeff = blk.reshape(8, 8) * qt[c["tq"]]
-                        spatial = _C.T @ coeff @ _C + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0:y0 + 8, x0:x0 + 8] = spatial
+    if not saw_scan:
+        raise ValueError("EOI before any scan")
 
     planes = []
     for c in comps:
-        p = c["plane"]
+        # dequantize + IDCT every block at once
+        blocks = (c["coef"] * qt[c["tq"]].reshape(64)).reshape(
+            c["bh"], c["bw"], 8, 8
+        ).astype(np.float64)
+        spatial = np.einsum("xu,byuv,vw->byxw", _C.T, blocks, _C) + 128.0
+        p = spatial.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
         # upsample subsampled chroma to full resolution (nearest)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)
@@ -342,11 +531,63 @@ def _plane_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     return p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(px: np.ndarray, quant: int = 8,
-                subsample: bool = False) -> bytes:
-    """Encode an (h, w) or (h, w, ch) uint8 array (ch 1 or 3) as baseline
-    JPEG. ``quant`` is a flat quantization value (1 = near-lossless up to
-    DCT rounding); ``subsample=True`` writes 4:2:0 chroma."""
+def _flush_eobrun(bw: _BitWriter, ac_codes: dict, eobrun: int) -> None:
+    """Emit a pending EOB run as an EOBn symbol + extra bits (G.1.2.2)."""
+    r = eobrun.bit_length() - 1
+    code, ln = ac_codes[r << 4]
+    bw.write(code, ln)
+    if r:
+        bw.write(eobrun - (1 << r), r)
+
+
+def _encode_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
+                     ac_codes: dict, eobrun: int) -> int:
+    """Progressive AC first-scan encoding of one block's band [ss..se]
+    (Al=0); EOB runs accumulate across blocks and flush lazily."""
+    last = se
+    while last >= ss and zz[last] == 0:
+        last -= 1
+    if last < ss:  # all-zero band: extend the EOB run
+        eobrun += 1
+        if eobrun == 0x7FFF:  # 14-bit EOBn capacity
+            _flush_eobrun(bw, ac_codes, eobrun)
+            eobrun = 0
+        return eobrun
+    if eobrun:
+        _flush_eobrun(bw, ac_codes, eobrun)
+        eobrun = 0
+    run = 0
+    for k in range(ss, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < se:
+        eobrun = 1  # trailing zeros: an EOB, mergeable with later blocks
+    return eobrun
+
+
+def encode_jpeg(px: np.ndarray, quant: int = 8, subsample: bool = False,
+                progressive: bool = False) -> bytes:
+    """Encode an (h, w) or (h, w, ch) uint8 array (ch 1 or 3) as JPEG.
+    ``quant`` is a flat quantization value (1 = near-lossless up to DCT
+    rounding); ``subsample=True`` writes 4:2:0 chroma.
+
+    ``progressive=True`` writes SOF2 with a real multi-scan plan — an
+    interleaved DC first scan under successive approximation (Al=1), a DC
+    refinement scan, then per-component AC spectral bands 1–5 and 6–63
+    with genuine EOB-run codes — and decodes BIT-IDENTICAL to the
+    baseline encode of the same pixels (same quantized coefficients,
+    different transmission order)."""
     if px.ndim == 2:
         px = px[..., None]
     h, w, ch = px.shape
@@ -376,7 +617,12 @@ def encode_jpeg(px: np.ndarray, quant: int = 8,
 
     qtbl = np.full((8, 8), quant, np.int32)
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    if progressive:
+        ac_codes = _build_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+        ac_bits, ac_vals = _PROG_AC_BITS, _PROG_AC_VALS
+    else:
+        ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+        ac_bits, ac_vals = _AC_BITS, _AC_VALS
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -388,15 +634,10 @@ def encode_jpeg(px: np.ndarray, quant: int = 8,
     sof = struct.pack(">BHHB", 8, h, w, len(planes))
     for i, (sh, sv) in enumerate(samp):
         sof += bytes([i + 1, (sh << 4) | sv, 0])
-    out += seg(0xC0, sof)
+    out += seg(0xC2 if progressive else 0xC0, sof)
     dht = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
-    dht += bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    dht += bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
     out += seg(0xC4, dht)
-    sos = bytes([len(planes)])
-    for i in range(len(planes)):
-        sos += bytes([i + 1, 0x00])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -408,18 +649,87 @@ def encode_jpeg(px: np.ndarray, quant: int = 8,
         blocks = _plane_blocks(p - 128.0, mcuy * sv, mcux * sh)
         coeff = np.einsum("ux,byxw,wv->byuv", _C, blocks, _C.T)
         qblocks.append(np.round(coeff / qtbl).astype(np.int32))
+
+    def sos_hdr(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])  # Td=0, Ta=0
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    if not progressive:
+        out += sos_hdr(list(range(1, len(planes) + 1)), 0, 63, 0, 0)
+        bw = _BitWriter()
+        preds = [0] * len(planes)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            blk = qblocks[ci][my * sv + by, mx * sh + bx]
+                            preds[ci] = _encode_block(
+                                bw, blk, preds[ci], dc_codes, ac_codes
+                            )
+        out += bw.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive scan plan (SOF2) ----
+    all_ids = list(range(1, len(planes) + 1))
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (sh, sv) in enumerate(samp):
+                    for by in range(sv):
+                        for bx in range(sh):
+                            yield ci, qblocks[ci][my * sv + by, mx * sh + bx]
+
+    # non-interleaved (per-component) grid for the AC scans, T.81 A.2.2
+    grids = []
+    for sh, sv in samp:
+        cw = -(-(w * sh) // hmax)
+        chh = -(-(h * sv) // vmax)
+        grids.append((-(-chh // 8), -(-cw // 8)))
+
+    # scan 1: DC first, interleaved, successive approximation Al=1
+    out += sos_hdr(all_ids, 0, 0, 0, 1)
     bw = _BitWriter()
     preds = [0] * len(planes)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (sh, sv) in enumerate(samp):
-                for by in range(sv):
-                    for bx in range(sh):
-                        blk = qblocks[ci][my * sv + by, mx * sh + bx]
-                        preds[ci] = _encode_block(
-                            bw, blk, preds[ci], dc_codes, ac_codes
-                        )
+    for ci, blk in mcu_blocks():
+        dc = int(blk[0, 0]) >> 1          # point transform (arith shift)
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        t = _category(diff)
+        code, ln = dc_codes[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
     out += bw.flush()
+
+    # scan 2: DC refinement (Ah=1, Al=0): the deferred low bit per block
+    out += sos_hdr(all_ids, 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, blk in mcu_blocks():
+        bw.write(int(blk[0, 0]) & 1, 1)
+    out += bw.flush()
+
+    # scans 3..: per-component AC spectral bands with EOB-run coding
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(len(planes)):
+            out += sos_hdr([ci + 1], ss, se, 0, 0)
+            bw = _BitWriter()
+            eobrun = 0
+            cbh, cbw_ = grids[ci]
+            for by in range(cbh):
+                for bx in range(cbw_):
+                    zz = qblocks[ci][by, bx].reshape(64)[ZIGZAG]
+                    eobrun = _encode_ac_first(bw, zz, ss, se, ac_codes,
+                                              eobrun)
+            if eobrun:
+                _flush_eobrun(bw, ac_codes, eobrun)
+            out += bw.flush()
+
     out += b"\xff\xd9"
     return bytes(out)
 

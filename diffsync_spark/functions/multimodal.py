@@ -10,23 +10,24 @@ signatures) is real and tested. Three codecs are REAL and dependency-free:
 - ``image/png`` — chunk walk + stdlib ``zlib`` inflate + per-scanline
   unfilter (all five PNG filter types), for 8-bit gray / gray+alpha / RGB /
   RGBA, non-interlaced; same band-mean features as PPM.
-- ``image/jpeg`` — baseline sequential DCT decoded from scratch
-  (marker walk, stream-supplied Huffman/quant tables, IDCT, 4:2:0
-  upsampling, YCbCr→RGB) in ``jpeg.py``; progressive/restart-interval
-  streams surface as ``decode_ok=False``.
+- ``image/jpeg`` — baseline sequential (SOF0) AND progressive (SOF2:
+  spectral selection, successive approximation, EOB runs) DCT decoded
+  from scratch (marker walk, stream-supplied Huffman/quant tables, IDCT,
+  4:2:0 upsampling, YCbCr→RGB) in ``jpeg.py``; restart-interval and
+  arithmetic-coded streams surface as ``decode_ok=False``.
 - ``video/mp4`` — ISO BMFF container parsed from scratch in ``mp4.py``
   (box walk + full stsd/stts/stsc/stsz/stco/co64 sample-table
   resolution); Motion-JPEG tracks decode for real through ``jpeg.py``
   (container metadata + first-frame features here; per-timestamp frame
   sampling via :func:`frame_sample`).
 
-The remaining stub boundary is CODEC payloads only — compressed video
-bitstreams (avc1/hev1/mp4v) and progressive JPEG, which need
-PIL/ffmpeg, absent in this container: those payloads go through the
-clearly-marked boundary — either the deterministic hash-derived fake
-(``fake=True``) or per-row ``decode_ok=False`` (``fake=False``; a 100 TB
-pipeline treats an undecodable asset as a data quality fact, not a
-job-killing exception), with the container metadata still decoded.
+The remaining stub boundary is compressed-VIDEO bitstreams only
+(avc1/hev1/mp4v), which need ffmpeg, absent in this container: those
+payloads go through the clearly-marked boundary — either the
+deterministic hash-derived fake (``fake=True``) or per-row
+``decode_ok=False`` (``fake=False``; a 100 TB pipeline treats an
+undecodable asset as a data quality fact, not a job-killing exception),
+with the container metadata still decoded.
 
 Pattern: ``mapInPandas`` so each task pulls Arrow record batches, decodes a
 batch of binary payloads at once, and yields feature rows — never one row at
@@ -298,15 +299,20 @@ def fake_assets(spark, n: int = 100, seed: int = 42) -> DataFrame:
                 )
                 mime = "image/png"
             else:
-                if (i // 9) % 2 == 0:
+                if (i // 9) % 3 == 0:
                     payload = encode_jpeg(
                         rng.integers(0, 256, size=(h, w)).astype(np.uint8),
                         quant=2,
                     )
-                else:
+                elif (i // 9) % 3 == 1:
                     payload = encode_jpeg(
                         rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8),
                         quant=2, subsample=True,
+                    )
+                else:  # progressive (SOF2, multi-scan)
+                    payload = encode_jpeg(
+                        rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8),
+                        quant=2, progressive=True,
                     )
                 mime = "image/jpeg"
             rows.append((i, kind, bytearray(payload), w, h, None, mime))

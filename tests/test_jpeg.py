@@ -93,9 +93,14 @@ def test_unsupported_features_raise():
     good = encode_jpeg(img, quant=1)
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01" + good)
-    # rewrite SOF0 -> SOF2 (progressive)
+    # rewrite SOF0 -> SOF3 (lossless — unsupported mode)
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(ValueError, match="baseline/progressive"):
+        decode_jpeg(lossless)
+    # a SOF2 stream whose scan header is baseline-shaped (Ss=0, Se=63) is
+    # malformed progressive — rejected, not misdecoded
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
     # inject a DRI segment right after SOI
     dri = good[:2] + struct.pack(">BBHH", 0xFF, 0xDD, 4, 8) + good[2:]
@@ -109,3 +114,93 @@ def test_features_contract():
     assert (w, h) == (16, 16)
     assert len(feat) == 4
     assert all(abs(f - 64 / 255) < 0.01 for f in feat)
+
+
+# ------------------------------------------------------------- progressive
+def test_progressive_decodes_identical_to_baseline():
+    """Same pixels, same quantized coefficients, different transmission
+    order: the progressive decode must be BIT-identical to baseline."""
+    rng = np.random.default_rng(3)
+    for shape, sub in [((16, 16), False), ((24, 17, 3), False),
+                       ((23, 18, 3), True), ((9, 33, 3), True)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(px, quant=2, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(px, quant=2, subsample=sub, progressive=True))
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_eob_runs_and_zrl():
+    """A mostly-flat image makes every AC band all-zero → the encoder
+    emits genuine EOBn run codes (here a 16-block run, EOB4); an image
+    with only the highest-frequency coefficient exercises ZRL chains in
+    the 6..63 band. Both must decode identically to baseline."""
+    flat = np.full((32, 32), 100, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(flat, quant=1, progressive=True)),
+        decode_jpeg(encode_jpeg(flat, quant=1)),
+    )
+    # lone high-frequency coefficient: 57 zeros inside the 6..63 band
+    a = np.zeros((8, 8))
+    a[7, 7] = 200.0
+    x = np.arange(8)
+    c = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0, :] *= 1 / np.sqrt(2)
+    px = np.clip(np.round(c.T @ a @ c + 128), 0, 255).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px, quant=1, progressive=True)),
+        decode_jpeg(encode_jpeg(px, quant=1)),
+    )
+
+
+def test_hand_assembled_progressive_refinement():
+    """The AC successive-approximation REFINEMENT path (T.81 G.1.2.3),
+    which our encoder never emits, pinned by a stream built bit-by-bit
+    here: one 8x8 gray block, quant=1, three scans —
+
+    1. DC first (Al=0): DC = 8.
+    2. AC first (band 1..63, Al=1): k=1 carries (5>>1)=2, the true -1 at
+       k=3 is below the point transform → not sent. Stored k=1 value: 4.
+    3. AC refinement (Ah=1, Al=0): newly-nonzero -1 lands at k=3 (run of
+       1 zero-history coefficient), and the pass over k=1 appends its
+       correction bit (4 → 5). Also exercises DHT redefinition between
+       scans.
+
+    Expected coefficients: S(0,0)=8, S(0,1)=5, S(2,0)=-1 (zigzag 3)."""
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dht_dc = bytes([0x00, 1] + [0] * 15) + bytes([4])          # '0' -> cat 4
+    dht_ac1 = bytes([0x10, 0, 2] + [0] * 14) + bytes([0x02, 0x00])
+    dht_ac2 = bytes([0x10, 0, 2] + [0] * 14) + bytes([0x11, 0x00])
+    stream = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht_dc + dht_ac1)
+        # scan 1: DC first, Ss=Se=0, Ah=0 Al=0: '0' + '1000' (+8), pad 1s
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+        + bytes([0b01000111])
+        # scan 2: AC first, band 1..63, Al=1: (r0,s2)='00', bits '10'
+        # (+2), EOB='01', pad
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + bytes([0b00100111])
+        # redefine AC table 0 for the refinement scan
+        + seg(0xC4, dht_ac2)
+        # scan 3: AC refine, Ah=1 Al=0: (r1,s1)='00', sign '0' (-1),
+        # correction bit '1' for k=1 (4->5), EOB='01', pad
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + bytes([0b00010111])
+        + b"\xff\xd9"
+    )
+    out = decode_jpeg(stream)[..., 0]
+    a = np.zeros((8, 8))
+    a[0, 0] = 8.0
+    a[0, 1] = 5.0
+    a[2, 0] = -1.0
+    x = np.arange(8)
+    c = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+    c[0, :] *= 1 / np.sqrt(2)
+    want = np.clip(np.round(c.T @ a @ c + 128), 0, 255).astype(np.uint8)
+    assert np.array_equal(out, want)
