@@ -772,6 +772,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["wap_publish_state"] = wap_publish_state
 
+    # --- declarative expectations (data contracts on ingest): the same
+    # replay with two named predicates — upsert rows failing either are
+    # QUARANTINED (not applied, not dropped), deletes are exempt. Oracle =
+    # the patch algebra over a changelog pre-filtered by the same rule, so
+    # the final state proves exactly the contract-passing rows applied.
+    def merge_expectations_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="merge_expectations_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        res = table.merge(
+            _changelog(spark, sf), checkpoint_id="chg", batch_id=1,
+            expectations={
+                "mod5": "event_id % 5 <> 0",
+                "typed": "event_type IS NOT NULL",
+            },
+        )
+        assert res["n_expectation_failed"] > 0  # the contract really fired
+        assert res["n_quarantined"] >= res["n_expectation_failed"]
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["merge_expectations_state"] = merge_expectations_state
+
     # --- incrementally-maintained AGGREGATE view (gold layer): a per-user
     # rollup table is bootstrapped from the boot snapshot, the changelog
     # replays upstream in 2 batches, and pipe_aggregate recomputes ONLY
@@ -1887,6 +1923,19 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # sequential patch algebra computes
     o["mor_merge_state"] = _patch_core
     o["wap_publish_state"] = _patch_core
+    # expectations: only contract-passing upserts (deletes exempt) reach
+    # the same patch algebra
+    _chg_expected = (
+        f"SELECT * FROM ({_SQL_CHG}) WHERE lower(op) = 'delete' "
+        "OR (event_id % 5 <> 0 AND event_type IS NOT NULL)"
+    )
+    o["merge_expectations_state"] = _patch_prefix_for(_chg_expected) + """
+SELECT coalesce(s_uid, c_uid) AS user_id,
+       coalesce(s_eid, c_eid) AS event_id,
+       CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+       round(CASE WHEN ev_wins THEN c_val ELSE s_val END, 6) AS val,
+       epoch_us(CASE WHEN ev_wins THEN c_ts ELSE s_ts END) AS ts_us
+FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # incremental aggregate view == from-scratch GROUP BY over the same
     # final state (round/max commute: round is monotone, so rounding the
     # max equals the max of the rounded values the twin's val carries)

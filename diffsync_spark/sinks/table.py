@@ -582,6 +582,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         mode: str = "lww",
         max_commit_retries: int = 5,
+        expectations: "dict[str, Any] | None" = None,
     ) -> dict[str, Any]:
         """Set-based MERGE of a change batch into the table — one atomic
         snapshot commit. The reference analog is the whole
@@ -596,6 +597,16 @@ class SnapshotTable:
 
         Returns the lineage record. Re-invoking with an already-committed
         ``(checkpoint_id, batch_id)`` is a no-op (exactly-once).
+
+        ``expectations`` — declarative data contracts on ingest (the Delta
+        Live Tables ``EXPECT`` analog): ``{name: predicate}`` where
+        predicate is a SQL string or Column over the batch's columns. An
+        UPSERT row failing any expectation is QUARANTINED with
+        ``_status_reason = "expectation failed: <name>"`` — never applied,
+        never dropped — and re-drivable via :meth:`requeue_quarantine`
+        after repair. Deletes are exempt (no payload to validate); a NULL
+        predicate result counts as a violation. The result carries
+        ``n_expectation_failed``.
 
         **Concurrent writers** (the reference's multi-worker shared-store
         story, ``/root/reference/docs/source/core_engine/03-store.md:3``,
@@ -623,7 +634,7 @@ class SnapshotTable:
                 }
             try:
                 result = self._merge_attempt(batch, checkpoint_id, batch_id,
-                                             mode, man)
+                                             mode, man, expectations)
                 result["commit_retries"] = attempt
                 return result
             except CommitConflict:
@@ -638,6 +649,7 @@ class SnapshotTable:
         batch_id: int | None,
         mode: str,
         man: dict,
+        expectations: "dict[str, Any] | None" = None,
     ) -> dict[str, Any]:
         """One optimistic merge attempt against the snapshot in ``man``.
         Raises :class:`CommitConflict` if a concurrent writer commits the
@@ -682,18 +694,46 @@ class SnapshotTable:
         # BOTH sides (neither applied nor quarantined) — coalesce so a NULL-op
         # row is firmly invalid and lands in quarantine, not the void.
         valid = F.coalesce(valid, F.lit(False))
+        # ---- declarative expectations (data contracts on ingest): named
+        # predicates over the batch's payload; an UPSERT row failing one is
+        # quarantined with reason "expectation failed: <name>" instead of
+        # applied. Deletes are exempt (they carry no payload to validate),
+        # and a NULL predicate result counts as a violation — the same
+        # conservative rule as the base contract.
+        exp_reason = None
+        if expectations:
+            is_delete = F.lower(F.col("op")) == DELETE_OP
+            for name, pred in expectations.items():
+                cond = F.expr(pred) if isinstance(pred, str) else pred
+                fails = ~F.coalesce(cond | is_delete, F.lit(False))
+                msg = f"expectation failed: {name}"
+                exp_reason = (
+                    F.when(fails, msg) if exp_reason is None
+                    else exp_reason.when(fails, msg)
+                )
+        exp_fails = (
+            valid & exp_reason.isNotNull() if expectations else F.lit(False)
+        )
+        if expectations:
+            valid = valid & exp_reason.isNull()
         # no persist: the batch is scanned twice (stats agg + the MERGE write)
         # but both are cheap columnar reads — caching would pay the in-memory
         # columnar RLE encode/decode, which profiling showed dominating CPU
         # for wide text payloads (and evicting under pressure → recompute)
         batch = batch.withColumn("__valid", valid).withColumn(
+            "__exp_fail", exp_fails
+        ).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
         stats = batch.groupBy(BUCKET).agg(
             F.coalesce(F.sum(F.when(~F.col("__valid"), 1)), F.lit(0)).alias("n_bad"),
             F.coalesce(F.sum(F.when(F.col("__valid"), 1)), F.lit(0)).alias("n_ok"),
+            F.coalesce(
+                F.sum(F.when(F.col("__exp_fail"), 1)), F.lit(0)
+            ).alias("n_exp"),
         ).collect()
         n_quarantined = sum(r.n_bad for r in stats)
+        n_expectation_failed = sum(r.n_exp for r in stats)
         touched = sorted(r[BUCKET] for r in stats if r.n_ok > 0)
         batch_rows = {r[BUCKET]: r.n_ok for r in stats if r.n_ok > 0}
         if n_quarantined:
@@ -715,14 +755,18 @@ class SnapshotTable:
                     & (F.lower(F.col("op")) != DELETE_OP),
                     F.lit(f"null {version_col} on upsert"),
                 )
-            batch.filter(~F.col("__valid")).drop("__valid", BUCKET).withColumn(
+            if exp_reason is not None:
+                reason = F.coalesce(reason, exp_reason)
+            batch.filter(~F.col("__valid")).drop(
+                "__valid", "__exp_fail", BUCKET
+            ).withColumn(
                 "_status", F.lit("failure")
             ).withColumn("_status_reason", reason).write.mode(
                 "overwrite"
             ).parquet(os.path.join(
                 self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
             ))
-        batch = batch.filter(F.col("__valid")).drop("__valid")
+        batch = batch.filter(F.col("__valid")).drop("__valid", "__exp_fail")
 
         # ---- LWW dedup: MERGE requires unique source keys. A versionless
         # model (e.g. a parent bookkeeping table) has no writer order — any
@@ -742,7 +786,8 @@ class SnapshotTable:
         # type keeps the stored type and the cast yields NULLs (visible in
         # the data, never a corrupted file).
         known = {f.name for f in public.fields}
-        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid"}
+        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid",
+                    "__exp_fail"}
         batch_types = {f.name: f.dataType for f in batch.schema.fields}
         _INTS = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
         _FLOATS = [T.FloatType, T.DoubleType]
@@ -800,10 +845,12 @@ class SnapshotTable:
             ).withColumn(
                 BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
             )
-            return self._append_commit(
+            res = self._append_commit(
                 delta, man, new_version, touched, n_quarantined, checkpoint_id,
                 batch_id, evolved, batch_rows, snapshot_id,
             )
+            res["n_expectation_failed"] = n_expectation_failed
+            return res
 
         # ---- current rows of touched buckets only (manifest file pruning),
         # read through the widened schema (old files → nulls for new cols).
@@ -846,10 +893,12 @@ class SnapshotTable:
             ).withColumn(
                 BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
             )
-            return self._write_commit(
+            res = self._write_commit(
                 merged, man, new_version, touched, n_quarantined, checkpoint_id,
                 batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
             )
+            res["n_expectation_failed"] = n_expectation_failed
+            return res
         c = cur.withColumn("__c_present", F.lit(True)).alias("c")
 
         # plain equality (quarantine guarantees non-null keys): the join's
@@ -901,10 +950,12 @@ class SnapshotTable:
         merged = joined.select(*out_cols).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
-        return self._write_commit(
+        res = self._write_commit(
             merged, man, new_version, touched, n_quarantined, checkpoint_id,
             batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
         )
+        res["n_expectation_failed"] = n_expectation_failed
+        return res
 
     def _plan_splits(self, est: dict[int, int]) -> dict[int, int]:
         """Writer-slot plan: ``ceil(estimated_rows / target)`` slots per
@@ -1422,6 +1473,7 @@ class SnapshotTable:
         checkpoint_id: str | None = None,
         batch_id: int | None = None,
         mode: str = "lww",
+        expectations: "dict[str, Any] | None" = None,
     ) -> dict[str, Any]:
         """Re-drive a commit's quarantined rows through the MERGE after
         repair — the operational closure of CONTINUE_ON_FAILURE (the
@@ -1450,6 +1502,7 @@ class SnapshotTable:
             checkpoint_id=checkpoint_id or f"requeue-v{man['version']}",
             batch_id=batch_id,
             mode=mode,
+            expectations=expectations,
         )
 
     def history(self) -> DataFrame:

@@ -30,6 +30,7 @@ def replay_batches(
     n_batches: int = 10,
     checkpoint_id: str = "batch_replay",
     start_batch: int = 0,
+    expectations: "dict | None" = None,
 ) -> list[dict]:
     """Deterministic batch replay: split the changelog into ``n_batches``
     contiguous ``seq`` ranges and merge them in order. Used by tests to prove
@@ -48,7 +49,8 @@ def replay_batches(
         b_lo, b_hi = lo + i * span, lo + (i + 1) * span
         batch = changelog.filter((F.col("seq") >= b_lo) & (F.col("seq") < b_hi))
         results.append(
-            table.merge(batch, checkpoint_id=checkpoint_id, batch_id=i, mode="lww")
+            table.merge(batch, checkpoint_id=checkpoint_id, batch_id=i,
+                        mode="lww", expectations=expectations)
         )
     return results
 
@@ -65,6 +67,7 @@ def stream_replay(
     results: list | None = None,
     maintain_every: int | None = None,
     max_delta_layers: int = 8,
+    expectations: "dict | None" = None,
 ) -> StreamingQuery:
     """Tail a changelog directory (append-only parquet — the stand-in for a
     binlog/Kafka topic) and merge each micro-batch into the table.
@@ -111,7 +114,7 @@ def stream_replay(
 
     def apply_batch(df: DataFrame, batch_id: int) -> None:
         res = table.merge(df, checkpoint_id=ckpt_id, batch_id=batch_id,
-                          mode="lww")
+                          mode="lww", expectations=expectations)
         if results is not None:
             results.append(res)
         if not res.get("skipped"):

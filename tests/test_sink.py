@@ -1036,3 +1036,74 @@ def test_tags_pin_snapshots_through_expiration(spark, tmp_path, target_df,
     assert table.tags() == {}
     res2 = table.expire_snapshots(keep_last=2)
     assert tagged_v in res2["expired_versions"]
+
+
+def test_merge_expectations_quarantine_and_requeue(spark, tmp_path, target_df):
+    """Declarative data contracts: upsert rows failing a named predicate
+    quarantine with 'expectation failed: <name>'; deletes are exempt; a
+    NULL predicate result is a violation; repaired rows requeue through
+    the SAME expectations."""
+    import datetime
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    dt = datetime.datetime(2031, 1, 1)
+    batch = spark.createDataFrame(
+        [
+            ("exp-ok", 0, "upsert", "user", "fine", None, dt),
+            ("exp-bad", 0, "upsert", "user", "", None, dt),        # fails
+            ("exp-null", 0, "upsert", "user", None, None, dt),     # NULL → fails
+            ("exp-del", 0, "delete", None, None, None, dt),        # exempt
+        ],
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    exp = {"text_nonempty": "length(text) > 0"}
+    res = table.merge(batch, checkpoint_id="c", batch_id=1, expectations=exp)
+    assert res["n_expectation_failed"] == 2
+    assert res["n_quarantined"] == 2
+    got = table.read().filter("conv_id like 'exp-%'").collect()
+    assert {r.conv_id for r in got} == {"exp-ok"}
+    q = table.quarantine_df()
+    reasons = {r.conv_id: r._status_reason for r in q.collect()}
+    assert reasons == {
+        "exp-bad": "expectation failed: text_nonempty",
+        "exp-null": "expectation failed: text_nonempty",
+    }
+    # repair and requeue through the same contract
+    res2 = table.requeue_quarantine(
+        fix=lambda df: df.withColumn(
+            "text", F.concat(F.coalesce(F.col("text"), F.lit("")),
+                             F.lit("repaired"))
+        ),
+        batch_id=1, expectations=exp,
+    )
+    assert res2["n_expectation_failed"] == 0
+    fixed = table.read().filter("conv_id like 'exp-%'").count()
+    assert fixed == 3  # ok + two repaired
+
+
+def test_merge_expectations_column_predicate_and_base_contract(
+    spark, tmp_path, target_df
+):
+    """Column-object predicates work; a row failing BOTH the base contract
+    and an expectation quarantines once with the base reason."""
+    import datetime
+
+    table = _bootstrap(spark, tmp_path, target_df)
+    dt = datetime.datetime(2031, 1, 1)
+    batch = spark.createDataFrame(
+        [
+            ("cp-ok", 0, "upsert", "user", "x", None, dt),
+            (None, 0, "upsert", "user", "", None, dt),  # null key AND bad text
+        ],
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, tool string, ts timestamp",
+    )
+    res = table.merge(
+        batch, checkpoint_id="c2", batch_id=1,
+        expectations={"nonempty": F.length("text") > 0},
+    )
+    assert res["n_quarantined"] == 1
+    assert res["n_expectation_failed"] == 0  # base-contract failure wins
+    q = table.quarantine_df()
+    assert q.collect()[0]._status_reason == "null identifier"
