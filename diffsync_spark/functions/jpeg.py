@@ -5,8 +5,9 @@ ITU T.81 Annex G: spectral selection, successive approximation, EOB-run
 coding, interleaved DC scans + non-interleaved AC scans), 8-bit samples,
 grayscale or 3-component YCbCr with sampling factors in {1, 2} (4:4:4 and
 4:2:0 tested), Huffman entropy coding with tables read from the stream's
-own DHT segments, 8- or 16-bit quantization tables, no restart intervals,
-no arithmetic coding, no hierarchical/lossless modes — unsupported
+own DHT segments, 8- or 16-bit quantization tables, restart intervals
+(DRI/RSTn resync with DC-predictor and EOB-run resets), no arithmetic
+coding, no hierarchical/lossless modes — unsupported
 features raise ``ValueError`` and surface as the multimodal layer's
 per-row ``decode_ok=False``, never a crash.
 
@@ -119,8 +120,8 @@ class _BitReader:
                     self.pos += 1  # stuffed byte
                 else:
                     raise ValueError(
-                        f"unexpected marker 0xFF{marker:02X} in scan "
-                        "(restart intervals unsupported)"
+                        f"unexpected marker 0xFF{marker:02X} inside "
+                        "entropy data"
                     )
             self.cur = b
             self.bit = 8
@@ -141,6 +142,20 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code")
+
+    def restart(self) -> None:
+        """Byte-align and consume the next RSTn marker (T.81 E.1.4:
+        restart markers are the only byte-aligned resync points inside
+        entropy data; pad bits — and a stuffed 0x00 after an all-ones pad
+        byte — may precede them)."""
+        self.bit = 0  # drop pad bits of the current byte
+        while self.pos + 1 < len(self.data):
+            if (self.data[self.pos] == 0xFF
+                    and 0xD0 <= self.data[self.pos + 1] <= 0xD7):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing restart marker")
 
 
 def _extend(v: int, t: int) -> int:
@@ -245,17 +260,35 @@ def _block_sequential(reader, coef, dc_tbl, ac_tbl, pred) -> int:
 
 
 def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
-                 huff_dc, huff_ac, mcux, mcuy) -> None:
+                 huff_dc, huff_ac, mcux, mcuy, ri=0) -> None:
     """Decode one entropy-coded scan into the components' coefficient
     arrays. Baseline: the full interleaved DC+AC pass. Progressive: DC
     scans (first/refinement, interleaved or not) and single-component AC
-    band scans (first/refinement with EOB runs)."""
+    band scans (first/refinement with EOB runs). ``ri`` is the restart
+    interval (DRI, in MCUs for interleaved scans / blocks otherwise):
+    every ``ri`` units the entropy stream byte-aligns on an RSTn marker
+    and DC predictors (and the EOB run) reset."""
     for c in scan_comps:
         c["pred"] = 0
+
+    n_done = 0
+
+    def maybe_restart() -> bool:
+        """True when a restart boundary was crossed (state must reset)."""
+        nonlocal n_done
+        hit = bool(ri) and n_done > 0 and n_done % ri == 0
+        if hit:
+            reader.restart()
+            for c in scan_comps:
+                c["pred"] = 0
+        n_done += 1
+        return hit
+
     if not progressive:
         if len(scan_comps) > 1:
             for my in range(mcuy):
                 for mx in range(mcux):
+                    maybe_restart()
                     for c in scan_comps:
                         for by in range(c["v"]):
                             for bx in range(c["h"]):
@@ -270,6 +303,7 @@ def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
             c = scan_comps[0]
             for by in range(c["cbh"]):
                 for bx in range(c["cbw"]):
+                    maybe_restart()
                     c["pred"] = _block_sequential(
                         reader, c["coef"][by, bx],
                         huff_dc[c["td"]], huff_ac[c["ta"]], c["pred"],
@@ -292,6 +326,7 @@ def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
         if len(scan_comps) > 1:
             for my in range(mcuy):
                 for mx in range(mcux):
+                    maybe_restart()
                     for c in scan_comps:
                         for by in range(c["v"]):
                             for bx in range(c["h"]):
@@ -301,6 +336,7 @@ def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
             c = scan_comps[0]
             for by in range(c["cbh"]):
                 for bx in range(c["cbw"]):
+                    maybe_restart()
                     dc_block(c, by, bx)
         return
     # AC scan: T.81 G.1.1 — never interleaved
@@ -312,6 +348,8 @@ def _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
     eobrun = 0
     for by in range(c["cbh"]):
         for bx in range(c["cbw"]):
+            if maybe_restart():
+                eobrun = 0
             eobrun = block_fn(
                 reader, c["coef"][by, bx], ss, se, al, ac_tbl, eobrun
             )
@@ -332,6 +370,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     w = h = 0
     progressive = False
     mcux = mcuy = hmax = vmax = 0
+    restart_interval = 0
     pos = 2
     saw_scan = False
     while True:
@@ -405,8 +444,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(
                 f"SOF{marker - 0xC0}: only baseline/progressive supported"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) unsupported")
+        elif marker == 0xDD:  # DRI: restart interval (may change per scan)
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — decode this scan, then keep parsing
             if not comps or w == 0:
                 raise ValueError("no SOF before SOS")
@@ -422,7 +461,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ah, al = ahal >> 4, ahal & 0xF
             reader = _BitReader(payload, pos)
             _decode_scan(reader, scan_comps, progressive, ss, se, ah, al,
-                         huff_dc, huff_ac, mcux, mcuy)
+                         huff_dc, huff_ac, mcux, mcuy, restart_interval)
             saw_scan = True
             pos = reader.pos
             # skip pad bits/fill bytes to the next marker
@@ -480,6 +519,13 @@ class _BitWriter:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # pad with 1s
         return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """Byte-align (1-pad) and emit the RSTn marker, n = m mod 8."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
 
 
 def _category(v: int) -> int:
@@ -577,7 +623,7 @@ def _encode_ac_first(bw: _BitWriter, zz: np.ndarray, ss: int, se: int,
 
 
 def encode_jpeg(px: np.ndarray, quant: int = 8, subsample: bool = False,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False, restart_interval: int = 0) -> bytes:
     """Encode an (h, w) or (h, w, ch) uint8 array (ch 1 or 3) as JPEG.
     ``quant`` is a flat quantization value (1 = near-lossless up to DCT
     rounding); ``subsample=True`` writes 4:2:0 chroma.
@@ -587,7 +633,13 @@ def encode_jpeg(px: np.ndarray, quant: int = 8, subsample: bool = False,
     refinement scan, then per-component AC spectral bands 1–5 and 6–63
     with genuine EOB-run codes — and decodes BIT-IDENTICAL to the
     baseline encode of the same pixels (same quantized coefficients,
-    different transmission order)."""
+    different transmission order).
+
+    ``restart_interval=N`` (baseline only) writes a DRI segment and an
+    RSTn marker every N MCUs with DC-predictor resets — the resync
+    structure real camera/MJPEG streams carry."""
+    if progressive and restart_interval:
+        raise ValueError("restart_interval only supported for baseline")
     if px.ndim == 2:
         px = px[..., None]
     h, w, ch = px.shape
@@ -658,11 +710,19 @@ def encode_jpeg(px: np.ndarray, quant: int = 8, subsample: bool = False,
         return seg(0xDA, body)
 
     if not progressive:
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))
         out += sos_hdr(list(range(1, len(planes) + 1)), 0, 63, 0, 0)
         bw = _BitWriter()
         preds = [0] * len(planes)
+        n_mcu = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if (restart_interval and n_mcu
+                        and n_mcu % restart_interval == 0):
+                    bw.restart(n_mcu // restart_interval - 1)
+                    preds = [0] * len(planes)
+                n_mcu += 1
                 for ci, (sh, sv) in enumerate(samp):
                     for by in range(sv):
                         for bx in range(sh):

@@ -102,10 +102,33 @@ def test_unsupported_features_raise():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2")
     with pytest.raises(ValueError, match="Se=0"):
         decode_jpeg(prog)
-    # inject a DRI segment right after SOI
+    # a DRI segment with an interval the single-MCU stream never reaches
+    # is accepted and changes nothing
     dri = good[:2] + struct.pack(">BBHH", 0xFF, 0xDD, 4, 8) + good[2:]
-    with pytest.raises(ValueError, match="restart"):
-        decode_jpeg(dri)
+    assert np.array_equal(decode_jpeg(dri), decode_jpeg(good))
+    # truncated entropy data still fails loudly
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:-8])
+
+
+def test_restart_intervals_roundtrip():
+    """DRI/RSTn: byte-aligned resync markers every N MCUs with
+    DC-predictor resets — decode must equal the marker-free encode."""
+    rng = np.random.default_rng(9)
+    for shape, sub in [((24, 24), False), ((40, 33, 3), True)]:
+        px = rng.integers(0, 256, size=shape).astype(np.uint8)
+        plain = decode_jpeg(encode_jpeg(px, quant=2, subsample=sub))
+        for ri in (1, 2, 5):
+            blob = encode_jpeg(px, quant=2, subsample=sub,
+                               restart_interval=ri)
+            assert np.array_equal(plain, decode_jpeg(blob)), (shape, sub, ri)
+    # the markers are really in the stream
+    blob = encode_jpeg(rng.integers(0, 256, (24, 24)).astype(np.uint8),
+                       quant=2, restart_interval=1)
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+    with pytest.raises(ValueError, match="baseline"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), progressive=True,
+                    restart_interval=2)
 
 
 def test_features_contract():
