@@ -711,29 +711,31 @@ class SnapshotTable:
                     F.when(fails, msg) if exp_reason is None
                     else exp_reason.when(fails, msg)
                 )
-        exp_fails = (
-            valid & exp_reason.isNotNull() if expectations else F.lit(False)
-        )
+        # expectations ride the same single stats pass when present; the
+        # contract-free hot path (every CDC replay batch) keeps its exact
+        # original plan — no extra column, no extra aggregate
+        aggs = [
+            F.coalesce(F.sum(F.when(~F.col("__valid"), 1)), F.lit(0)).alias("n_bad"),
+            F.coalesce(F.sum(F.when(F.col("__valid"), 1)), F.lit(0)).alias("n_ok"),
+        ]
         if expectations:
+            exp_fails = valid & exp_reason.isNotNull()
             valid = valid & exp_reason.isNull()
+            aggs.append(F.coalesce(
+                F.sum(F.when(exp_fails, 1)), F.lit(0)
+            ).alias("n_exp"))
         # no persist: the batch is scanned twice (stats agg + the MERGE write)
         # but both are cheap columnar reads — caching would pay the in-memory
         # columnar RLE encode/decode, which profiling showed dominating CPU
         # for wide text payloads (and evicting under pressure → recompute)
         batch = batch.withColumn("__valid", valid).withColumn(
-            "__exp_fail", exp_fails
-        ).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
-        stats = batch.groupBy(BUCKET).agg(
-            F.coalesce(F.sum(F.when(~F.col("__valid"), 1)), F.lit(0)).alias("n_bad"),
-            F.coalesce(F.sum(F.when(F.col("__valid"), 1)), F.lit(0)).alias("n_ok"),
-            F.coalesce(
-                F.sum(F.when(F.col("__exp_fail"), 1)), F.lit(0)
-            ).alias("n_exp"),
-        ).collect()
+        stats = batch.groupBy(BUCKET).agg(*aggs).collect()
         n_quarantined = sum(r.n_bad for r in stats)
-        n_expectation_failed = sum(r.n_exp for r in stats)
+        n_expectation_failed = (
+            sum(r.n_exp for r in stats) if expectations else 0
+        )
         touched = sorted(r[BUCKET] for r in stats if r.n_ok > 0)
         batch_rows = {r[BUCKET]: r.n_ok for r in stats if r.n_ok > 0}
         if n_quarantined:
@@ -758,7 +760,7 @@ class SnapshotTable:
             if exp_reason is not None:
                 reason = F.coalesce(reason, exp_reason)
             batch.filter(~F.col("__valid")).drop(
-                "__valid", "__exp_fail", BUCKET
+                "__valid", BUCKET
             ).withColumn(
                 "_status", F.lit("failure")
             ).withColumn("_status_reason", reason).write.mode(
@@ -766,7 +768,7 @@ class SnapshotTable:
             ).parquet(os.path.join(
                 self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
             ))
-        batch = batch.filter(F.col("__valid")).drop("__valid", "__exp_fail")
+        batch = batch.filter(F.col("__valid")).drop("__valid")
 
         # ---- LWW dedup: MERGE requires unique source keys. A versionless
         # model (e.g. a parent bookkeeping table) has no writer order — any
