@@ -808,6 +808,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["merge_expectations_state"] = merge_expectations_state
 
+    # --- column RENAME through the replay: bootstrap writes files under
+    # the old name, rename_column is a metadata-only commit (stable
+    # parquet field ids — old files resolve under the new name with zero
+    # data movement), and the changelog then merges using the NEW name.
+    # Oracle = the identical patch algebra with the output column aliased:
+    # a wrong id mapping would NULL every boot-file value and fail the
+    # hash.
+    def rename_evolution_state(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="rename_evolution_state_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.rename_column("val", "metric")
+        table.merge(
+            _changelog(spark, sf).withColumnRenamed("val", "metric"),
+            checkpoint_id="chg", batch_id=1,
+        )
+        return table.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("metric", 6).alias("metric"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["rename_evolution_state"] = rename_evolution_state
+
     # --- incrementally-maintained AGGREGATE view (gold layer): a per-user
     # rollup table is bootstrapped from the boot snapshot, the changelog
     # replays upstream in 2 batches, and pipe_aggregate recomputes ONLY
@@ -1929,6 +1963,10 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
         f"SELECT * FROM ({_SQL_CHG}) WHERE lower(op) = 'delete' "
         "OR (event_id % 5 <> 0 AND event_type IS NOT NULL)"
     )
+    # rename is metadata-only: same algebra, output column aliased
+    o["rename_evolution_state"] = f"""
+SELECT user_id, event_id, event_type, val AS metric, ts_us
+FROM ({_patch_core})"""
     o["merge_expectations_state"] = _patch_prefix_for(_chg_expected) + """
 SELECT coalesce(s_uid, c_uid) AS user_id,
        coalesce(s_eid, c_eid) AS event_id,

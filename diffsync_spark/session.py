@@ -45,6 +45,11 @@ def build_session(
         # high task concurrency (zstd-jni contention with 32 writers);
         # storage-optimized tables can opt into zstd via extra_conf
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # stable column identity (Iceberg field-id scheme): SnapshotTable
+        # writes parquet field ids and reads resolve by id, making column
+        # RENAME a metadata-only commit; both are no-ops for id-less data
+        .config("spark.sql.parquet.fieldId.write.enabled", "true")
+        .config("spark.sql.parquet.fieldId.read.enabled", "true")
         # stream local shuffle blocks instead of mmap: blocks above the
         # default 2m threshold get map0/unmap0'd per read, and the munmap TLB
         # shootdowns convoy at high task concurrency (profiled: 60-77% sys

@@ -68,6 +68,30 @@ META_DELETED = "_deleted"
 META_COMMIT = "__commit"
 BUCKET = "_bucket"
 SLOT = "__slot"
+
+# Stable column identity (the Iceberg field-id scheme, carried as parquet
+# field ids so SPARK resolves columns by id, not name): user columns get
+# 1..N at create/evolution time, meta columns live in a reserved band.
+# Rename = same id, new name (old files keep resolving); drop + re-add =
+# NEW id (old files' values never resurrect).
+_FIELD_ID_KEY = "parquet.field.id"
+_META_FIELD_IDS = {META_SEQ: 10_001, META_DELETED: 10_002,
+                   META_COMMIT: 10_003}
+_MAX_USER_FIELD_ID = 10_000
+
+
+def _schema_has_ids(schema: T.StructType) -> bool:
+    return any(_FIELD_ID_KEY in (f.metadata or {}) for f in schema.fields)
+
+
+def _with_field_ids(schema: T.StructType, start: int = 1) -> T.StructType:
+    """Assign sequential field ids to every field (create-time)."""
+    fields = []
+    for i, f in enumerate(schema.fields):
+        md = dict(f.metadata or {})
+        md[_FIELD_ID_KEY] = start + i
+        fields.append(T.StructField(f.name, f.dataType, f.nullable, md))
+    return T.StructType(fields)
 UPSERT_OPS = ("insert", "update", "create", "upsert")
 DELETE_OP = "delete"
 
@@ -94,6 +118,11 @@ class SnapshotTable:
         # numbers are allocated past EVERY existing manifest, so a retry
         # can never ping-pong on a number another ref's writer took
         self._alloc_global = False
+        # field-id column resolution (rename support) needs these even on
+        # sessions not built by build_session; both are no-ops for
+        # id-less schemas/files
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
     # ------------------------------------------------------------- manifest
     @property
@@ -213,6 +242,9 @@ class SnapshotTable:
         table = cls(spark, path, model, io=io)
         table.io.makedirs(table._manifest_dir, exist_ok=False)
         table.io.makedirs(os.path.join(path, "data"), exist_ok=True)
+        # stable field ids from birth: every data file is written with
+        # parquet field ids, so later renames are metadata-only commits
+        schema = _with_field_ids(schema)
         manifest = {
             "version": 1,
             "snapshot_id": uuid.uuid4().hex,
@@ -223,6 +255,7 @@ class SnapshotTable:
             "checkpoints": {},
             "lineage": [],
             "write_mode": write_mode,
+            "last_field_id": len(schema.fields),
         }
         table._commit(manifest)
         return table
@@ -237,10 +270,41 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- read
     def _full_schema(self, public: T.StructType) -> T.StructType:
+        has_ids = _schema_has_ids(public)
+
+        def _meta(name: str, dtype: T.DataType) -> T.StructField:
+            md = {_FIELD_ID_KEY: _META_FIELD_IDS[name]} if has_ids else None
+            return T.StructField(name, dtype, True, md)
+
         fields = list(public.fields)
-        fields.append(T.StructField(META_SEQ, T.LongType(), True))
-        fields.append(T.StructField(META_DELETED, T.BooleanType(), True))
+        fields.append(_meta(META_SEQ, T.LongType()))
+        fields.append(_meta(META_DELETED, T.BooleanType()))
         return T.StructType(fields)
+
+    def _fold_schema(self, full: T.StructType) -> T.StructType:
+        md = (
+            {_FIELD_ID_KEY: _META_FIELD_IDS[META_COMMIT]}
+            if _schema_has_ids(full) else None
+        )
+        return T.StructType(
+            full.fields + [T.StructField(META_COMMIT, T.LongType(), True, md)]
+        )
+
+    def _tag_field_ids(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Alias every written column with its field-id metadata so the
+        parquet footer carries stable ids (no-op on legacy id-less
+        tables). Partition columns (bucket/slot) become directories, not
+        file columns, so they stay untagged."""
+        if not _schema_has_ids(schema):
+            return df
+        ids = {f.name: dict(f.metadata) for f in schema.fields
+               if _FIELD_ID_KEY in (f.metadata or {})}
+        for m, i in _META_FIELD_IDS.items():
+            ids[m] = {_FIELD_ID_KEY: i}
+        return df.select(*[
+            F.col(c).alias(c, metadata=ids[c]) if c in ids else F.col(c)
+            for c in df.columns
+        ])
 
     @staticmethod
     def _delta_buckets(man: dict, buckets: list[int] | None = None) -> set[int]:
@@ -315,9 +379,7 @@ class SnapshotTable:
         )
         if not dbk:
             return plain if plain is not None else self.spark.createDataFrame([], full)
-        fold_schema = T.StructType(
-            full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
-        )
+        fold_schema = self._fold_schema(full)
         base = (
             self.spark.read.schema(full).parquet(*base_fold_files)
             .withColumn(META_COMMIT, F.lit(0).cast("long"))
@@ -413,9 +475,7 @@ class SnapshotTable:
             # merge-on-read: the key's row may live in the base AND in any
             # layer — filter the key FIRST (parquet row-group pushdown on
             # the write-ordered files), then fold the handful of survivors
-            fold_schema = T.StructType(
-                full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
-            )
+            fold_schema = self._fold_schema(full)
             base = (
                 self.spark.read.schema(full).parquet(*files)
                 .withColumn(META_COMMIT, F.lit(0).cast("long"))
@@ -548,9 +608,7 @@ class SnapshotTable:
             man, self._delta_buckets(man, list(need))
         )
         if dfiles:
-            fold_schema = T.StructType(
-                full.fields + [T.StructField(META_COMMIT, T.LongType(), True)]
-            )
+            fold_schema = self._fold_schema(full)
             base = (
                 self.spark.read.schema(full).parquet(*files)
                 .withColumn(META_COMMIT, F.lit(0).cast("long"))
@@ -806,7 +864,8 @@ class SnapshotTable:
 
         evolved_existing = [
             f if f.name in ids else T.StructField(
-                f.name, _wider(f.dataType, batch_types.get(f.name)), True
+                f.name, _wider(f.dataType, batch_types.get(f.name)), True,
+                f.metadata,  # keep the stable field id through widening
             )
             for f in public.fields
         ]
@@ -814,6 +873,20 @@ class SnapshotTable:
             f for f in batch.schema.fields
             if f.name not in known and f.name not in reserved
         ]
+        if _schema_has_ids(public) and new_fields:
+            # evolution-added columns get FRESH ids past the monotone
+            # counter — a column re-added after drop_column never reuses
+            # the dropped id, so old files' values cannot resurrect
+            next_id = int(man.get("last_field_id")
+                          or max((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                                 for f in public.fields)) + 1
+            if next_id + len(new_fields) > _MAX_USER_FIELD_ID:
+                raise DiffSyncSparkError("field-id space exhausted")
+            new_fields = [
+                T.StructField(f.name, f.dataType, True,
+                              {_FIELD_ID_KEY: next_id + i})
+                for i, f in enumerate(new_fields)
+            ]
         evolved = T.StructType(evolved_existing + list(new_fields))
         payload_fields = [f for f in evolved.fields if f.name not in ids]
         payload_cols = [f.name for f in payload_fields]
@@ -1107,6 +1180,7 @@ class SnapshotTable:
                     for b in touched
                 ]
             ))
+        out = self._tag_field_ids(out, evolved)
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         per_bucket: dict[tuple[int, str], int] = {}
         if obs is not None:
@@ -1234,6 +1308,11 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "schema": evolved.json(),
+            "last_field_id": max(
+                int(man.get("last_field_id") or 0),
+                max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                     for f in evolved.fields), default=0),
+            ) or None,
             "n_buckets": man["n_buckets"],
             "files": files,
             **({"deltas": deltas} if deltas else {}),
@@ -1309,6 +1388,7 @@ class SnapshotTable:
                 F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
                 for b in touched
             ])
+        out = self._tag_field_ids(out, evolved)
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         layer_files: dict[str, list[str]] = {}
         for bk in touched:
@@ -1368,6 +1448,11 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "schema": evolved.json(),
+            "last_field_id": max(
+                int(man.get("last_field_id") or 0),
+                max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                     for f in evolved.fields), default=0),
+            ) or None,
             "n_buckets": man["n_buckets"],
             "files": man["files"],
             "deltas": deltas,
@@ -1765,6 +1850,8 @@ class SnapshotTable:
                 + [F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
                    for b in targets]
             ))
+        out = self._tag_field_ids(
+            out, T.StructType.fromJson(json.loads(man["schema"])))
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         # untouched buckets carry their existing file lists forward
         files = {b: fl for b, fl in man["files"].items()
@@ -1916,6 +2003,7 @@ class SnapshotTable:
         data_dir = os.path.join(
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
+        out = self._tag_field_ids(out, public)
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
         files: dict[str, list[str]] = {}
         for bk in range(n_buckets):
@@ -1927,6 +2015,7 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "schema": man["schema"],
+            "last_field_id": man.get("last_field_id"),
             "n_buckets": n_buckets,
             "files": files,
             **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
@@ -2102,6 +2191,94 @@ class SnapshotTable:
         if not self.io.exists(path):
             raise DiffSyncSparkError(f"no tag {name!r}")
         self.io.remove_file(path)
+
+    # ------------------------------------------------------ schema evolution
+    def _schema_commit(self, mutate, max_retries: int = 5) -> dict[str, Any]:
+        """Metadata-only schema commit with the usual optimistic retry:
+        ``mutate(schema) -> new_schema`` runs against the freshly-read
+        manifest each attempt."""
+        last_err: Exception | None = None
+        for _ in range(max_retries + 1):
+            man = self._manifest()
+            public = T.StructType.fromJson(json.loads(man["schema"]))
+            new_schema = mutate(public)
+            manifest = {
+                **man,
+                "version": self._next_version(man),
+                "snapshot_id": uuid.uuid4().hex,
+                "parent_snapshot_id": man["snapshot_id"],
+                "schema": new_schema.json(),
+                "lineage": [],
+                "quarantine_dir": None,
+            }
+            try:
+                self._commit(manifest, parent=man["version"])
+            except CommitConflict as e:
+                last_err = e
+                continue
+            return {"version": manifest["version"],
+                    "snapshot_id": manifest["snapshot_id"]}
+        raise last_err  # type: ignore[misc]
+
+    def rename_column(self, old: str, new: str) -> dict[str, Any]:
+        """Rename a payload column — METADATA-ONLY (the Iceberg
+        ``RENAME COLUMN``): the column keeps its stable field id, so every
+        already-written file resolves under the new name via parquet
+        field-id resolution; zero data movement. Identifiers, version
+        columns, and the bucketing key cannot rename (their names are the
+        physical layout contract). Legacy tables created before field ids
+        raise — their files carry no ids to resolve by."""
+        protected = set(self.model.identifiers) | set(
+            self.model.version_cols or ()
+        ) | set(self.model.parent_key or ())
+        if old in protected:
+            raise DiffSyncSparkError(
+                f"cannot rename {old!r}: identifier/version/bucketing "
+                "columns are the physical layout contract"
+            )
+
+        def mutate(public: T.StructType) -> T.StructType:
+            if not _schema_has_ids(public):
+                raise DiffSyncSparkError(
+                    "table predates field ids — rename unsupported (files "
+                    "would not resolve); recreate or keep the old name"
+                )
+            names = {f.name for f in public.fields}
+            if old not in names:
+                raise DiffSyncSparkError(f"no column {old!r}")
+            if new in names:
+                raise DiffSyncSparkError(f"column {new!r} already exists")
+            return T.StructType([
+                T.StructField(new, f.dataType, f.nullable, f.metadata)
+                if f.name == old else f
+                for f in public.fields
+            ])
+
+        return self._schema_commit(mutate)
+
+    def drop_column(self, name: str) -> dict[str, Any]:
+        """Drop a payload column — METADATA-ONLY: files keep the bytes,
+        readers prune them; a column later re-added by schema evolution
+        gets a FRESH field id, so the dropped values never resurrect
+        (Iceberg drop semantics, pinned by test)."""
+        protected = set(self.model.identifiers) | set(
+            self.model.version_cols or ()
+        ) | set(self.model.parent_key or ())
+        if name in protected:
+            raise DiffSyncSparkError(
+                f"cannot drop {name!r}: identifier/version/bucketing "
+                "columns are the physical layout contract"
+            )
+
+        def mutate(public: T.StructType) -> T.StructType:
+            names = {f.name for f in public.fields}
+            if name not in names:
+                raise DiffSyncSparkError(f"no column {name!r}")
+            return T.StructType(
+                [f for f in public.fields if f.name != name]
+            )
+
+        return self._schema_commit(mutate)
 
     # -------------------------------------------------------------- branches
     def create_branch(self, name: str, version: int | None = None) -> int:
