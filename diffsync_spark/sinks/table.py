@@ -2066,11 +2066,14 @@ class SnapshotTable:
         return self.compact(buckets=over,
                             max_commit_retries=max_commit_retries)
 
-    def remove_orphans(self, min_versions_old: int = 1) -> dict[str, Any]:
+    def remove_orphans(self, min_versions_old: int = 1,
+                       dry_run: bool = False) -> dict[str, Any]:
         """Delete data/quarantine dirs referenced by NO retained manifest —
         the droppings of losing commit attempts and crashed writers (the
         Iceberg ``remove_orphan_files`` analog; each losing ``merge()``
         attempt leaves a whole ``v{N}-{sid}`` dir no manifest points at).
+        ``dry_run=True`` reports what would be deleted without touching
+        anything.
 
         Scope: only dirs matching the per-attempt ``v{N}-{sid}`` naming are
         candidates — legacy ``v{N}`` dirs (pre-suffix layout) are never
@@ -2138,9 +2141,11 @@ class SnapshotTable:
                     continue
                 if d not in live:
                     full = os.path.join(root, d)
-                    self.io.remove_dir(full)
+                    if not dry_run:
+                        self.io.remove_dir(full)
                     removed.append(full)
-        return {"removed_dirs": sorted(removed)}
+        key = "would_remove_dirs" if dry_run else "removed_dirs"
+        return {key: sorted(removed)}
 
     # ------------------------------------------------------------------ refs
     @property
@@ -2201,7 +2206,8 @@ class SnapshotTable:
         for _ in range(max_retries + 1):
             man = self._manifest()
             public = T.StructType.fromJson(json.loads(man["schema"]))
-            new_schema = mutate(public)
+            out = mutate(public, man)
+            new_schema, extra = out if isinstance(out, tuple) else (out, {})
             manifest = {
                 **man,
                 "version": self._next_version(man),
@@ -2210,6 +2216,7 @@ class SnapshotTable:
                 "schema": new_schema.json(),
                 "lineage": [],
                 "quarantine_dir": None,
+                **extra,
             }
             try:
                 self._commit(manifest, parent=man["version"])
@@ -2219,6 +2226,31 @@ class SnapshotTable:
             return {"version": manifest["version"],
                     "snapshot_id": manifest["snapshot_id"]}
         raise last_err  # type: ignore[misc]
+
+    def add_column(self, name: str, dtype: T.DataType) -> dict[str, Any]:
+        """Explicit ADD COLUMN (metadata-only; the implicit path is merge
+        schema evolution, which adds batch columns automatically). The new
+        column reads NULL from every existing file and gets a fresh field
+        id past the monotone counter."""
+
+        def mutate(public: T.StructType, man: dict):
+            if name in {f.name for f in public.fields}:
+                raise DiffSyncSparkError(f"column {name!r} already exists")
+            md, extra = None, {}
+            if _schema_has_ids(public):
+                nid = int(man.get("last_field_id")
+                          or max((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                                 for f in public.fields)) + 1
+                if nid > _MAX_USER_FIELD_ID:
+                    raise DiffSyncSparkError("field-id space exhausted")
+                md = {_FIELD_ID_KEY: nid}
+                extra = {"last_field_id": nid}
+            schema = T.StructType(
+                public.fields + [T.StructField(name, dtype, True, md)]
+            )
+            return schema, extra
+
+        return self._schema_commit(mutate)
 
     def rename_column(self, old: str, new: str) -> dict[str, Any]:
         """Rename a payload column — METADATA-ONLY (the Iceberg
@@ -2237,7 +2269,7 @@ class SnapshotTable:
                 "columns are the physical layout contract"
             )
 
-        def mutate(public: T.StructType) -> T.StructType:
+        def mutate(public: T.StructType, man: dict) -> T.StructType:
             if not _schema_has_ids(public):
                 raise DiffSyncSparkError(
                     "table predates field ids — rename unsupported (files "
@@ -2270,7 +2302,7 @@ class SnapshotTable:
                 "columns are the physical layout contract"
             )
 
-        def mutate(public: T.StructType) -> T.StructType:
+        def mutate(public: T.StructType, man: dict) -> T.StructType:
             names = {f.name for f in public.fields}
             if name not in names:
                 raise DiffSyncSparkError(f"no column {name!r}")

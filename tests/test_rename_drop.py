@@ -112,3 +112,30 @@ def test_evolution_added_column_gets_fresh_id_and_survives_rename(
     t.rename_column("score", "quality")
     rows = t.read().filter("conv_id = 'ec'").collect()
     assert rows[0].quality == 0.9
+
+
+def test_add_column_ddl_and_gc_dry_run(spark, tmp_path):
+    """Explicit ADD COLUMN: NULL from old files, fresh monotone field id,
+    immediately mergeable. remove_orphans(dry_run=) deletes nothing."""
+    t, _ = _table(spark, tmp_path)
+    from pyspark.sql import types as T
+
+    before_lfi = t._manifest()["last_field_id"]
+    t.add_column("score", T.DoubleType())
+    man = t._manifest()
+    assert man["last_field_id"] == before_lfi + 1
+    assert t.read().filter(F.col("score").isNotNull()).count() == 0
+    dt = datetime.datetime(2031, 1, 1)
+    t.merge(spark.createDataFrame(
+        [("ac", 0, "upsert", "user", "x", None, dt, 0.5)],
+        SCHEMA_NEW.replace("tool_name", "tool") + ", score double"),
+        checkpoint_id="c", batch_id=1)
+    assert t.read().filter("conv_id = 'ac'").collect()[0].score == 0.5
+    with pytest.raises(DiffSyncSparkError):
+        t.add_column("score", T.DoubleType())
+    # GC dry run: reports, touches nothing
+    import os
+    dirs_before = sorted(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+    rep = t.remove_orphans(dry_run=True)
+    assert "would_remove_dirs" in rep and "removed_dirs" not in rep
+    assert sorted(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) == dirs_before
