@@ -49,6 +49,7 @@ Design points for 100 TB:
 
 from __future__ import annotations
 
+import builtins
 import json
 import os
 import re
@@ -1515,6 +1516,32 @@ class SnapshotTable:
         )
         return self.merge(batch, checkpoint_id=checkpoint_id, batch_id=batch_id,
                           mode="force")
+
+    def update_where(self, predicate, set: "dict[str, Any]",
+                     checkpoint_id: str = "update_where",
+                     batch_id: int | None = None) -> dict[str, Any]:
+        """Set-based UPDATE (the Iceberg/Delta ``UPDATE ... WHERE``
+        analog): rewrite every live row matching ``predicate`` with the
+        ``set`` assignments (``{column: Column-or-SQL-string}``, evaluated
+        over the matched rows — referencing existing columns works, e.g.
+        ``{"val": F.col("val") * 2}``). Identifier columns cannot be
+        assigned (an identity change is a delete + create, by design).
+        Internally an authoritative force-merge of only the matched rows:
+        unmatched buckets are never rewritten."""
+        bad = set.keys() & builtins.set(self.model.identifiers)
+        if bad:
+            raise DiffSyncSparkError(
+                f"cannot update identifier columns {sorted(bad)}; "
+                "delete + re-create to change identity"
+            )
+        rows = self.read().filter(predicate)
+        for col, expr in set.items():
+            rows = rows.withColumn(
+                col, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        batch = rows.withColumn("op", F.lit("upsert"))
+        return self.merge(batch, checkpoint_id=checkpoint_id,
+                          batch_id=batch_id, mode="force")
 
     def version_as_of(self, ts: "datetime.datetime | int | float") -> int:
         """Latest retained snapshot committed at or before ``ts`` — the

@@ -1107,3 +1107,30 @@ def test_merge_expectations_column_predicate_and_base_contract(
     assert res["n_expectation_failed"] == 0  # base-contract failure wins
     q = table.quarantine_df()
     assert q.collect()[0]._status_reason == "null identifier"
+
+
+def test_update_where(spark, tmp_path, target_df):
+    """Set-based UPDATE: matched live rows rewritten in place, identifiers
+    protected, unmatched rows untouched."""
+    table = _bootstrap(spark, tmp_path, target_df)
+    before = table.read().count()
+    n_match = table.read().filter("role = 'assistant'").count()
+    assert 0 < n_match < before
+    res = table.update_where(
+        F.col("role") == "assistant",
+        set={"text": F.concat(F.lit("[A] "), F.col("text")),
+             "tool": "'annotated'"},  # str = SQL expression
+        batch_id=1,
+    )
+    assert res["n_update"] == n_match and res["n_create"] == 0
+    cur = table.read()
+    assert cur.count() == before
+    got = cur.filter("role = 'assistant'")
+    assert got.filter(~F.col("text").startswith("[A] ")).count() == 0
+    assert got.filter("tool <> 'annotated'").count() == 0
+    # untouched rows keep their text
+    assert cur.filter(
+        (F.col("role") != "assistant") & F.col("text").startswith("[A] ")
+    ).count() == 0
+    with pytest.raises(DiffSyncSparkError):
+        table.update_where("true", set={"conv_id": F.lit("x")})
