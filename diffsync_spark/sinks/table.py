@@ -80,6 +80,11 @@ _META_FIELD_IDS = {META_SEQ: 10_001, META_DELETED: 10_002,
                    META_COMMIT: 10_003}
 _MAX_USER_FIELD_ID = 10_000
 
+# names the engine owns — user columns (including DDL-added/renamed ones)
+# may never take them, or the next read/merge breaks on duplicates
+_RESERVED_COL_NAMES = {"op", "seq", META_SEQ, META_DELETED, META_COMMIT,
+                       BUCKET, SLOT, "__valid"}
+
 
 def _schema_has_ids(schema: T.StructType) -> bool:
     return any(_FIELD_ID_KEY in (f.metadata or {}) for f in schema.fields)
@@ -119,6 +124,9 @@ class SnapshotTable:
         # numbers are allocated past EVERY existing manifest, so a retry
         # can never ping-pong on a number another ref's writer took
         self._alloc_global = False
+        # cached max version number seen across ALL refs (None = never
+        # listed); see _next_version
+        self._version_floor = None
         # field-id column resolution (rename support) needs these even on
         # sessions not built by build_session; both are no-ops for
         # id-less schemas/files
@@ -145,19 +153,27 @@ class SnapshotTable:
         numbers are a SINGLE space shared by main and every branch (the
         exclusive manifest create arbitrates); when branches exist (or a
         conflict proved another writer is active), allocate past every
-        manifest on disk so two refs' writers can't fight over a number."""
+        manifest on disk so two refs' writers can't fight over a number.
+
+        The manifest-dir listing is CACHED: it runs on this handle's first
+        branched allocation and again only after a CommitConflict proved
+        the cached floor stale — steady-state commits pay no listing."""
         nxt = man["version"] + 1
         branched = self.ref != "main" or (
             self.io.exists(self._branches_dir)
             and bool(self.io.list_files(self._branches_dir))
         )
-        if branched or self._alloc_global:
-            taken = [
-                int(f[1:-5])
-                for f in self.io.list_files(self._manifest_dir)
-                if re.fullmatch(r"v\d+\.json", f)
-            ]
-            nxt = max(nxt, max(taken, default=0) + 1)
+        if branched or self._alloc_global or self._version_floor is not None:
+            if self._version_floor is None or self._alloc_global:
+                taken = [
+                    int(f[1:-5])
+                    for f in self.io.list_files(self._manifest_dir)
+                    if re.fullmatch(r"v\d+\.json", f)
+                ]
+                self._version_floor = max(taken, default=0)
+                self._alloc_global = False
+            nxt = max(nxt, self._version_floor + 1)
+            self._version_floor = nxt  # claim it for this handle
         return nxt
 
     def current_version(self) -> int:
@@ -847,8 +863,7 @@ class SnapshotTable:
         # type keeps the stored type and the cast yields NULLs (visible in
         # the data, never a corrupted file).
         known = {f.name for f in public.fields}
-        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid",
-                    "__exp_fail"}
+        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid"}
         batch_types = {f.name: f.dataType for f in batch.schema.fields}
         _INTS = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
         _FLOATS = [T.FloatType, T.DoubleType]
@@ -881,7 +896,7 @@ class SnapshotTable:
             next_id = int(man.get("last_field_id")
                           or max((f.metadata or {}).get(_FIELD_ID_KEY, 0)
                                  for f in public.fields)) + 1
-            if next_id + len(new_fields) > _MAX_USER_FIELD_ID:
+            if next_id + len(new_fields) - 1 > _MAX_USER_FIELD_ID:
                 raise DiffSyncSparkError("field-id space exhausted")
             new_fields = [
                 T.StructField(f.name, f.dataType, True,
@@ -1503,19 +1518,45 @@ class SnapshotTable:
             mode="force",
         )
 
+    def _apply_where(self, build_batch, checkpoint_id: str,
+                     batch_id: int | None,
+                     max_commit_retries: int = 5) -> dict[str, Any]:
+        """Force-apply a predicate-derived batch with SAFE conflict
+        retries: ``build_batch()`` re-reads the CURRENT snapshot on every
+        attempt, so a concurrent commit between our read and our commit
+        re-evaluates the predicate against the winner's state instead of
+        force-overwriting it with rows computed from a stale snapshot
+        (merge()'s internal rebase replays the same batch, which is
+        convergent for LWW but NOT for authoritative force batches)."""
+        last_err: Exception | None = None
+        for _ in range(max_commit_retries + 1):
+            try:
+                return self.merge(
+                    build_batch(), checkpoint_id=checkpoint_id,
+                    batch_id=batch_id, mode="force", max_commit_retries=0,
+                )
+            except CommitConflict as e:
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
     def delete_where(self, predicate, checkpoint_id: str = "delete_where",
                      batch_id: int | None = None) -> dict[str, Any]:
         """Set-based cascade delete (reference ``store.remove`` with
         ``remove_children``, ``store/__init__.py:84-116`` / M10-M13):
-        tombstone every live row matching ``predicate``."""
-        victims = self.read().filter(predicate)
-        batch = victims.select(
-            *self.model.identifiers,
-            F.lit("delete").alias("op"),
-            *[F.col(c) for c in victims.columns if c not in self.model.identifiers],
-        )
-        return self.merge(batch, checkpoint_id=checkpoint_id, batch_id=batch_id,
-                          mode="force")
+        tombstone every live row matching ``predicate``. Concurrent-writer
+        safe: a lost commit race re-evaluates the predicate against the
+        winner's snapshot (see :meth:`_apply_where`)."""
+
+        def build_batch():
+            victims = self.read().filter(predicate)
+            return victims.select(
+                *self.model.identifiers,
+                F.lit("delete").alias("op"),
+                *[F.col(c) for c in victims.columns
+                  if c not in self.model.identifiers],
+            )
+
+        return self._apply_where(build_batch, checkpoint_id, batch_id)
 
     def update_where(self, predicate, set: "dict[str, Any]",
                      checkpoint_id: str = "update_where",
@@ -1527,21 +1568,24 @@ class SnapshotTable:
         ``{"val": F.col("val") * 2}``). Identifier columns cannot be
         assigned (an identity change is a delete + create, by design).
         Internally an authoritative force-merge of only the matched rows:
-        unmatched buckets are never rewritten."""
+        unmatched buckets are never rewritten. Concurrent-writer safe: a
+        lost commit race re-reads and re-evaluates the assignments against
+        the winner's snapshot (see :meth:`_apply_where`)."""
         bad = set.keys() & builtins.set(self.model.identifiers)
         if bad:
             raise DiffSyncSparkError(
                 f"cannot update identifier columns {sorted(bad)}; "
                 "delete + re-create to change identity"
             )
-        rows = self.read().filter(predicate)
-        for col, expr in set.items():
-            rows = rows.withColumn(
-                col, F.expr(expr) if isinstance(expr, str) else expr
-            )
-        batch = rows.withColumn("op", F.lit("upsert"))
-        return self.merge(batch, checkpoint_id=checkpoint_id,
-                          batch_id=batch_id, mode="force")
+        def build_batch():
+            rows = self.read().filter(predicate)
+            for col, expr in set.items():
+                rows = rows.withColumn(
+                    col, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            return rows.withColumn("op", F.lit("upsert"))
+
+        return self._apply_where(build_batch, checkpoint_id, batch_id)
 
     def version_as_of(self, ts: "datetime.datetime | int | float") -> int:
         """Latest retained snapshot committed at or before ``ts`` — the
@@ -1561,7 +1605,10 @@ class SnapshotTable:
         else:                 # epoch micros
             want_us = int(ts)
         best = None
-        for v in range(self.current_version(), 0, -1):
+        # walk THIS ref's ancestry chain, not the shared number space —
+        # main time-travel must never resolve to an unpublished branch
+        # snapshot that happens to carry an in-between version number
+        for v in sorted(self._chain(self.current_version()), reverse=True):
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
@@ -1569,7 +1616,7 @@ class SnapshotTable:
             at = man.get("committed_at")
             if at is not None and at <= want_us:
                 best = v
-                break  # versions are monotone in commit time
+                break  # the chain is monotone in commit time
         if best is None:
             raise DiffSyncSparkError(
                 f"no retained snapshot committed at or before {ts!r}"
@@ -1626,7 +1673,10 @@ class SnapshotTable:
         Driver-side metadata only (one small JSON per retained version)."""
         rows = []
         cur = self.current_version()
-        for v in sorted(self._chain(cur)):  # this ref's ancestry only
+        # this ref's ancestry, plus retention-proof tagged snapshots that
+        # sit beyond an expiry gap the chain walk cannot cross
+        listed = sorted(set(self._chain(cur)) | set(self.tags().values()))
+        for v in listed:
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
@@ -1674,7 +1724,8 @@ class SnapshotTable:
         T6; versions dropped by ``expire_snapshots`` are skipped)."""
         rows = []
         cur = self.current_version()
-        for v in sorted(self._chain(cur)):  # this ref's ancestry only
+        listed = sorted(set(self._chain(cur)) | set(self.tags().values()))
+        for v in listed:
             try:
                 man = self._manifest(v)
             except FileNotFoundError:
@@ -2261,6 +2312,10 @@ class SnapshotTable:
         id past the monotone counter."""
 
         def mutate(public: T.StructType, man: dict):
+            if name in _RESERVED_COL_NAMES:
+                raise DiffSyncSparkError(
+                    f"{name!r} is a reserved engine column name"
+                )
             if name in {f.name for f in public.fields}:
                 raise DiffSyncSparkError(f"column {name!r} already exists")
             md, extra = None, {}
@@ -2307,6 +2362,10 @@ class SnapshotTable:
                 raise DiffSyncSparkError(f"no column {old!r}")
             if new in names:
                 raise DiffSyncSparkError(f"column {new!r} already exists")
+            if new in _RESERVED_COL_NAMES:
+                raise DiffSyncSparkError(
+                    f"{new!r} is a reserved engine column name"
+                )
             return T.StructType([
                 T.StructField(new, f.dataType, f.nullable, f.metadata)
                 if f.name == old else f
@@ -2483,7 +2542,17 @@ class SnapshotTable:
         files with newer ones — only the exclusively-referenced ones are
         deleted. Time travel to an expired version then raises; current
         reads, lineage (of retained versions), checkpoints, and incremental
-        ``changes()`` between retained versions are unaffected."""
+        ``changes()`` between retained versions are unaffected.
+
+        Main-handle only: version numbers are shared across refs, so a
+        branch handle's (higher) head would compute a cutoff that sweeps
+        past MAIN's current manifest and delete it — retention is a
+        table-level admin operation, run it from the main ref."""
+        if self.ref != "main":
+            raise DiffSyncSparkError(
+                "expire_snapshots() must run on the main handle (a branch "
+                "head's version number would miscompute the cutoff)"
+            )
         if keep_last < 1:
             raise DiffSyncSparkError("keep_last must be >= 1")
         cur = self.current_version()

@@ -237,3 +237,98 @@ def test_pipe_aggregate_redelivered_hop_is_exactly_once(spark, tmp_path):
         checkpoint_id="roll", batch_id=up.current_version(),
     )
     assert r["skipped"]  # already applied under this (checkpoint, batch)
+
+
+# ------------------------------------------------- review-fix regressions
+def test_expire_refuses_branch_handle(spark, tmp_path):
+    """A branch head's (higher) version number would sweep main's current
+    manifest past the cutoff — retention is main-handle-only."""
+    t = _table(spark, tmp_path, n_convs=10)
+    t.create_branch("b")
+    br = t.branch("b")
+    for i in range(4):
+        br.merge(_upsert_batch(spark, f"b{i}", 0, "x"),
+                 checkpoint_id="bb", batch_id=i + 1)
+    with pytest.raises(DiffSyncSparkError, match="main handle"):
+        br.expire_snapshots(keep_last=2)
+    # main stays fully readable
+    assert t.read().count() > 0
+
+
+def test_time_travel_never_resolves_to_branch_snapshots(spark, tmp_path):
+    """version_as_of walks the ref's ancestry chain: an unpublished branch
+    commit carrying an in-between version number must be invisible to
+    main time travel (WAP isolation)."""
+    import time as _time
+
+    t = _table(spark, tmp_path, n_convs=10)
+    t.create_branch("b")
+    br = t.branch("b")
+    br.merge(_upsert_batch(spark, "staged", 0, "x"),
+             checkpoint_id="bb", batch_id=1)
+    branch_head = br.current_version()
+    _time.sleep(0.01)
+    after_branch_commit_us = __import__("time").time_ns() // 1_000
+    t.merge(_upsert_batch(spark, "mainrow", 0, "y"),
+            checkpoint_id="mm", batch_id=1)
+    # a timestamp between the branch commit and main's next commit must
+    # resolve to main's OLD head, never the branch snapshot
+    v = t.version_as_of(after_branch_commit_us)
+    assert v != branch_head
+    assert t.read(v).filter("conv_id = 'staged'").count() == 0
+    # the branch handle still time-travels its own chain
+    assert br.version_as_of(after_branch_commit_us) == branch_head
+
+
+def test_ddl_rejects_reserved_names(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    t = _table(spark, tmp_path, n_convs=5)
+    for bad in ("_seq", "_deleted", "__commit", "_bucket", "__slot", "op"):
+        with pytest.raises(DiffSyncSparkError, match="reserved"):
+            t.add_column(bad, T.StringType())
+        with pytest.raises(DiffSyncSparkError):
+            t.rename_column("text", bad)
+    # table still healthy
+    assert t.read().count() > 0
+
+
+def test_update_where_reevaluates_on_commit_conflict(spark, tmp_path):
+    """A concurrent commit landing between update_where's read and its
+    commit must NOT be overwritten by stale force rows: the predicate and
+    assignments re-evaluate against the winner's snapshot."""
+    from diffsync_spark.sinks.fsio import RacingCommitIO
+    from diffsync_spark.fixtures import gen_source
+
+    df = spark.createDataFrame(gen_source(n_convs=10, seed=7))
+    path = str(tmp_path / "t")
+    t_boot = SnapshotTable.create(
+        spark, path, TRANSCRIPT_MODEL, schema=df.schema, n_buckets=2,
+    )
+    t_boot.merge(df.withColumn("op", F.lit("insert")), mode="force",
+                 checkpoint_id="boot", batch_id=0)
+    key = df.first()
+    other = SnapshotTable.load(spark, path, TRANSCRIPT_MODEL)
+
+    def interloper():
+        # concurrent writer flips the row's text AFTER updater's read
+        other.merge(_upsert_batch(spark, key.conv_id, key.turn_idx,
+                                  "winner", ts="2032-01-01 00:00:00"),
+                    checkpoint_id="w", batch_id=1)
+
+    racing = SnapshotTable.load(
+        spark, path, TRANSCRIPT_MODEL,
+        io=RacingCommitIO(interloper, races=1),
+    )
+    racing.update_where(
+        (F.col("conv_id") == key.conv_id)
+        & (F.col("turn_idx") == key.turn_idx),
+        set={"text": "concat(text, '!')"},
+        batch_id=2,
+    )
+    row = t_boot.read().filter(
+        (F.col("conv_id") == key.conv_id)
+        & (F.col("turn_idx") == key.turn_idx)
+    ).collect()[0]
+    # the retry re-read the winner's text: result composes, not clobbers
+    assert row.text == "winner!"
