@@ -106,6 +106,35 @@ def main() -> None:
     print("rebucket:", table.rebucket(32))
     print("lookup in the new layout:",
           table.lookup(("conv0", 0))["text"])
+
+    # 10) schema evolution beyond add-column: rename is METADATA-ONLY
+    #     (stable field ids — every existing file resolves under the new
+    #     name), drop prunes at read, and a re-added name never
+    #     resurrects dropped values
+    from pyspark.sql import types as T
+
+    table.rename_column("tool", "tool_name")
+    table.add_column("quality", T.DoubleType())
+    print("after rename+add:", table.read().columns)
+
+    # 11) set-based corrections without hand-built changelogs
+    table.update_where("role = 'user' AND quality IS NULL",
+                       set={"quality": "0.5"})
+    print("update_where filled:",
+          table.read().filter("quality = 0.5").count(), "rows")
+
+    # 12) data contracts on ingest: a malformed batch quarantines with a
+    #     NAMED reason instead of poisoning the table
+    bad = spark.createDataFrame(
+        [("conv0", 999, "upsert", "user", "", None,
+          t0 + datetime.timedelta(days=400), None)],
+        "conv_id string, turn_idx int, op string, role string, "
+        "text string, tool_name string, ts timestamp, quality double",
+    )
+    res = table.merge(bad, checkpoint_id="contract", batch_id=0,
+                      expectations={"text_nonempty": "length(text) > 0"})
+    print("contract violations:", res["n_expectation_failed"],
+          "| reason:", table.quarantine_df().first()._status_reason)
     spark.stop()
 
 
