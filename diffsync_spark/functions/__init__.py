@@ -50,6 +50,13 @@ from diffsync_spark.functions.assemble import (
     pack_sequences,
 )
 from diffsync_spark.functions.decontaminate import flag_exact, flag_ngram_overlap
+from diffsync_spark.functions.multimodal import (
+    decode_assets,
+    fake_assets,
+    frame_sample,
+    frame_sample_plan,
+)
+from diffsync_spark.functions.mp4 import parse_mp4, sample_video_frames
 from diffsync_spark.functions.profile import profile
 
 __all__ = [
@@ -58,6 +65,12 @@ __all__ = [
     "pack_sequences",
     "flag_exact",
     "flag_ngram_overlap",
+    "decode_assets",
+    "fake_assets",
+    "frame_sample",
+    "frame_sample_plan",
+    "parse_mp4",
+    "sample_video_frames",
     "profile",
     "filter_top_fraction",
     "hash_sample",
