@@ -417,3 +417,28 @@ def test_wal2json_is_pure_projection(spark):
     raw = spark.createDataFrame([("x",)], "value string")
     plan = from_wal2json(raw, MODEL, ROW)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_from_kafka_wal2json_envelope(spark):
+    """wal2json rides the Kafka transport like the other formats: offset
+    becomes the LWW tiebreak; seq_source='envelope' keeps the LSN."""
+    from diffsync_spark.sources.cdc_formats import from_kafka
+
+    ts = "2024-06-01 12:00:00.000000+00"
+    rows = [
+        (_w2j("I", 1, 10, "click", 1.5, ts, "0/A0").encode(), 0, 500),
+        (_w2j("D", 1, 10, "click", None, ts, "0/B0",
+              image_key="identity").encode(), 0, 501),
+        ('{"action":"B","lsn":"0/C0"}'.encode(), 0, 502),  # filtered
+    ]
+    raw = spark.createDataFrame(
+        rows, "value binary, partition int, offset long"
+    )
+    out = from_kafka(raw, MODEL, ROW, envelope="wal2json").collect()
+    assert len(out) == 2  # begin marker filtered
+    by_seq = {r.seq: r for r in out}
+    assert by_seq[500].op == "insert" and by_seq[500].val == 1.5
+    assert by_seq[501].op == "delete" and by_seq[501].user_id == 1
+    env = from_kafka(raw, MODEL, ROW, envelope="wal2json",
+                     seq_source="envelope").collect()
+    assert {r.seq for r in env} == {0xA0, 0xB0}
