@@ -197,9 +197,23 @@ class SnapshotTable:
         is no longer always the parent (chain walkers fall back to it for
         pre-branch manifests).
 
-        Raises :class:`CommitConflict` when another writer committed the same
-        version first — ``merge()``/``compact()`` catch it and rebase against
-        the new snapshot (optimistic concurrency, the Iceberg commit loop)."""
+        **Arbitration is on the PARENT, not the version number**: before
+        writing the manifest, the committer claims the per-ref SUCCESSOR
+        TOKEN ``.next-<ref>-v<parent>`` with an exclusive create — only
+        one successor of a given base can ever commit on a ref, no matter
+        what version numbers the writers allocated. (Number-collision
+        arbitration alone is insufficient once numbers can diverge: two
+        same-ref writers holding different numbers would both commit, and
+        the later full-listing manifest would silently drop the earlier
+        writer's files.) Crash recovery: a token whose manifest exists but
+        whose pointer never swung is ROLLED FORWARD by the next conflicting
+        writer; a token whose manifest never appeared is reaped after a
+        staleness horizon.
+
+        Raises :class:`CommitConflict` when another writer claimed the
+        successor slot (or the version number) first — ``merge()``/
+        ``compact()`` catch it and rebase against the new snapshot
+        (optimistic concurrency, the Iceberg commit loop)."""
         version = manifest["version"]
         if parent is not None:
             manifest["parent"] = parent
@@ -208,16 +222,70 @@ class SnapshotTable:
         # commit wall clock (epoch micros) — the single choke point stamps
         # every snapshot (create/merge/compact/expire), enabling
         # version_as_of()/read_as_of() wall-clock time travel
-        manifest["committed_at"] = time.time_ns() // 1_000
+        now_us = time.time_ns() // 1_000
+        manifest["committed_at"] = now_us
+        token = (
+            os.path.join(self._manifest_dir, f".next-{self.ref}-v{parent}")
+            if parent is not None else None
+        )
+        if token is not None:
+            try:
+                self.io.write_exclusive(token, f"{version} {now_us}")
+            except FileExistsError as e:
+                self._handle_taken_token(token, parent)
+                self._alloc_global = True
+                raise CommitConflict(
+                    f"v{parent} already has a committed successor on "
+                    f"ref {self.ref!r}"
+                ) from e
         target = os.path.join(self._manifest_dir, f"v{version}.json")
         try:
             self.io.write_exclusive(target, json.dumps(manifest, default=str))
         except FileExistsError as e:
-            self._alloc_global = True  # someone else is allocating numbers
+            # number taken by ANOTHER ref's writer: release our successor
+            # slot (we are aborting) and rebase with a fresh number
+            if token is not None:
+                self.io.remove_file(token)
+            self._alloc_global = True
             raise CommitConflict(
                 f"snapshot v{version} already committed by a concurrent writer"
             ) from e
         self.io.write_atomic(self._current_path, str(version))
+
+    # how long an orphaned successor token (writer died between claiming
+    # the slot and writing its manifest) blocks the slot before the next
+    # writer reaps it; long enough that a LIVE writer's microsecond
+    # token→manifest gap can never be mistaken for a corpse
+    _TOKEN_STALE_US = 60_000_000
+
+    def _handle_taken_token(self, token: str, parent: int) -> None:
+        """A successor slot was already claimed. Recover the two crash
+        shapes: (a) winner wrote its manifest but died before the pointer
+        swing → complete the swing; (b) winner died before writing any
+        manifest → after the staleness horizon, reap the token so the slot
+        frees up. Everything else is a plain conflict (the caller rebases
+        and will see the winner's commit)."""
+        try:
+            txt = self.io.read_text(token).split()
+            winner, t_us = int(txt[0]), int(txt[1])
+        except (FileNotFoundError, ValueError, IndexError):
+            return
+        try:
+            cur = self.current_version()
+        except FileNotFoundError:
+            return
+        if cur != parent:
+            return  # the winner's swing already happened; normal conflict
+        wpath = os.path.join(self._manifest_dir, f"v{winner}.json")
+        if self.io.exists(wpath):
+            # crashed between manifest write and pointer swing: roll the
+            # winner forward so the ref isn't stuck on a committed-but-
+            # unpublished snapshot
+            self.io.write_atomic(self._current_path, str(winner))
+        elif time.time_ns() // 1_000 - t_us > self._TOKEN_STALE_US:
+            # the winner never produced a manifest and is long dead —
+            # free the slot (a live writer's token is microseconds old)
+            self.io.remove_file(token)
 
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._manifest(version)["schema"]))
@@ -2597,6 +2665,15 @@ class SnapshotTable:
                 os.path.join(self._manifest_dir, f"v{v}.json")
             )
             expired.append(v)
+        # successor tokens of expired bases serve no further arbitration
+        for f in self.io.list_files(self._manifest_dir):
+            if f.startswith(".next-"):
+                try:
+                    base = int(f.rsplit("-v", 1)[1])
+                except (ValueError, IndexError):
+                    continue
+                if base < cutoff:
+                    self.io.remove_file(os.path.join(self._manifest_dir, f))
         return {"expired_versions": expired, "removed_files": n_removed}
 
 def diff_to_batch(diff_df: DataFrame, model: ModelSchema) -> DataFrame:

@@ -332,3 +332,76 @@ def test_update_where_reevaluates_on_commit_conflict(spark, tmp_path):
     ).collect()[0]
     # the retry re-read the winner's text: result composes, not clobbers
     assert row.text == "winner!"
+
+
+# --------------------------------------------- successor-token commit CAS
+def test_commit_token_blocks_divergent_numbered_writers(spark, tmp_path):
+    """Two same-ref writers holding DIFFERENT version numbers must still
+    collide: arbitration is the per-ref successor token, not the number.
+    (Regression for the lost-update bug where a second writer with a
+    pre-claimed higher number committed a manifest that silently dropped
+    the first writer's files.)"""
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    # a second handle whose allocator starts from a DIVERGED floor
+    other = SnapshotTable.load(spark, str(tmp_path / "t"), TRANSCRIPT_MODEL)
+    other._version_floor = base + 7
+    r1 = t.merge(_upsert_batch(spark, "w1", 0, "a"),
+                 checkpoint_id="c1", batch_id=1)
+    r2 = other.merge(_upsert_batch(spark, "w2", 0, "b"),
+                     checkpoint_id="c2", batch_id=1)
+    assert not r1["skipped"] and not r2["skipped"]
+    cur = t.read()
+    # BOTH writers' rows present: the later commit rebased, not clobbered
+    assert cur.filter("conv_id = 'w1'").count() == 1
+    assert cur.filter("conv_id = 'w2'").count() == 1
+
+
+def test_crashed_commit_rolls_forward(spark, tmp_path):
+    """A writer that died between manifest write and pointer swing leaves
+    a token + manifest; the next writer completes the swing and rebases
+    on top of the recovered commit."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    man = t._manifest(base)
+    ghost_v = base + 5
+    ghost = {**man, "version": ghost_v, "parent": base,
+             "snapshot_id": "ghost" + "0" * 27,
+             "parent_snapshot_id": man["snapshot_id"]}
+    mdir = t._manifest_dir
+    t.io.write_exclusive(_os.path.join(mdir, f"v{ghost_v}.json"),
+                         _json.dumps(ghost, default=str))
+    t.io.write_exclusive(
+        _os.path.join(mdir, f".next-main-v{base}"),
+        f"{ghost_v} {_time.time_ns() // 1_000}",
+    )
+    assert t.current_version() == base  # the swing never happened
+    r = t.merge(_upsert_batch(spark, "after-crash", 0, "x"),
+                checkpoint_id="c", batch_id=1)
+    assert not r["skipped"]
+    assert t.current_version() > ghost_v        # committed ON TOP of ghost
+    assert ghost_v in t._chain(t.current_version())
+    assert t.read().filter("conv_id = 'after-crash'").count() == 1
+
+
+def test_stale_token_without_manifest_is_reaped(spark, tmp_path):
+    """A writer that died before writing any manifest leaves only a stale
+    token; once past the staleness horizon the slot frees up and commits
+    proceed."""
+    import os as _os
+
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    old_us = 1_000_000  # epoch 1970: ancient
+    t.io.write_exclusive(
+        _os.path.join(t._manifest_dir, f".next-main-v{base}"),
+        f"{base + 9} {old_us}",
+    )
+    r = t.merge(_upsert_batch(spark, "alive", 0, "x"),
+                checkpoint_id="c", batch_id=1)
+    assert not r["skipped"]
+    assert t.read().filter("conv_id = 'alive'").count() == 1
