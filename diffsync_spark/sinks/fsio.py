@@ -48,6 +48,35 @@ class LocalCommitIO:
             f.write(text)
         os.replace(tmp, path)
 
+    def compare_and_swap(self, path: str, expected: str, new: str) -> bool:
+        """Atomically replace ``path`` with ``new`` ONLY if its current
+        content equals ``expected``; returns whether the swap happened.
+        This is the ref-pointer swing primitive: a stale writer (crash
+        roll-forward, reaped-token survivor) must never move the pointer
+        off a state it didn't observe. Object-store analog: DynamoDB
+        conditional update / Nessie commit — a native CAS, no lock file.
+
+        Locally, a dot-prefixed sidecar lock (``.<name>.ptrlock`` next to
+        the pointer, never replaced so flock stays attached to one inode)
+        serializes read-compare-replace across processes."""
+        import fcntl
+
+        d, base = os.path.split(path)
+        lock = os.path.join(d, f".{base}.ptrlock")
+        with open(lock, "a+") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                try:
+                    cur = self.read_text(path).strip()
+                except FileNotFoundError:
+                    return False
+                if cur != expected.strip():
+                    return False
+                self.write_atomic(path, new)
+                return True
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
+
     def makedirs(self, path: str, exist_ok: bool = True) -> None:
         os.makedirs(path, exist_ok=exist_ok)
 
@@ -114,8 +143,19 @@ class InMemoryManifestIO(LocalCommitIO):
     shape of an object-store catalog backend). Used by tests."""
 
     def __init__(self) -> None:
+        import threading
+
         self.blobs: dict[str, str] = {}
         self.dirs: set[str] = set()
+        self._cas_lock = threading.Lock()
+
+    def compare_and_swap(self, path: str, expected: str, new: str) -> bool:
+        with self._cas_lock:
+            cur = self.blobs.get(path)
+            if cur is None or cur.strip() != expected.strip():
+                return False
+            self.blobs[path] = new
+            return True
 
     def read_text(self, path: str) -> str:
         if path not in self.blobs:

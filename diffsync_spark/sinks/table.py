@@ -161,7 +161,8 @@ class SnapshotTable:
         nxt = man["version"] + 1
         branched = self.ref != "main" or (
             self.io.exists(self._branches_dir)
-            and bool(self.io.list_files(self._branches_dir))
+            and any(not f.startswith(".")  # ignore CAS .ptrlock sidecars
+                    for f in self.io.list_files(self._branches_dir))
         )
         if branched or self._alloc_global or self._version_floor is not None:
             if self._version_floor is None or self._alloc_global:
@@ -250,7 +251,53 @@ class SnapshotTable:
             raise CommitConflict(
                 f"snapshot v{version} already committed by a concurrent writer"
             ) from e
-        self.io.write_atomic(self._current_path, str(version))
+        if parent is None:
+            # table create: the pointer doesn't exist yet, nothing to race
+            self.io.write_atomic(self._current_path, str(version))
+            return
+        # ---- fenced pointer swing. The staleness reap makes the successor
+        # token a LEASE, not a lock: a writer stalled past _TOKEN_STALE_US
+        # between token claim and manifest write (GC pause, object-store
+        # retry storm) can have its token reaped and a second successor of
+        # the same parent committed. Re-read the token immediately before
+        # the swing and abort if it no longer names this writer's version —
+        # the manifest we just wrote is removed so no later roll-forward
+        # can resurrect it. (Residual window: a reap between this check and
+        # the CAS below; the CAS then fails closed because the pointer has
+        # moved, or the chain check catches it.)
+        try:
+            tok_winner = int(self.io.read_text(token).split()[0])
+        except (FileNotFoundError, ValueError, IndexError):
+            tok_winner = None
+        if tok_winner != version:
+            self.io.remove_file(target)
+            self._alloc_global = True
+            raise CommitConflict(
+                f"successor token for v{parent} on ref {self.ref!r} was "
+                f"reaped while this writer stalled — another successor may "
+                f"have committed; rebase and retry"
+            )
+        # CAS, not a blind replace: the pointer must still be at `parent`.
+        # If it moved, the ONLY legitimate mover is a crash roll-forward of
+        # THIS commit (a conflicting writer saw token+manifest and swung it
+        # for us, possibly with further commits already on top) — verify by
+        # walking the ref's chain back to parent; our version being in it
+        # means we are committed. Anything else is a protocol violation →
+        # conflict, fail closed.
+        if not self.io.compare_and_swap(
+            self._current_path, str(parent), str(version)
+        ):
+            cur = self.current_version()
+            if cur != version and version not in self._chain(
+                cur, stop_after=parent
+            ):
+                self.io.remove_file(target)
+                self.io.remove_file(token)
+                self._alloc_global = True
+                raise CommitConflict(
+                    f"ref {self.ref!r} moved off v{parent} without adopting "
+                    f"v{version} — concurrent successor won; rebase and retry"
+                )
 
     # how long an orphaned successor token (writer died between claiming
     # the slot and writing its manifest) blocks the slot before the next
@@ -280,8 +327,15 @@ class SnapshotTable:
         if self.io.exists(wpath):
             # crashed between manifest write and pointer swing: roll the
             # winner forward so the ref isn't stuck on a committed-but-
-            # unpublished snapshot
-            self.io.write_atomic(self._current_path, str(winner))
+            # unpublished snapshot. CAS, not a blind replace — between the
+            # cur==parent check above and this write the live winner (or a
+            # successor of it) may have advanced the pointer, and a blind
+            # replace would move the ref BACKWARDS past committed
+            # snapshots. If the pointer moved, the roll-forward already
+            # happened (or is moot) — skip.
+            self.io.compare_and_swap(
+                self._current_path, str(parent), str(winner)
+            )
         elif time.time_ns() // 1_000 - t_us > self._TOKEN_STALE_US:
             # the winner never produced a manifest and is long dead —
             # free the slot (a live writer's token is microseconds old)
@@ -931,7 +985,10 @@ class SnapshotTable:
         # type keeps the stored type and the cast yields NULLs (visible in
         # the data, never a corrupted file).
         known = {f.name for f in public.fields}
-        reserved = {"op", "seq", META_SEQ, META_DELETED, BUCKET, "__valid"}
+        # the same engine-owned names DDL (add_column/rename_column) blocks:
+        # a batch column named __commit/__slot must NOT be evolution-added as
+        # a user column or it collides with the MoR fold's internal columns
+        reserved = set(_RESERVED_COL_NAMES)
         batch_types = {f.name: f.dataType for f in batch.schema.fields}
         _INTS = [T.ByteType, T.ShortType, T.IntegerType, T.LongType]
         _FLOATS = [T.FloatType, T.DoubleType]
@@ -2475,7 +2532,7 @@ class SnapshotTable:
         audit passes. Branch commits share the table's data layout, commit
         protocol, and version-number space (exclusive manifest create
         arbitrates across refs); only the pointer differs."""
-        if not re.fullmatch(r"[A-Za-z0-9._\-]{1,128}", name):
+        if not re.fullmatch(r"[A-Za-z0-9._\-]{1,128}", name) or name.startswith("."):
             raise DiffSyncSparkError(f"invalid branch name {name!r}")
         if version is None:
             version = self.current_version()
@@ -2514,17 +2571,32 @@ class SnapshotTable:
             n: int(self.io.read_text(
                 os.path.join(self._branches_dir, n)).strip())
             for n in self.io.list_files(self._branches_dir)
+            if not n.startswith(".")  # skip CAS .ptrlock sidecars
         }
 
     def delete_branch(self, name: str) -> None:
-        """Drop the branch pointer. Its commits' manifests stay on disk
-        (retention/GC reclaims unpublished data in time); number
-        allocation stays conflict-safe because any collision flips
-        writers to global allocation."""
+        """Drop the branch pointer AND purge the branch's successor tokens.
+        Its commits' manifests stay on disk (retention/GC reclaims
+        unpublished data in time); number allocation stays conflict-safe
+        because any collision flips writers to global allocation.
+
+        The token purge matters: tokens are keyed ``.next-<ref>-v<base>``,
+        so recreating a branch with the same name at the same base (the
+        documented audit-failure recovery) would otherwise hit the DELETED
+        incarnation's stale token and the conflict handler would roll the
+        fresh branch's pointer to the dead branch's head — resurrecting
+        discarded data. Deleting a branch while its writers are still
+        committing is undefined (a racing writer can mint a new token after
+        the purge); quiesce the branch first."""
         path = os.path.join(self._branches_dir, name)
         if not self.io.exists(path):
             raise DiffSyncSparkError(f"no branch {name!r}")
         self.io.remove_file(path)
+        tok_pat = re.compile(rf"\.next-{re.escape(name)}-v\d+")
+        for f in self.io.list_files(self._manifest_dir):
+            if tok_pat.fullmatch(f):
+                self.io.remove_file(os.path.join(self._manifest_dir, f))
+        self.io.remove_file(os.path.join(self._branches_dir, f".{name}.ptrlock"))
 
     def _chain(self, head: int, stop_after: int = 0) -> "list[int]":
         """Version numbers along the parent chain from ``head`` down to
@@ -2572,10 +2644,20 @@ class SnapshotTable:
             if pub and pub.get("branch") == name and pub.get("version") == head:
                 return {"skipped": True, "version": main_cur}
             chain = self._chain(head, stop_after=main_cur)
-            parent_of_last = (
-                int(self._manifest(chain[-1]).get("parent", chain[-1] - 1))
-                if chain else head
-            )
+            try:
+                parent_of_last = (
+                    int(self._manifest(chain[-1]).get("parent", chain[-1] - 1))
+                    if chain else head
+                )
+            except FileNotFoundError:
+                # _chain() appends a version BEFORE reading its manifest, so
+                # an expired manifest mid-chain surfaces here — the ancestry
+                # between main and the branch head can no longer be proven
+                raise CommitConflict(
+                    f"branch {name!r} (v{head}) ancestry to main v{main_cur} "
+                    f"contains expired manifests — cannot verify "
+                    f"fast-forward; cut a fresh branch and re-run the audit"
+                ) from None
             if not chain or parent_of_last != main_cur:
                 raise CommitConflict(
                     f"branch {name!r} (v{head}) does not descend from main "

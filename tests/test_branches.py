@@ -405,3 +405,169 @@ def test_stale_token_without_manifest_is_reaped(spark, tmp_path):
                 checkpoint_id="c", batch_id=1)
     assert not r["skipped"]
     assert t.read().filter("conv_id = 'alive'").count() == 1
+
+
+def test_deleted_branch_tokens_are_purged_no_resurrection(spark, tmp_path):
+    """Recreating a branch with the same name at the same base (the
+    documented audit-failure recovery) must start CLEAN: the deleted
+    incarnation's successor tokens are purged by delete_branch, so the
+    fresh branch's first commit can't be rolled forward onto the dead
+    branch's head, resurrecting rejected data."""
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    t.create_branch("audit", version=base)
+    br = t.branch("audit")
+    br.merge(_upsert_batch(spark, "rejected-row", 0, "bad data"),
+             checkpoint_id="ingest", batch_id=1)
+    assert br.read().filter("conv_id = 'rejected-row'").count() == 1
+
+    # audit fails → drop the branch, cut a fresh one at the SAME base
+    t.delete_branch("audit")
+    t.create_branch("audit", version=base)
+    br2 = t.branch("audit")
+    r = br2.merge(_upsert_batch(spark, "good-row", 0, "clean data"),
+                  checkpoint_id="ingest2", batch_id=1)
+    assert not r["skipped"]
+    got = br2.read()
+    assert got.filter("conv_id = 'good-row'").count() == 1
+    # the dead incarnation's data must NOT reappear
+    assert got.filter("conv_id = 'rejected-row'").count() == 0
+
+
+def test_stale_roll_forward_cannot_move_pointer_backwards(spark, tmp_path):
+    """_handle_taken_token's crash roll-forward is a CAS: if the live
+    winner (or a successor) advanced the pointer between the helper's
+    cur==parent check and its write, the stale roll-forward must NOT move
+    the ref pointer backwards past already-committed snapshots."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from diffsync_spark.sinks.fsio import LocalCommitIO
+
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    man = t._manifest(base)
+    mdir = t._manifest_dir
+    # the winner (base+5) committed AND a successor (base+6) landed on top
+    for v, parent in ((base + 5, base), (base + 6, base + 5)):
+        ghost = {**man, "version": v, "parent": parent,
+                 "snapshot_id": f"g{v:031d}"}
+        t.io.write_exclusive(_os.path.join(mdir, f"v{v}.json"),
+                             _json.dumps(ghost, default=str))
+    token = _os.path.join(mdir, f".next-main-v{base}")
+    t.io.write_exclusive(token, f"{base + 5} {_time.time_ns() // 1_000}")
+    t.io.write_atomic(t._current_path, str(base + 6))
+
+    class StaleReadIO(LocalCommitIO):
+        """First read of the pointer returns the STALE parent value —
+        exactly the check-then-write window the CAS must close."""
+
+        def __init__(self, cur_path: str, stale: str) -> None:
+            self.cur_path, self.stale, self.used = cur_path, stale, False
+
+        def read_text(self, path: str) -> str:
+            if path == self.cur_path and not self.used:
+                self.used = True
+                return self.stale
+            return super().read_text(path)
+
+    stale = SnapshotTable.load(spark, str(tmp_path / "t"), TRANSCRIPT_MODEL,
+                               io=StaleReadIO(t._current_path, str(base)))
+    stale._handle_taken_token(token, base)
+    # the pointer must still be at base+6 — NOT rolled back to base+5
+    assert t.current_version() == base + 6
+
+
+def test_reaped_token_fences_the_stalled_writer(spark, tmp_path):
+    """A writer stalled past the staleness horizon between token claim and
+    manifest write can have its token reaped and a second successor of the
+    same parent committed. The stalled writer must detect the reap at the
+    fence, remove its orphan manifest, and rebase — never double-commit
+    one parent or swing the pointer onto an unarbitrated snapshot."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from diffsync_spark.sinks.fsio import LocalCommitIO
+
+    t = _table(spark, tmp_path, n_convs=10)
+    base = t.current_version()
+    mdir = t._manifest_dir
+    token = _os.path.join(mdir, f".next-main-v{base}")
+    cur_path = t._current_path
+    usurper_v = base + 9
+
+    class ReapingIO(LocalCommitIO):
+        """On the stalled writer's manifest write (it already holds the
+        token), simulate: the token aged out, was reaped, and a second
+        successor of the same parent committed under a different number."""
+
+        def __init__(self) -> None:
+            self.fired = False
+
+        def write_exclusive(self, path: str, text: str) -> None:
+            name = _os.path.basename(path)
+            if (not self.fired and name.startswith("v")
+                    and name.endswith(".json")):
+                self.fired = True
+                man = _json.loads(
+                    super().read_text(_os.path.join(mdir, f"v{base}.json")))
+                usurper = {**man, "version": usurper_v, "parent": base,
+                           "snapshot_id": "u" * 32,
+                           "parent_snapshot_id": man["snapshot_id"]}
+                super().remove_file(token)
+                super().write_exclusive(
+                    token, f"{usurper_v} {_time.time_ns() // 1_000}")
+                super().write_exclusive(
+                    _os.path.join(mdir, f"v{usurper_v}.json"),
+                    _json.dumps(usurper, default=str))
+                assert super().compare_and_swap(
+                    cur_path, str(base), str(usurper_v))
+            super().write_exclusive(path, text)
+
+    stalled = SnapshotTable.load(spark, str(tmp_path / "t"),
+                                 TRANSCRIPT_MODEL, io=ReapingIO())
+    r = stalled.merge(_upsert_batch(spark, "stalled-writer", 0, "late"),
+                      checkpoint_id="c", batch_id=1)
+    # the merge retried (fence tripped) and converged on top of the usurper
+    assert not r["skipped"] and r.get("commit_retries", 0) >= 1
+    cur = t.current_version()
+    assert usurper_v in t._chain(cur)
+    # the stalled writer's first-attempt manifest was removed, not left as
+    # a roll-forward-able orphan
+    assert not t.io.exists(_os.path.join(mdir, f"v{base + 1}.json"))
+    assert t.read().filter("conv_id = 'stalled-writer'").count() == 1
+
+
+def test_publish_with_expired_ancestry_raises_commit_conflict(spark, tmp_path):
+    """publish() over a chain with expired mid-ancestry manifests must
+    raise a clear CommitConflict, not a raw FileNotFoundError."""
+    import os as _os
+
+    t = _table(spark, tmp_path, n_convs=10)
+    t.create_branch("b")
+    br = t.branch("b")
+    for i in range(3):
+        br.merge(_upsert_batch(spark, f"c{i}", 0, f"x{i}"),
+                 checkpoint_id="ing", batch_id=i + 1)
+    head = br.current_version()
+    mid = int(br._manifest(head).get("parent", head - 1))
+    t.io.remove_file(_os.path.join(t._manifest_dir, f"v{mid}.json"))
+    with pytest.raises(CommitConflict, match="expired"):
+        t.publish("b")
+
+
+def test_merge_never_evolves_reserved_columns(spark, tmp_path):
+    """A batch column named like an engine-internal column (__commit,
+    __slot, ...) must not be evolution-added as a user column — it would
+    collide with the MoR fold / writer internals on the next read."""
+    t = _table(spark, tmp_path, n_convs=10)
+    batch = _upsert_batch(spark, "rc", 0, "payload").withColumn(
+        "__commit", F.lit(42).cast("long")).withColumn(
+        "__slot", F.lit(1).cast("int"))
+    r = t.merge(batch, checkpoint_id="c", batch_id=1)
+    assert not r["skipped"]
+    cols = {f.name for f in t.schema().fields}
+    assert "__commit" not in cols and "__slot" not in cols
+    assert t.read().filter("conv_id = 'rc'").count() == 1
