@@ -1890,7 +1890,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "clean_text", "n_lines", "n_dropped")
 
     q["boilerplate_lines"] = boiler
+
+    # --- the CDC envelope matrix: all four wire formats plus the Kafka
+    # transport decoded in ONE frame (tagged by fmt) — one driver row
+    # certifies every decoder's op mapping, image selection, seq and ts
+    # semantics side by side
+    def cdc_matrix(spark, sf):
+        parts = [
+            ("debezium", debezium), ("maxwell", maxwell), ("canal", canal),
+            ("wal2json", wal2json), ("kafka", kafka),
+        ]
+        out = None
+        for fmt, fn in parts:
+            p = fn(spark, sf).select(F.lit(fmt).alias("fmt"), "*")
+            out = p if out is None else out.unionByName(p)
+        return out
+
+    q["cdc_decode_matrix"] = cdc_matrix
+
+    # The driver runs the FIRST 50 registry entries in order, so front-load
+    # the gates that have never received a driver row (plus this round's
+    # new gates and the entries last sampled in round 3); entries pushed
+    # past 50 all have green driver rows from round 4.
+    front = [k for k in _DRIVER_FIRST if k in q]
+    q = {k: q[k] for k in front} | {k: v for k, v in q.items()
+                                    if k not in front}
     return q
+
+
+# Gates the driver has not yet certified, first; see queries().
+_DRIVER_FIRST = [
+    # never driver-sampled through round 4
+    "wal2json_decode",
+    "kafka_decode",
+    "mix_weighted",
+    "boilerplate_lines",
+    "pipeline_dedup_pack",
+    # new in round 5
+    "cdc_decode_matrix",
+    "substring_dedup",
+    "bpe_token_count",
+    "stats_pruned_lookup",
+    # last driver-sampled in round 3
+    "debezium_decode",
+    "maxwell_decode",
+    "canal_decode",
+    "assemble_sequences",
+    "chunk_text",
+    "decontaminate",
+    "filter_top_fraction",
+    "filter_top_fraction_approx",
+    "pack_sequences",
+    "session_change_stats",
+    "profile",
+    "repeat_dataset",
+]
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2586,5 +2640,16 @@ FROM ({_prof})"""
 
     o["repeat_dataset"] = repeat_sql(
         "SELECT doc_id, lang FROM documents", 2.3, ["doc_id"], salt="mix"
+    )
+
+    # the CDC envelope matrix: UNION ALL of the five decoder twins, tagged
+    # by fmt — mirrors the Spark side's unionByName exactly
+    o["cdc_decode_matrix"] = "\nUNION ALL\n".join(
+        f"SELECT '{fmt}' AS fmt, * FROM ({o[name]})"
+        for fmt, name in [
+            ("debezium", "debezium_decode"), ("maxwell", "maxwell_decode"),
+            ("canal", "canal_decode"), ("wal2json", "wal2json_decode"),
+            ("kafka", "kafka_decode"),
+        ]
     )
     return o

@@ -1,4 +1,6 @@
-"""Benchmark harness — prints ONE JSON line.
+"""Benchmark harness — prints the full evidence JSON line, then a compact
+headline JSON line LAST (the driver's tail capture truncated r4's single
+giant line from the front; the final short line always survives and parses).
 
 Headline numbers:
 - ``events_per_sec``: sustained change-events/sec of the CDC replay — a
@@ -368,7 +370,29 @@ def main() -> None:
         },
         "total_sec": round(sum(timings.values()), 3),
     }
+    # Full evidence line first (per-rep loadavg/GC/skew, stage rows), then a
+    # COMPACT headline line LAST: the driver captures only the tail of
+    # stdout, and r4's single giant line got truncated from the front,
+    # losing the replay headline (BENCH_r04.json parsed: null). A short
+    # final line survives any tail capture and parses on its own.
     print(json.dumps(result))
+    headline = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "cpus": cpus,
+        "replay_events": total_events,
+        "mor_events_per_sec": result["mor_events_per_sec"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "total_sec": result["total_sec"],
+    }
+    line = json.dumps(headline)
+    if len(line) > 1800:  # keep it tail-capture-proof: drop per-query detail
+        headline.pop("queries")
+        line = json.dumps(headline)
+    sys.stdout.flush()
+    print(line)
     spark.stop()
 
 
