@@ -1891,6 +1891,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["boilerplate_lines"] = boiler
 
+    # --- exact substring dedup (Lee et al. repeated-span pass): both sides
+    # append the same 12-token snippet to every third doc, so corpus-wide
+    # repeated spans >= 8 tokens provably exist; natural fixture repeats
+    # are detected identically by both engines
+    def substr(spark, sf):
+        from diffsync_spark.functions.dedup import substring_spans
+
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.coalesce("text", F.lit("")),
+                    F.lit(" the exact shared snippet that repeats verbatim "
+                          "across one third of all documents"),
+                ),
+            ).otherwise(F.coalesce("text", F.lit(""))).alias("text"),
+        )
+        return substring_spans(docs, min_tokens=8, hash_mode="md5")
+
+    q["substring_dedup"] = substr
+
     # --- the CDC envelope matrix: all four wire formats plus the Kafka
     # transport decoded in ONE frame (tagged by fmt) — one driver row
     # certifies every decoder's op mapping, image selection, seq and ts
@@ -2640,6 +2662,16 @@ FROM ({_prof})"""
 
     o["repeat_dataset"] = repeat_sql(
         "SELECT doc_id, lang FROM documents", 2.3, ["doc_id"], salt="mix"
+    )
+
+    from diffsync_spark.functions.dedup import substring_spans_sql
+
+    o["substring_dedup"] = substring_spans_sql(
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '') || "
+        "' the exact shared snippet that repeats verbatim across one third "
+        "of all documents' ELSE coalesce(text, '') END AS text "
+        "FROM documents",
+        min_tokens=8,
     )
 
     # the CDC envelope matrix: UNION ALL of the five decoder twins, tagged

@@ -17,7 +17,9 @@ from diffsync_spark.functions.text import (
 )
 from diffsync_spark.functions.dedup import (
     dedup_near_duplicates,
+    dedup_substrings,
     exact_dedup,
+    substring_spans,
     neardup_components,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
@@ -85,7 +87,9 @@ __all__ = [
     "lang_id",
     "fingerprint_col",
     "dedup_near_duplicates",
+    "dedup_substrings",
     "exact_dedup",
+    "substring_spans",
     "neardup_components",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

@@ -690,3 +690,182 @@ def cosine_col(a: Column, b: Column) -> Column:
         F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
     return F.round(dot / F.greatest(na * nb, F.lit(1e-12)), 6)
+
+
+# --------------------------------------------------------------- substring
+# Exact substring dedup (the Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" pass): find token spans >= min_tokens that
+# occur more than once corpus-wide, as maximal runs of duplicated
+# fixed-width token windows. Every length-N window of a repeated span is
+# itself repeated, and conversely a maximal run of duplicated window starts
+# IS a repeated span (up to hash collisions — negligible at 64/128 bits), so
+# window-hash grouping replaces the reference-world suffix array with two
+# ordinary shuffles: one on the 8-byte window hash (count occurrences), one
+# on the doc id (merge adjacent duplicated starts into spans). Row explosion
+# is one row per token position — O(corpus tokens), the same order as the
+# suffix-array approach — and nothing is ever all-pairs.
+#
+# Reference parity note: diffsync has no substring pass; this is part of the
+# training-data toolbox alongside exact/minhash/simhash dedup.
+
+
+def _window_hashes(toks: Column, min_tokens: int, hash_mode: str) -> Column:
+    """Array of hashes of every ``min_tokens``-wide token window (1-based
+    window starts). ``hash_mode``: 'xx64' (8-byte shuffle keys — the scale
+    default) or 'md5' (bit-portable to the DuckDB twin)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(min_tokens - 1))
+    if hash_mode == "xx64":
+        def h(s):
+            return F.xxhash64(F.array_join(F.slice(toks, s, min_tokens), " "))
+    elif hash_mode == "md5":
+        def h(s):
+            return F.md5(F.array_join(F.slice(toks, s, min_tokens), " "))
+    else:
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    return F.transform(starts, h)
+
+
+def substring_spans(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xx64",
+) -> DataFrame:
+    """Corpus-wide repeated spans: ``(id_col, span_start, span_end,
+    n_tokens)`` with 0-based token offsets, ``span_end`` exclusive. A span
+    appears once per OCCURRENCE (including repeats within one document),
+    matching the remove-every-occurrence contract of
+    :func:`dedup_substrings`."""
+    toks = tokens_col(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .filter(F.size("__toks") >= min_tokens)
+    )
+    pos_h = base.select(
+        id_col,
+        F.posexplode(_window_hashes(F.col("__toks"), min_tokens, hash_mode))
+        .alias("__pos", "__h"),
+    )
+    # duplicated window starts: ONE exchange on the hash (window count
+    # instead of groupBy+join — same shuffle, no second pass)
+    dup = (
+        pos_h.withColumn(
+            "__n", F.count("*").over(Window.partitionBy("__h"))
+        )
+        .filter(F.col("__n") > 1)
+        .select(id_col, "__pos")
+    )
+    # merge adjacent duplicated starts into maximal spans: second exchange,
+    # on the doc id
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = dup.withColumn(
+        "__brk",
+        F.when(F.col("__pos") - F.lag("__pos").over(w) == 1, F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn(
+        "__span",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy(id_col, "__span")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(min_tokens)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col, "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+        )
+    )
+
+
+def dedup_substrings(
+    df: DataFrame,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xx64",
+) -> DataFrame:
+    """Remove every occurrence of every corpus-repeated span >= min_tokens
+    (the Lee et al. contract — no canonical copy survives) and rebuild the
+    text from the surviving tokens. Adds ``n_removed_tokens``."""
+    spans = substring_spans(df, min_tokens, text_col, id_col, hash_mode)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens_col(F.col(text_col))
+    indexed = F.zip_with(
+        toks,
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda v: (s["i"] >= v["span_start"]) & (s["i"] < v["span_end"]),
+        ),
+    )
+    out = df.join(per_doc, id_col, "left").withColumn(
+        "__kept",
+        F.when(F.col("__spans").isNull(), None).otherwise(
+            F.transform(kept, lambda s: s["t"])
+        ),
+    )
+    n_toks = F.size(tokens_col(F.col(text_col)))
+    return (
+        out.withColumn(
+            "n_removed_tokens",
+            F.when(F.col("__kept").isNull(), F.lit(0)).otherwise(
+                n_toks - F.size("__kept")
+            ).cast("long"),
+        )
+        .withColumn(
+            text_col,
+            F.when(F.col("__kept").isNull(), F.col(text_col)).otherwise(
+                F.array_join("__kept", " ")
+            ),
+        )
+        .drop("__spans", "__kept")
+    )
+
+
+def substring_spans_sql(
+    table_expr: str,
+    min_tokens: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`substring_spans` (md5 hash mode)."""
+    n = int(min_tokens)
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(trim(coalesce({text_col}, '')),
+                                        '\\s+'), x -> x <> '') AS t
+  FROM ({table_expr})),
+wins AS (
+  SELECT {id_col}, CAST(u.i - 1 AS BIGINT) AS pos,
+         md5(array_to_string(t[u.i:u.i + {n - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, len(t) - {n} + 2)) AS u(i)
+  WHERE len(t) >= {n}),
+marked AS (
+  SELECT {id_col}, pos,
+         count(*) OVER (PARTITION BY h) AS cnt
+  FROM wins),
+runs AS (
+  SELECT {id_col}, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY {id_col} ORDER BY pos)
+                   = 1 THEN 0 ELSE 1 END AS brk
+  FROM marked WHERE cnt > 1),
+spans AS (
+  SELECT {id_col}, pos,
+         sum(brk) OVER (PARTITION BY {id_col} ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM runs)
+SELECT {id_col},
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {n} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n} - min(pos) AS BIGINT) AS n_tokens
+FROM spans GROUP BY {id_col}, span_id"""

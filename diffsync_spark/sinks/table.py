@@ -127,6 +127,11 @@ class SnapshotTable:
         # cached max version number seen across ALL refs (None = never
         # listed); see _next_version
         self._version_floor = None
+        # bucket-manifest segment cache (ref string -> parsed segment) and
+        # drop-filtered layer views ((ref, drop) -> dict); bm files are
+        # immutable so both caches never invalidate — see _load_seg
+        self._bm_cache: dict[str, dict] = {}
+        self._bm_view_cache: dict[tuple, dict] = {}
         # field-id column resolution (rename support) needs these even on
         # sessions not built by build_session; both are no-ops for
         # id-less schemas/files
@@ -183,9 +188,144 @@ class SnapshotTable:
     def _manifest(self, version: int | None = None) -> dict:
         if version is None:
             version = self.current_version()
-        return json.loads(
+        return self._hydrate(json.loads(
             self.io.read_text(os.path.join(self._manifest_dir, f"v{version}.json"))
-        )
+        ))
+
+    # ------------------------------------------ incremental commit metadata
+    #
+    # Snapshot manifests do NOT inline their per-bucket file lists: that
+    # would make every commit's metadata O(total live files) — driver-side
+    # JSON that grows with table size, the one cost the 100x scale-up
+    # question punishes (a 10^10-event table accumulates ~10^3 commits over
+    # ~10^5 files). Instead, a commit writes ONE bucket-manifest ("bm")
+    # file holding only the buckets it rewrote, and the snapshot manifest
+    # stores a REF string per bucket ("<bm-file>#<segment>"); untouched
+    # buckets carry their parent's ref forward, so commit metadata is
+    # O(touched buckets), the Iceberg manifest-list / manifest-file reuse
+    # shape. Delta layers (merge-on-read) ref their own segment the same
+    # way; a layer partially cleared by a bucket rewrite keeps its ref plus
+    # a tiny "drop" list instead of being re-serialized.
+    #
+    # The split is invisible above this seam: _manifest() HYDRATES refs
+    # back into the legacy in-memory shape ({bucket: [paths]}), _commit()
+    # DEHYDRATES by identity — a bucket whose (cached, immutable) hydrated
+    # list object is unchanged reuses its ref, anything else lands in the
+    # new commit's bm file. Hydrated lists must therefore never be mutated
+    # in place; manifest builders construct new dicts/lists (they do).
+    # bm segments also carry per-file column stats ("stats") used for scan
+    # pruning; they ride the same hydrate/dehydrate path as _file_stats.
+
+    @property
+    def _bm_dir(self) -> str:
+        return os.path.join(self._manifest_dir, "bm")
+
+    def _load_seg(self, ref: str) -> dict:
+        """Parse (once, cached — bm files are immutable) the bm segment a
+        ref names: ``{"files": {bucket: [paths]}, "stats": {...}?}``."""
+        seg = self._bm_cache.get(ref)
+        if seg is None:
+            fname = ref.split("#", 1)[0]
+            data = json.loads(
+                self.io.read_text(os.path.join(self._bm_dir, fname)))
+            for sid, s in data["segments"].items():
+                self._bm_cache.setdefault(f"{fname}#{sid}", s)
+            seg = self._bm_cache[ref]
+        return seg
+
+    def _hydrate(self, man: dict) -> dict:
+        """Resolve bm refs into the legacy in-memory manifest shape.
+        ``_files_src`` / per-layer ``_src`` record where each hydrated list
+        came from so _dehydrate can reuse refs (keys starting with ``_``
+        never serialize)."""
+        stats: dict[str, dict] = {}
+        files = man.get("files") or {}
+        if any(isinstance(v, str) for v in files.values()):
+            src: dict[str, str] = {}
+            out: dict[str, list] = {}
+            seen: set[str] = set()
+            for b, v in files.items():
+                if isinstance(v, str):
+                    seg = self._load_seg(v)
+                    out[b] = seg["files"][b]
+                    src[b] = v
+                    if v not in seen:
+                        seen.add(v)
+                        stats.update(seg.get("stats") or {})
+                else:
+                    out[b] = v
+            man["files"] = out
+            man["_files_src"] = src
+        for layer in man.get("deltas") or []:
+            lf = layer["files"]
+            if isinstance(lf, str):
+                drop = tuple(sorted(layer.pop("drop", ())))
+                view = self._bm_view_cache.get((lf, drop))
+                seg = self._load_seg(lf)
+                if view is None:
+                    dropped = set(drop)
+                    view = {b: fl for b, fl in seg["files"].items()
+                            if b not in dropped}
+                    self._bm_view_cache[(lf, drop)] = view
+                layer["files"] = view
+                layer["_src"] = [lf, list(drop)]
+                stats.update(seg.get("stats") or {})
+        if stats:
+            man["_file_stats"] = stats
+        return man
+
+    def _dehydrate(self, manifest: dict) -> tuple[dict, dict | None, str]:
+        """Split a hydrated manifest into (serializable manifest, bm payload
+        or None, bm file name): buckets/layers whose hydrated list objects
+        are unchanged keep their parent's ref; everything else becomes a
+        segment of this commit's single new bm file."""
+        fname = (f"bm-v{manifest['version']}-"
+                 f"{str(manifest['snapshot_id'])[:12]}.json")
+        stats = manifest.get("_file_stats") or {}
+        segments: dict[str, dict] = {}
+
+        def _seg(seg_id: str, fl: dict) -> str:
+            st = {p: stats[p] for flist in fl.values() for p in flist
+                  if p in stats}
+            segments[seg_id] = {"files": fl, **({"stats": st} if st else {})}
+            return f"{fname}#{seg_id}"
+
+        src = manifest.get("_files_src") or {}
+        files_ser: dict[str, Any] = {}
+        new_base: dict[str, list] = {}
+        for b, fl in (manifest.get("files") or {}).items():
+            ref = src.get(b)
+            if ref is not None:
+                seg = self._bm_cache.get(ref)
+                if seg is not None and seg["files"].get(b) is fl:
+                    files_ser[b] = ref
+                    continue
+            new_base[b] = fl
+        if new_base:
+            base_ref = _seg("base", new_base)
+            for b in new_base:
+                files_ser[b] = base_ref
+        deltas_ser = []
+        for i, layer in enumerate(manifest.get("deltas") or []):
+            lf = layer["files"]
+            ser = {k: v for k, v in layer.items()
+                   if k != "files" and not k.startswith("_")}
+            s = layer.get("_src")
+            if s:
+                full = self._bm_cache.get(s[0])
+                if full is not None and all(
+                    full["files"].get(b) is fl for b, fl in lf.items()
+                ):
+                    drop = sorted(b for b in full["files"] if b not in lf)
+                    deltas_ser.append({**ser, "files": s[0],
+                                       **({"drop": drop} if drop else {})})
+                    continue
+            deltas_ser.append({**ser, "files": _seg(f"d{i}", lf)})
+        out = {k: v for k, v in manifest.items() if not k.startswith("_")}
+        out["files"] = files_ser
+        if "deltas" in out:
+            out["deltas"] = deltas_ser
+        return out, ({"segments": segments} if segments else None), fname
 
     def _commit(self, manifest: dict, parent: int | None = None) -> None:
         """Write the manifest with exclusive-create (conflict detection), then
@@ -239,14 +379,27 @@ class SnapshotTable:
                     f"v{parent} already has a committed successor on "
                     f"ref {self.ref!r}"
                 ) from e
+        # serialize incrementally: newly-written buckets/layers go to ONE
+        # bm file (O(touched) metadata), everything else stays a ref
+        ser, bm_payload, bm_fname = self._dehydrate(manifest)
+        bm_path = os.path.join(self._bm_dir, bm_fname)
+        if bm_payload is not None:
+            self.io.makedirs(self._bm_dir)
+            self.io.write_atomic(bm_path, json.dumps(bm_payload))
+
+        def _abort_bm() -> None:
+            if bm_payload is not None:
+                self.io.remove_file(bm_path)
+
         target = os.path.join(self._manifest_dir, f"v{version}.json")
         try:
-            self.io.write_exclusive(target, json.dumps(manifest, default=str))
+            self.io.write_exclusive(target, json.dumps(ser, default=str))
         except FileExistsError as e:
             # number taken by ANOTHER ref's writer: release our successor
             # slot (we are aborting) and rebase with a fresh number
             if token is not None:
                 self.io.remove_file(token)
+            _abort_bm()
             self._alloc_global = True
             raise CommitConflict(
                 f"snapshot v{version} already committed by a concurrent writer"
@@ -271,6 +424,7 @@ class SnapshotTable:
             tok_winner = None
         if tok_winner != version:
             self.io.remove_file(target)
+            _abort_bm()
             self._alloc_global = True
             raise CommitConflict(
                 f"successor token for v{parent} on ref {self.ref!r} was "
@@ -293,6 +447,7 @@ class SnapshotTable:
             ):
                 self.io.remove_file(target)
                 self.io.remove_file(token)
+                _abort_bm()
                 self._alloc_global = True
                 raise CommitConflict(
                     f"ref {self.ref!r} moved off v{parent} without adopting "
@@ -1443,6 +1598,9 @@ class SnapshotTable:
                     "files": kept,
                     "splits": {b: s for b, s in layer.get("splits", {}).items()
                                if b in kept},
+                    # ref provenance: _dehydrate reuses the layer's bm ref
+                    # (plus a drop list) instead of re-serializing it
+                    **({"_src": layer["_src"]} if "_src" in layer else {}),
                 })
         manifest = {
             "version": new_version,
@@ -1456,6 +1614,7 @@ class SnapshotTable:
             ) or None,
             "n_buckets": man["n_buckets"],
             "files": files,
+            "_files_src": man.get("_files_src", {}),
             **({"deltas": deltas} if deltas else {}),
             **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
             "checkpoints": checkpoints,
@@ -1596,6 +1755,7 @@ class SnapshotTable:
             ) or None,
             "n_buckets": man["n_buckets"],
             "files": man["files"],
+            "_files_src": man.get("_files_src", {}),
             "deltas": deltas,
             "write_mode": "mor",
             "checkpoints": checkpoints,
@@ -2082,6 +2242,9 @@ class SnapshotTable:
                     "files": kept,
                     "splits": {b: s for b, s in layer.get("splits", {}).items()
                                if b in kept},
+                    # ref provenance: _dehydrate reuses the layer's bm ref
+                    # (plus a drop list) instead of re-serializing it
+                    **({"_src": layer["_src"]} if "_src" in layer else {}),
                 })
         manifest = {
             **man,
@@ -2723,11 +2886,18 @@ class SnapshotTable:
         # readable)
         tagged = set(self.tags().values()) | set(self.branches().values())
         keep_files: set[str] = set()
+        keep_bm: set[str] = set()  # bm files kept manifests still reference
         for v in sorted(set(range(cutoff, cur + 1)) | tagged):
             try:
-                keep_files.update(_all_files(self._manifest(v)))
+                man = self._manifest(v)
             except FileNotFoundError:
                 continue  # tag pointing at an already-expired version
+            keep_files.update(_all_files(man))
+            for ref in (man.get("_files_src") or {}).values():
+                keep_bm.add(ref.split("#", 1)[0])
+            for layer in man.get("deltas") or []:
+                if "_src" in layer:
+                    keep_bm.add(layer["_src"][0].split("#", 1)[0])
         expired: list[int] = []
         n_removed = 0
         for v in range(1, cutoff):
@@ -2756,6 +2926,13 @@ class SnapshotTable:
                     continue
                 if base < cutoff:
                     self.io.remove_file(os.path.join(self._manifest_dir, f))
+        # bucket-manifest files are shared across commits by ref, so GC is
+        # reference-based: old enough (an in-flight writer's bm is always
+        # versioned >= current) AND unreferenced by every kept manifest
+        for f in self.io.list_files(self._bm_dir):
+            m = re.match(r"bm-v(\d+)-", f)
+            if m and int(m.group(1)) < cutoff and f not in keep_bm:
+                self.io.remove_file(os.path.join(self._bm_dir, f))
         return {"expired_versions": expired, "removed_files": n_removed}
 
 def diff_to_batch(diff_df: DataFrame, model: ModelSchema) -> DataFrame:

@@ -835,3 +835,70 @@ def test_boilerplate_keeps_all_boilerplate_docs(spark):
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_lines"] == 0
     assert out.loc[3, "n_dropped"] == 1
     assert out.loc[99, "clean_text"] == "actual unique content here"
+
+
+# ------------------------------------------------------ substring dedup
+
+
+def _substr_fixture(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog again and again"),
+        ("b", "prefix words here but the quick brown fox jumps over the "
+              "lazy dog too"),
+        ("c", "no repeats in this one at all whatsoever truly"),
+        ("d", "x x x the quick brown fox jumps over the lazy dog and more"),
+        ("e", None),
+        ("f", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_substring_spans_finds_maximal_repeated_spans(spark):
+    from diffsync_spark.functions.dedup import substring_spans
+
+    df = _substr_fixture(spark)
+    got = {(r["doc_id"], r["span_start"], r["span_end"])
+           for r in substring_spans(df, min_tokens=9, hash_mode="md5").collect()}
+    # the 9-token phrase repeats in a, b, d — one maximal span each, at the
+    # right offsets; c/e/f emit nothing
+    assert got == {("a", 0, 9), ("b", 4, 13), ("d", 3, 12)}
+
+
+def test_substring_spans_hash_modes_agree(spark):
+    from diffsync_spark.functions.dedup import substring_spans
+
+    df = _substr_fixture(spark)
+    md5 = sorted(map(tuple, substring_spans(df, 5, hash_mode="md5").collect()))
+    xx = sorted(map(tuple, substring_spans(df, 5, hash_mode="xx64").collect()))
+    assert md5 == xx and md5
+
+
+def test_dedup_substrings_removes_every_occurrence(spark):
+    from diffsync_spark.functions.dedup import dedup_substrings
+
+    df = _substr_fixture(spark)
+    out = {r["doc_id"]: (r["text"], r["n_removed_tokens"])
+           for r in dedup_substrings(df, min_tokens=9).collect()}
+    # the repeated phrase is gone from ALL THREE docs (no canonical copy)
+    for doc in ("a", "b", "d"):
+        assert "quick brown fox" not in out[doc][0]
+        assert out[doc][1] == 9
+    # untouched docs keep their text (including NULL/empty) and remove 0
+    assert out["c"] == ("no repeats in this one at all whatsoever truly", 0)
+    assert out["e"] == (None, 0)
+    assert out["f"] == ("", 0)
+
+
+def test_substring_spans_within_doc_repeat(spark):
+    from diffsync_spark.functions.dedup import substring_spans
+
+    df = spark.createDataFrame(
+        [("solo", "alpha beta gamma delta sep alpha beta gamma delta")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in substring_spans(df, min_tokens=4).collect()
+    )
+    # the 4-token phrase repeats within one document: both occurrences emit
+    assert got == [(0, 4), (5, 9)]
