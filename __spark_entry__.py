@@ -55,6 +55,25 @@ from diffsync_spark.operators.lww import lww_dedup
 from diffsync_spark.operators.rollup import rollup_diff, stable_turn_order
 from diffsync_spark.plans.threeway import patch_snapshot
 
+# Deterministic BPE merges for the bpe_token_count gate: trained ONCE at
+# import from a fixed literal corpus (no data dependence), shared verbatim
+# by the Spark UDF and the DuckDB recursive-CTE twin.
+def _train_bpe():
+    from diffsync_spark.functions.text import train_bpe_merges
+
+    seed = [
+        "the quick brown fox jumps over the lazy dog",
+        "training data quality and deduplication at scale",
+        "conversation transcripts with tools and turns",
+        "the model answers the question and the user replies",
+        "tokens and merges and counting words in documents",
+    ] * 2
+    return train_bpe_merges(seed, n_merges=150)
+
+
+_BPE_MERGES = _train_bpe()
+
+
 EVENT_MODEL = ModelSchema(
     name="event",
     identifiers=("user_id", "event_id"),
@@ -980,6 +999,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bulk_lookup"] = bulk_lookup
+
+    # --- stats-pruned filtered scan: same merged state, read back through
+    # scan() — hash-bucket routing on the parent key plus per-file
+    # (min,max) stats recorded at write prune the file list BEFORE Spark
+    # lists anything; the oracle is the plain filtered patch algebra, so a
+    # wrongly-pruned file shows up as missing rows
+    def stats_scan(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="stats_scan_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        return table.scan(
+            [("user_id", "=", 7), ("event_id", ">=", 100)]
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["stats_pruned_lookup"] = stats_scan
 
     # --- the WHOLE north-star path composed in one gate: raw Debezium
     # envelope JSON → from_debezium decode → LWW MERGE into the durable
@@ -1913,6 +1962,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_dedup"] = substr
 
+    # --- REAL-BPE token counting against a merges table (so pack/assemble
+    # budgets match an actual tokenizer): merges trained once at import
+    # from a fixed literal corpus (_BPE_MERGES — deterministic, shared with
+    # the twin); the oracle replays the merge fixpoint as a recursive CTE
+    def bpe_count(spark, sf):
+        from diffsync_spark.functions.text import bpe_token_count
+
+        return bpe_token_count(
+            _docs(spark, sf).select("doc_id", "text"), _BPE_MERGES
+        ).select("doc_id", "n_bpe_tokens")
+
+    q["bpe_token_count"] = bpe_count
+
     # --- the CDC envelope matrix: all four wire formats plus the Kafka
     # transport decoded in ONE frame (tagged by fmt) — one driver row
     # certifies every decoder's op mapping, image selection, seq and ts
@@ -2033,6 +2095,11 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # sequential patch algebra computes
     o["mor_merge_state"] = _patch_core
     o["wap_publish_state"] = _patch_core
+    # the pruned scan must be the plain filtered final state — file
+    # skipping can only skip work, never rows
+    o["stats_pruned_lookup"] = (
+        f"SELECT * FROM ({_patch_core}) WHERE user_id = 7 AND event_id >= 100"
+    )
     # expectations: only contract-passing upserts (deletes exempt) reach
     # the same patch algebra
     _chg_expected = (
@@ -2673,6 +2740,11 @@ FROM ({_prof})"""
         "FROM documents",
         min_tokens=8,
     )
+
+    from diffsync_spark.functions.text import bpe_count_sql
+
+    o["bpe_token_count"] = bpe_count_sql(
+        "SELECT doc_id, text FROM documents", _BPE_MERGES)
 
     # the CDC envelope matrix: UNION ALL of the five decoder twins, tagged
     # by fmt — mirrors the Spark side's unionByName exactly

@@ -10,6 +10,10 @@ per-row Python.
 
 from diffsync_spark.functions.text import (
     token_count_col,
+    bpe_token_count,
+    bpe_count_py,
+    train_bpe_merges,
+    parse_merges,
     quality_features,
     lang_id,
     fingerprint_col,
@@ -82,6 +86,10 @@ __all__ = [
     "stratified_sample",
     "sessionize",
     "token_count_col",
+    "bpe_token_count",
+    "bpe_count_py",
+    "train_bpe_merges",
+    "parse_merges",
     "quality_features",
     "remove_boilerplate_lines",
     "lang_id",

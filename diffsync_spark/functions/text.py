@@ -6,7 +6,9 @@ ANSI-SQL twin for the DuckDB oracle (same arithmetic, same results).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 TOKEN_SPLIT = r"\s+"
 # BPE-ish word/number/punct segmentation (public GPT-2-style pattern family,
@@ -294,3 +296,217 @@ SELECT {id_col},
        CAST(coalesce(sum(CASE WHEN dropped THEN 1 END), 0) AS BIGINT)
          AS n_dropped
 FROM flagged GROUP BY {id_col}"""
+
+
+# ----------------------------------------------------------------- real BPE
+# Byte-pair-encoding token counting against a REAL merges table (the public
+# GPT-2 ``merges.txt`` format: one "left right" pair per line, rank = line
+# order), so pack_sequences/assemble budgets match an actual tokenizer
+# instead of the whitespace proxy. No tokenizer libraries exist in this
+# environment, so the merges table is caller-supplied data (load any public
+# merges.txt, or train a small one with train_bpe_merges).
+#
+# Split of responsibilities:
+# - bpe_encode_py: the straightforward SCALAR reference (pretokenize ->
+#   greedy lowest-rank merge loop per word) — the differential-test oracle.
+# - bpe_token_count: the DataFrame operator — ONE Arrow-batched pandas UDF
+#   whose implementation is deliberately different from the oracle: it
+#   encodes each UNIQUE pretoken once per batch (factorize + cache) and
+#   distributes counts back, so caching/vectorization bugs can't hide.
+#   The merges dict rides a SparkContext broadcast (one copy per executor,
+#   not per task — a 50k-merge GPT-2 table is ~1 MB).
+
+# Simplified ASCII pretokenizer in the GPT-2 pattern family, RE2-SAFE (no
+# lookahead: python re, Java regex, and DuckDB/RE2 all parse it the same —
+# the DuckDB oracle twin depends on that). Divergence from byte-level
+# GPT-2: \p classes -> ASCII runs, and a whitespace run stays one piece
+# instead of donating its last space to the next word. The merge algebra
+# itself is exact.
+BPE_PRETOKEN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def parse_merges(lines) -> dict:
+    """``merges.txt`` lines -> {(left, right): rank}. Skips the optional
+    ``#version`` header and blank lines."""
+    ranks: dict = {}
+    for ln in lines:
+        ln = ln.rstrip("\n")
+        if not ln or ln.startswith("#"):
+            continue
+        a, _, b = ln.partition(" ")
+        if b:
+            ranks[(a, b)] = len(ranks)
+    return ranks
+
+
+def bpe_encode_py(word: str, ranks: dict) -> list:
+    """Reference scalar BPE: split to characters, repeatedly merge the
+    adjacent pair with the lowest rank until none is mergeable."""
+    parts = list(word)
+    while len(parts) > 1:
+        best, best_i = None, -1
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, best_i = r, i
+        if best is None:
+            break
+        parts[best_i:best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+    return parts
+
+
+def bpe_count_py(text: str, ranks: dict, pattern: str = BPE_PRETOKEN) -> int:
+    """Reference scalar token count: pretokenize, BPE-encode each piece."""
+    import re as _re
+
+    if not text:
+        return 0
+    return sum(len(bpe_encode_py(w, ranks))
+               for w in _re.findall(pattern, text))
+
+
+def train_bpe_merges(corpus, n_merges: int = 200,
+                     pattern: str = BPE_PRETOKEN) -> list:
+    """Tiny deterministic BPE trainer (the public Sennrich et al. 2016
+    procedure) over an iterable of strings — enough to produce a REAL,
+    self-consistent merges table for tests and demos. Returns merges.txt
+    lines. Ties break lexicographically so training is reproducible."""
+    import re as _re
+    from collections import Counter
+
+    words = Counter()
+    for text in corpus:
+        for w in _re.findall(pattern, text or ""):
+            words[tuple(w)] += 1
+    merges: list = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for parts, n in words.items():
+            for i in range(len(parts) - 1):
+                pairs[(parts[i], parts[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append(f"{a} {b}")
+        merged = {}
+        for parts, cnt in words.items():
+            out, i = [], 0
+            while i < len(parts):
+                if i + 1 < len(parts) and parts[i] == a and parts[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(parts[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + cnt
+        words = Counter(merged)
+    return merges
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+    pattern: str = BPE_PRETOKEN,
+) -> DataFrame:
+    """Add ``out_col`` = real-BPE token count of ``text_col``. ``merges``
+    is merges.txt lines or a pre-parsed {(a, b): rank} dict. One
+    Arrow-batched pandas UDF; each batch encodes every UNIQUE pretoken
+    once (corpus text repeats heavily — the cache is the fast path) and
+    the merges table is a broadcast, not a per-task pickle."""
+    import re as _re
+
+    ranks = merges if isinstance(merges, dict) else parse_merges(merges)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+    rx = _re.compile(pattern)
+
+    @pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        rk = bc.value
+        cache: dict = {}
+
+        def piece_len(w: str) -> int:
+            n = cache.get(w)
+            if n is None:
+                # encode by merge-rank order over this word only
+                parts = list(w)
+                while len(parts) > 1:
+                    best, best_i = None, -1
+                    for i in range(len(parts) - 1):
+                        r = rk.get((parts[i], parts[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, best_i = r, i
+                    if best is None:
+                        break
+                    parts[best_i:best_i + 2] = [
+                        parts[best_i] + parts[best_i + 1]]
+                n = len(parts)
+                cache[w] = n
+            return n
+
+        return texts.map(
+            lambda t: 0 if not t else sum(piece_len(w)
+                                          for w in rx.findall(t)),
+            na_action=None,
+        ).fillna(0).astype("int64")
+
+    return df.withColumn(out_col, _count(F.col(text_col)))
+
+
+def bpe_count_sql(
+    table_expr: str,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = BPE_PRETOKEN,
+) -> str:
+    """DuckDB twin of :func:`bpe_token_count`: the merge fixpoint as a
+    recursive CTE over UNIQUE pretokens (same dedup the UDF's cache does),
+    ranks embedded as a MAP literal keyed ``left || chr(31) || right``.
+    Requires the RE2-safe ``BPE_PRETOKEN`` (no lookahead)."""
+    ranks = merges if isinstance(merges, dict) else parse_merges(merges)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    map_lit = (
+        "MAP([" + ",".join(q(a) + " || chr(31) || " + q(b) for a, b in ranks)
+        + "], [" + ",".join(str(v) for v in ranks.values()) + "])"
+    )
+    pat = pattern.replace("'", "''")
+    return f"""
+WITH RECURSIVE
+pre AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all(coalesce({text_col}, ''), '{pat}')) AS w
+  FROM ({table_expr})),
+enc AS (
+  SELECT w, regexp_extract_all(w, '.') AS parts, {map_lit} AS m
+  FROM (SELECT DISTINCT w FROM pre)
+  UNION ALL
+  SELECT w,
+         parts[1:bi-1] || [parts[bi] || parts[bi+1]] || parts[bi+2:] AS parts,
+         m
+  FROM (
+    SELECT w, parts, m,
+           list_position(rl, list_aggregate(
+             list_filter(rl, x -> x IS NOT NULL), 'min')) AS bi
+    FROM (
+      SELECT w, parts, m,
+             list_transform(range(1, len(parts)),
+               i -> element_at(m, parts[i] || chr(31) || parts[i+1])[1]) AS rl
+      FROM enc)
+    WHERE len(list_filter(rl, x -> x IS NOT NULL)) > 0)),
+final AS (SELECT w, min(len(parts)) AS n FROM enc GROUP BY w)
+SELECT d.{id_col}, CAST(coalesce(sum(f.n), 0) AS BIGINT) AS n_bpe_tokens
+FROM (SELECT DISTINCT {id_col} FROM ({table_expr})) d
+LEFT JOIN pre p ON d.{id_col} = p.{id_col}
+LEFT JOIN final f USING (w)
+GROUP BY d.{id_col}"""

@@ -50,6 +50,9 @@ def build_session(
         # RENAME a metadata-only commit; both are no-ops for id-less data
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
+        # INT64 micros, not legacy INT96: INT96 carries NO column
+        # statistics, which would blind scan()'s per-file ts pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # stream local shuffle blocks instead of mmap: blocks above the
         # default 2m threshold get map0/unmap0'd per read, and the munmap TLB
         # shootdowns convoy at high task concurrency (profiled: 60-77% sys

@@ -137,6 +137,10 @@ class SnapshotTable:
         # id-less schemas/files
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        # INT64 micros, not legacy INT96 (INT96 has no parquet column
+        # stats — scan()'s per-file ts pruning needs them)
+        spark.conf.set("spark.sql.parquet.outputTimestampType",
+                       "TIMESTAMP_MICROS")
 
     # ------------------------------------------------------------- manifest
     @property
@@ -326,6 +330,87 @@ class SnapshotTable:
         if "deltas" in out:
             out["deltas"] = deltas_ser
         return out, ({"segments": segments} if segments else None), fname
+
+    # ------------------------------------------------- per-file column stats
+    #
+    # Each commit records (min, max) of the numeric/timestamp identifier and
+    # version columns per NEW data file, read from the parquet FOOTERS the
+    # write already produced (no data read — the Iceberg writer-stats shape,
+    # O(files written) footer fetches per commit, never O(table)). Stats
+    # ride the bm segments ("stats"), hydrate into _file_stats, and feed
+    # scan()'s manifest-level file skipping. String columns are skipped:
+    # parquet writers may truncate string min/max (unsound bounds), and key
+    # equality already routes by hash bucket, which is exact.
+
+    _STATS_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+        T.DoubleType, T.DateType, T.TimestampType, T.TimestampNTZType,
+    )
+
+    def _stat_cols(self, public: T.StructType) -> list[str]:
+        cand = set(self.model.identifiers) | set(self.model.version_cols)
+        return [f.name for f in public.fields
+                if f.name in cand and isinstance(f.dataType, self._STATS_TYPES)]
+
+    @staticmethod
+    def _stat_scalar(v):
+        """JSON-safe, unit-normalized stat value: timestamps -> epoch
+        micros, dates -> epoch days, numerics as-is, anything else -> None
+        (no pruning on that column)."""
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int((v - _dt.datetime(1970, 1, 1)).total_seconds()
+                       * 1_000_000)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return None
+
+    def _collect_file_stats(
+        self, paths: list[str], cols: list[str]
+    ) -> dict[str, dict[str, list]]:
+        if not paths or not cols:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except Exception:  # stats are an optimization, never a requirement
+            return {}
+        want = set(cols)
+        out: dict[str, dict[str, list]] = {}
+        for p in paths:
+            try:
+                md = pq.ParquetFile(p).metadata
+            except Exception:
+                continue
+            agg: dict[str, Any] = {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    name = col.path_in_schema
+                    if name not in want or agg.get(name) is False:
+                        continue
+                    st = col.statistics
+                    lo = self._stat_scalar(st.min) if (
+                        st is not None and st.has_min_max) else None
+                    hi = self._stat_scalar(st.max) if (
+                        st is not None and st.has_min_max) else None
+                    if lo is None or hi is None:
+                        agg[name] = False  # one unknown row group poisons
+                        continue
+                    cur = agg.get(name)
+                    agg[name] = ([min(cur[0], lo), max(cur[1], hi)]
+                                 if cur else [lo, hi])
+            stats = {c: v for c, v in agg.items() if v}
+            if stats:
+                out[p] = stats
+        return out
 
     def _commit(self, manifest: dict, parent: int | None = None) -> None:
         """Write the manifest with exclusive-create (conflict detection), then
@@ -652,7 +737,8 @@ class SnapshotTable:
         )
 
     def _stored_frame(
-        self, man: dict, buckets: list[int] | None, public: T.StructType
+        self, man: dict, buckets: list[int] | None, public: T.StructType,
+        keep_file=None,
     ) -> DataFrame:
         """All stored rows of the requested buckets through ``public``'s
         evolved view — fold-aware: buckets carrying delta layers are read
@@ -666,7 +752,14 @@ class SnapshotTable:
         for b, fl in man["files"].items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            (base_fold_files if int(b) in dbk else plain_files).extend(fl)
+            if int(b) in dbk:
+                # folded buckets are never file-level pruned (see scan():
+                # dropping one layer could resurrect a superseded row)
+                base_fold_files.extend(fl)
+            else:
+                plain_files.extend(
+                    fl if keep_file is None
+                    else [p for p in fl if keep_file(p)])
         plain = (
             self.spark.read.schema(full).parquet(*plain_files)
             if plain_files else None
@@ -707,6 +800,108 @@ class SnapshotTable:
         return (
             self.read_raw(version, buckets=buckets)
             .filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+            .select(*[f.name for f in public.fields])
+        )
+
+    _SCAN_OPS = ("=", "<", "<=", ">", ">=")
+
+    def scan(
+        self,
+        predicates: "Sequence[tuple[str, str, Any]]",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filtered read with MANIFEST-LEVEL file skipping: live rows
+        satisfying every ``(column, op, value)`` conjunct (op in ``=, <,
+        <=, >, >=``), reading only the files that can contain them.
+
+        Three pruning layers, applied before Spark ever lists a file:
+
+        - **hash-bucket routing**: equality on the full bucketing key
+          (parent key / identifiers) resolves the one bucket the rows can
+          live in — exact, the same route MERGE writes by.
+        - **per-file stats** (copy-on-write buckets): files whose recorded
+          (min, max) of a numeric/timestamp identifier or version column
+          exclude the conjunct are skipped. Point predicates on a
+          write-ordered bucket reduce to the matching slot files.
+        - **whole-bucket stats** (merge-on-read buckets): a folded bucket
+          is all-or-nothing — skipping ONE layer file could resurrect a
+          superseded row, so the bucket is read in full unless NO file of
+          it (base or layer) can match.
+
+        Files with no recorded stats are always read; the residual filter
+        is applied to the frame regardless, so pruning can only skip work,
+        never change the answer."""
+        man = self._manifest(version)
+        public = T.StructType.fromJson(json.loads(man["schema"]))
+        known = {f.name for f in public.fields}
+        for c, op, _ in predicates:
+            if op not in self._SCAN_OPS:
+                raise DiffSyncSparkError(f"unsupported scan op {op!r}")
+            if c not in known:
+                raise DiffSyncSparkError(f"unknown column {c!r}")
+        # hash-bucket routing on full-key equality
+        eq = {c: v for c, op, v in predicates if op == "="}
+        bucket_src = list(self.model.parent_key or self.model.identifiers)
+        routed: set[int] | None = None
+        if set(bucket_src) <= set(eq):
+            stored = {f.name: f.dataType for f in public.fields}
+            probe = self.spark.createDataFrame(
+                [tuple(eq[c] for c in bucket_src)],
+                T.StructType(
+                    [T.StructField(c, stored[c]) for c in bucket_src]),
+            )
+            routed = {probe.select(
+                F.pmod(F.xxhash64(*bucket_src), F.lit(man["n_buckets"]))
+                .cast("int").alias("b")).first()["b"]}
+        stats = man.get("_file_stats") or {}
+        bounds = [(c, op, self._stat_scalar(v)) for c, op, v in predicates]
+
+        def may_match(p: str) -> bool:
+            st = stats.get(p)
+            if not st:
+                return True
+            for c, op, vv in bounds:
+                rng = st.get(c)
+                if rng is None or vv is None:
+                    continue
+                lo, hi = rng
+                if (
+                    (op == "=" and not lo <= vv <= hi)
+                    or (op == "<" and not lo < vv)
+                    or (op == "<=" and not lo <= vv)
+                    or (op == ">" and not hi > vv)
+                    or (op == ">=" and not hi >= vv)
+                ):
+                    return False
+            return True
+
+        deltas = man.get("deltas") or []
+        dbk = {int(b) for layer in deltas for b in layer["files"]}
+        all_b = {int(b) for b in man["files"]} | dbk
+        keep: list[int] = []
+        for b in sorted(all_b):
+            if routed is not None and b not in routed:
+                continue
+            fl = list(man["files"].get(str(b), []))
+            if b in dbk:
+                fl += [p for layer in deltas
+                       for p in layer["files"].get(str(b), [])]
+                if any(may_match(p) for p in fl):  # all-or-nothing
+                    keep.append(b)
+            elif any(may_match(p) for p in fl):
+                keep.append(b)
+        df = self._stored_frame(man, keep, public, keep_file=may_match)
+        cond = F.lit(True)
+        for c, op, v in predicates:
+            col = F.col(c)
+            cond = cond & {
+                "=": col == F.lit(v), "<": col < F.lit(v),
+                "<=": col <= F.lit(v), ">": col > F.lit(v),
+                ">=": col >= F.lit(v),
+            }[op]
+        return (
+            df.filter(~F.coalesce(F.col(META_DELETED), F.lit(False)))
+            .filter(cond)
             .select(*[f.name for f in public.fields])
         )
 
@@ -1501,10 +1696,12 @@ class SnapshotTable:
         # ---- build the new manifest: touched buckets point at new files,
         # untouched buckets keep their old references (copy-on-write)
         files = {b: fl for b, fl in man["files"].items() if int(b) not in touched}
+        new_paths: list[str] = []
         for bk in touched:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
                 files[str(bk)] = listed
+                new_paths.extend(listed)
         lineage_rows = []
         for bk in touched:
             counts = {
@@ -1615,6 +1812,11 @@ class SnapshotTable:
             "n_buckets": man["n_buckets"],
             "files": files,
             "_files_src": man.get("_files_src", {}),
+            "_file_stats": {
+                **(man.get("_file_stats") or {}),
+                **self._collect_file_stats(
+                    new_paths, self._stat_cols(evolved)),
+            },
             **({"deltas": deltas} if deltas else {}),
             **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
             "checkpoints": checkpoints,
@@ -1756,6 +1958,12 @@ class SnapshotTable:
             "n_buckets": man["n_buckets"],
             "files": man["files"],
             "_files_src": man.get("_files_src", {}),
+            "_file_stats": {
+                **(man.get("_file_stats") or {}),
+                **self._collect_file_stats(
+                    [p for fl in layer_files.values() for p in fl],
+                    self._stat_cols(evolved)),
+            },
             "deltas": deltas,
             "write_mode": "mor",
             "checkpoints": checkpoints,
@@ -2223,11 +2431,13 @@ class SnapshotTable:
             b: s for b, s in man.get("bucket_splits", {}).items()
             if int(b) not in set(targets)
         }
+        new_paths: list[str] = []
         for bk in targets:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
                 files[str(bk)] = listed
                 bucket_splits[str(bk)] = splits.get(bk, 1)
+                new_paths.extend(listed)
             else:
                 files.pop(str(bk), None)
                 bucket_splits.pop(str(bk), None)
@@ -2252,6 +2462,13 @@ class SnapshotTable:
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": man["snapshot_id"],
             "files": files,
+            "_file_stats": {
+                **(man.get("_file_stats") or {}),
+                **self._collect_file_stats(
+                    new_paths,
+                    self._stat_cols(
+                        T.StructType.fromJson(json.loads(man["schema"])))),
+            },
             "bucket_splits": bucket_splits,
             "lineage": [],
             "quarantine_dir": None,  # a compaction rejects nothing

@@ -78,6 +78,48 @@ def _lookup_many_case(s):
     return t.lookup_many(keys)
 
 
+
+def _mor_fold_case(s):
+    """A small merge-on-read table with two delta layers: the read plan is
+    the base+layers fold."""
+    import tempfile
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.fixtures import gen_source
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="plans_mor_")
+    df = s.createDataFrame(gen_source(n_convs=60, seed=3))
+    t = SnapshotTable.create(s, f"{tmp}/t", TRANSCRIPT_MODEL,
+                             schema=df.schema, n_buckets=4, write_mode="mor")
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="b", batch_id=0)
+    for i in (1, 2):
+        t.merge(df.limit(8).withColumn("op", F.lit("upsert"))
+                .withColumn("ts", F.expr(f"ts + interval {i} day")),
+                checkpoint_id="c", batch_id=i)
+    return t.read_raw()
+
+
+def _scan_case(s):
+    """Stats-pruned filtered read of a CoW table (ts conjunct)."""
+    import datetime
+    import tempfile
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.fixtures import gen_source
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="plans_scan_")
+    df = s.createDataFrame(gen_source(n_convs=60, seed=3))
+    t = SnapshotTable.create(s, f"{tmp}/t", TRANSCRIPT_MODEL,
+                             schema=df.schema, n_buckets=4)
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="b", batch_id=0)
+    return t.scan([("ts", ">=", datetime.datetime(1970, 1, 1)),
+                   ("turn_idx", "<", 3)])
+
+
 CASES = [
     (
         "diff (keyed full-outer classify)",
@@ -235,6 +277,23 @@ CASES = [
             s.read.parquet(f"{SF}/documents.parquet"),
             "n_chars", 0.3, ["lang"], exact=False,
         ),
+    ),
+    (
+        "merge-on-read fold (base + delta layers -> one winner per key)",
+        "Base and layer scans union below ONE Exchange on the natural key; "
+        "the rank<=1 WindowGroupLimit runs partial BEFORE the exchange "
+        "(map-side prune) and final after; delta-free buckets would bypass "
+        "the fold entirely (separate plain scan branch).",
+        lambda s: _mor_fold_case(s),
+    ),
+    (
+        "scan (stats-pruned filtered read)",
+        "File skipping happened BEFORE this plan existed: the manifest's "
+        "per-file (min,max) stats and hash-bucket routing shrank the "
+        "explicit file list (file-count evidence in test_scan_pruning); "
+        "the residual conjuncts remain as ordinary PushedFilters on the "
+        "surviving files.",
+        lambda s: _scan_case(s),
     ),
 ]
 

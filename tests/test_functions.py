@@ -902,3 +902,56 @@ def test_substring_spans_within_doc_repeat(spark):
     )
     # the 4-token phrase repeats within one document: both occurrences emit
     assert got == [(0, 4), (5, 9)]
+
+
+# ------------------------------------------------------------- real BPE
+
+
+def test_bpe_udf_matches_scalar_oracle_on_real_docs(spark):
+    """The Arrow UDF (unique-pretoken cache path) vs the straightforward
+    scalar reference, over the sf0.001 documents corpus + edge rows."""
+    from diffsync_spark.functions.text import (
+        bpe_count_py, bpe_token_count, parse_merges, train_bpe_merges)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").limit(80).collect()]
+    merges = train_bpe_merges(texts[:40], n_merges=120)
+    assert len(merges) > 20, "trainer must find real merges in real text"
+    ranks = parse_merges(merges)
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (900, None), (901, ""), (902, "   "), (903, "don't stop won't"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in bpe_token_count(df, merges).collect()}
+    for i, t in rows:
+        assert got[i] == (bpe_count_py(t, ranks) if t else 0), (i, t)
+
+
+def test_bpe_count_compresses_vs_character_count(spark):
+    """A trained merges table must actually merge: BPE count strictly
+    between pretoken count and character count on in-domain text."""
+    import re
+
+    from diffsync_spark.functions.text import (
+        BPE_PRETOKEN, bpe_count_py, parse_merges, train_bpe_merges)
+
+    corpus = ["the cat sat on the mat the cat sat"] * 4
+    ranks = parse_merges(train_bpe_merges(corpus, n_merges=60))
+    t = corpus[0]
+    n = bpe_count_py(t, ranks)
+    n_pre = len(re.findall(BPE_PRETOKEN, t))
+    assert n_pre <= n < len(t.replace(" ", "")) + t.count(" ")
+
+
+def test_bpe_merge_order_is_rank_greedy():
+    """Lowest-rank pair merges FIRST even when a later pair appears earlier
+    in the word — the part of the algorithm a naive left-to-right scan gets
+    wrong."""
+    from diffsync_spark.functions.text import bpe_encode_py
+
+    # ranks: ("b","c") rank 0 beats ("a","b") rank 1
+    ranks = {("b", "c"): 0, ("a", "b"): 1, ("a", "bc"): 2}
+    assert bpe_encode_py("abc", ranks) == ["abc"]  # a+bc after b+c
+    ranks2 = {("a", "b"): 0, ("b", "c"): 1}
+    assert bpe_encode_py("abc", ranks2) == ["ab", "c"]
