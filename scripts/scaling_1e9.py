@@ -94,11 +94,17 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=2_000_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--modes", default="cow,mor")
+    ap.add_argument("--input", default=None,
+                    help="reuse a pre-generated <dir>/{src,chg} (skips the "
+                         "~30 min generation pass; dir is kept afterwards)")
     args = ap.parse_args()
     env = {**os.environ, "PYTHONPATH": REPO}
 
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    work = tempfile.mkdtemp(prefix="scale1e9_in_", dir=shm)
+    if args.input:
+        work, owns_work = args.input, False
+    else:
+        shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        work, owns_work = tempfile.mkdtemp(prefix="scale1e9_in_", dir=shm), True
     gen = f"""
 import shutil
 from diffsync_spark import build_session, fixtures
@@ -110,14 +116,16 @@ src = fixtures.gen_source_spark(spark, n_convs={args.convs},
 chg = fixtures.gen_changelog_spark(spark, {args.events}, n_convs={args.convs},
                                    turns_per_conv=20, text_bytes=256)
 src.repartition(64).write.mode("overwrite").parquet("{work}/src")
-chg.repartition({max(256, args.events // 2_000_000)}).write.mode(
-    "overwrite").parquet("{work}/chg")
+# NO repartition: spark.range's native partitioning is already uniform,
+# and a 1e9-row shuffle (~hundreds of GB raw) would exhaust local disk;
+# readers re-split parquet by maxPartitionBytes anyway
+chg.write.mode("overwrite").parquet("{work}/chg")
 spark.stop()
 shutil.rmtree("/tmp/gen1e9_tmp", ignore_errors=True)
 """
-    print("generating input...", file=sys.stderr)
-    subprocess.run([sys.executable, "-c", gen], check=True, env=env,
-                   stderr=subprocess.DEVNULL)
+    if owns_work:
+        print("generating input...", file=sys.stderr)
+        subprocess.run([sys.executable, "-c", gen], check=True, env=env)
 
     results = []
     for mode in args.modes.split(","):
@@ -129,23 +137,27 @@ shutil.rmtree("/tmp/gen1e9_tmp", ignore_errors=True)
         out = subprocess.run(
             [sys.executable, "-c", RUNNER, str(args.cpus), f"{work}/src",
              f"{work}/chg", str(args.batches), mode, local_dir],
-            check=True, env=env, capture_output=True, text=True,
+            env=env, capture_output=True, text=True,
         )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-8000:])
+            raise SystemExit(f"replay mode={mode} failed "
+                             f"(rc={out.returncode})")
         line = [ln for ln in out.stdout.splitlines()
                 if ln.startswith("RESULT ")][-1]
         results.append(json.loads(line[len("RESULT "):]))
         shutil.rmtree(local_dir, ignore_errors=True)
-    shutil.rmtree(work, ignore_errors=True)
-
-    summary = {
-        "metric": "sustained_1e9_event_replay",
-        "convs": args.convs,
-        "text_bytes": 256,
-        "runs": results,
-    }
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_1e9.json"), "w") as f:
-        json.dump(summary, f, indent=1)
+        summary = {
+            "metric": "sustained_1e9_event_replay",
+            "convs": args.convs,
+            "text_bytes": 256,
+            "runs": results,
+        }
+        os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+        with open(os.path.join(REPO, "BENCH", "scaling_1e9.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+    if owns_work:
+        shutil.rmtree(work, ignore_errors=True)
     print(json.dumps([{k: r[k] for k in ("write_mode", "events_per_sec",
                                          "replay_seconds", "final_rows")}
                       for r in results]))
