@@ -581,6 +581,106 @@ class SnapshotTable:
             # free the slot (a live writer's token is microseconds old)
             self.io.remove_file(token)
 
+    # ------------------------------------------- metadata-only commit rebase
+    #
+    # Losing a commit race does NOT have to mean recomputing the merge. The
+    # data files a losing attempt wrote are a pure function of (its batch,
+    # the touched buckets' state in its base snapshot): if the winner chain
+    # provably did not change those buckets — identical file lists, identical
+    # delta layers, identical schema — the files are still exactly the rows
+    # a serial execution would have produced, and the loser only needs a NEW
+    # MANIFEST on top of the winner (Iceberg's validation-based retry,
+    # recast for hash buckets). At 100 TB this is the difference between
+    # concurrent disjoint writers (multi-stream ingest into different key
+    # ranges, targeted compaction racing an ingest stream) serializing on
+    # METADATA — microseconds — versus re-running a bucket-rewrite job per
+    # conflict. Overlapping writers still take the full recompute path.
+
+    def _rebase_ok(self, parent: dict, cur: dict, touched: list[int],
+                   checkpoint_id: str | None = None,
+                   batch_id: int | None = None) -> bool:
+        """May a commit computed against ``parent`` that touched exactly
+        ``touched`` buckets be re-committed on top of ``cur`` without
+        recomputation? Conservative: any doubt → False (full recompute).
+
+        The serializability argument: rebasing picks the "loser committed
+        first" linearization of two concurrent commits. That is sound iff
+        the loser's output is bit-identical under either order, which the
+        bucket-disjointness checks below guarantee — the winner never read
+        or wrote the loser's buckets, and vice versa (the winner committed
+        without seeing ours at all). MoR layer ordering stays monotone per
+        bucket: a rebased layer's physical ``__commit`` stamp X exceeds
+        every earlier layer in its buckets (they are all <= our base
+        version < X) and every later layer allocates past our manifest
+        version Y > X."""
+        if cur["version"] == parent["version"]:
+            return False  # pointer never moved (stale token) — nothing to rebase onto
+        if batch_id is not None and checkpoint_id is not None and (
+            cur["checkpoints"].get(checkpoint_id, -1) >= batch_id
+        ):
+            return False  # a twin already committed this very batch → skip path
+        if (
+            cur.get("n_buckets") != parent.get("n_buckets")  # rebucket
+            or cur.get("write_mode", "cow") != parent.get("write_mode", "cow")
+            or cur.get("schema") != parent.get("schema")  # winner evolved
+            or cur.get("last_field_id") != parent.get("last_field_id")
+        ):
+            return False
+
+        def _layers_on(man: dict, b: str) -> list[tuple[int, list[str]]]:
+            return [
+                (layer["commit"], layer["files"][b])
+                for layer in man.get("deltas") or []
+                if b in layer["files"]
+            ]
+
+        for bk in touched:
+            b = str(bk)
+            if cur["files"].get(b) != parent["files"].get(b):
+                return False  # winner rewrote/compacted one of our buckets
+            if _layers_on(cur, b) != _layers_on(parent, b):
+                return False  # winner layered onto one of our buckets
+            if (cur.get("bucket_splits", {}).get(b)
+                    != parent.get("bucket_splits", {}).get(b)):
+                return False
+        return True
+
+    def _commit_with_rebase(
+        self,
+        build,
+        man: dict,
+        version: int,
+        touched: list[int],
+        checkpoint_id: str | None = None,
+        batch_id: int | None = None,
+        max_rebases: int = 5,
+    ) -> tuple[dict, int]:
+        """Commit ``build(man, version)``; on losing the race, retry
+        metadata-only against each successive winner while
+        :meth:`_rebase_ok` holds (the data files already written under the
+        original attempt's unique dir are referenced as-is — dir names keep
+        the original version tag, which GC and readers never interpret).
+        Returns ``(committed manifest, n_metadata_rebases)``; re-raises
+        :class:`CommitConflict` for the caller's full-recompute loop when
+        the winner overlapped."""
+        manifest = build(man, version)
+        try:
+            self._commit(manifest, parent=man["version"])
+            return manifest, 0
+        except CommitConflict:
+            for attempt in range(1, max_rebases + 1):
+                cur = self._manifest()
+                if not self._rebase_ok(man, cur, touched,
+                                       checkpoint_id, batch_id):
+                    raise
+                rebased = build(cur, self._next_version(cur))
+                try:
+                    self._commit(rebased, parent=cur["version"])
+                    return rebased, attempt
+                except CommitConflict:
+                    continue  # another winner landed mid-rebase — re-read
+            raise
+
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._manifest(version)["schema"]))
 
@@ -1168,6 +1268,14 @@ class SnapshotTable:
         unique dirs, so a losing attempt can never clobber the winner's
         files; its orphans are unreferenced by any manifest (GC'able).
         Bounded by ``max_commit_retries``, then the conflict propagates.
+
+        Before falling back to a recompute, a lost race first tries a
+        METADATA-ONLY REBASE (:meth:`_commit_with_rebase`): when the winner
+        provably didn't touch this merge's buckets or schema, the already-
+        written data files are re-committed on top of the winner's snapshot
+        without re-running any Spark job — disjoint concurrent writers
+        serialize on manifest I/O alone. The result's ``metadata_rebases``
+        counts these; ``commit_retries`` counts full recomputes.
         """
         attempt = 0
         while True:
@@ -1694,14 +1802,19 @@ class SnapshotTable:
                 )
 
         # ---- build the new manifest: touched buckets point at new files,
-        # untouched buckets keep their old references (copy-on-write)
-        files = {b: fl for b, fl in man["files"].items() if int(b) not in touched}
+        # untouched buckets keep their old references (copy-on-write).
+        # Everything below is a pure function of the base snapshot, so the
+        # whole build runs as a closure _commit_with_rebase can re-invoke
+        # against a WINNER's snapshot after a lost race (metadata-only
+        # rebase — the data files above are written once).
+        bucket_files: dict[str, list[str]] = {}
         new_paths: list[str] = []
         for bk in touched:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
-                files[str(bk)] = listed
+                bucket_files[str(bk)] = listed
                 new_paths.extend(listed)
+        new_stats = self._collect_file_stats(new_paths, self._stat_cols(evolved))
         lineage_rows = []
         for bk in touched:
             counts = {
@@ -1735,104 +1848,117 @@ class SnapshotTable:
                     "n_quarantined": n_quarantined,
                 }
             )
-        checkpoints = dict(man["checkpoints"])
-        if batch_id is not None:
-            checkpoints[checkpoint_id] = batch_id
-        bucket_rows = {
-            b: n for b, n in man.get("bucket_rows", {}).items()
-            if int(b) not in touched
-        }
-        for bk in touched:
-            bucket_rows[str(bk)] = sum(
-                per_bucket.get((bk, o), 0)
-                for o in ("create", "update", "delete", "noop")
+        # the quarantine dir was written under the ORIGINAL attempt version;
+        # its recorded path must not be re-derived from a rebased version
+        quarantine_dir = (
+            os.path.join(
+                self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
             )
-        # slot counts the files were actually written with — lookup's file
-        # pruning recomputes a key's slot from these (copy-on-write: a
-        # bucket's file list and its split count always commit together)
-        bucket_splits = {
-            b: s for b, s in man.get("bucket_splits", {}).items()
-            if int(b) not in touched
-        }
-        for bk in touched:
-            bucket_splits[str(bk)] = splits.get(bk, 1)
-        # live (non-tombstone) rows per bucket: untouched buckets carry the
-        # previous snapshot's numbers forward copy-on-write, touched buckets
-        # take this write's observed counts — count_rows() sums these.
-        # A parent manifest from before this field existed has untouched
-        # buckets with UNKNOWN live counts: emitting a partial dict would
-        # silently undercount forever, so only emit when every carried
-        # bucket's count is actually known (else count_rows falls back to
-        # one counting scan until all buckets have been rewritten)
-        parent_live = man.get("bucket_live_rows")
-        untouched_with_files = {
-            b for b in man["files"] if int(b) not in touched
-        }
-        if parent_live is None and untouched_with_files:
-            live_rows = None
-        else:
-            live_rows = {
-                b: n for b, n in (parent_live or {}).items()
+            if n_quarantined
+            else None
+        )
+
+        def build(base: dict, version: int) -> dict:
+            files = {b: fl for b, fl in base["files"].items()
+                     if int(b) not in touched}
+            files.update(bucket_files)
+            checkpoints = dict(base["checkpoints"])
+            if batch_id is not None:
+                checkpoints[checkpoint_id] = batch_id
+            bucket_rows = {
+                b: n for b, n in base.get("bucket_rows", {}).items()
                 if int(b) not in touched
             }
-            if not untouched_with_files <= set(live_rows) | {
-                str(t) for t in touched
-            }:
-                live_rows = None  # a carried bucket has no known count
-            else:
-                for bk in touched:
-                    live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
-        # merge-on-read layers: a rewrite of a bucket (force merge /
-        # bootstrap) subsumes its delta layers — clear the touched buckets'
-        # entries, carry the rest forward, drop layers that emptied out
-        deltas = []
-        for layer in man.get("deltas") or []:
-            kept = {b: fl for b, fl in layer["files"].items()
-                    if int(b) not in touched}
-            if kept:
-                deltas.append({
-                    "commit": layer["commit"],
-                    "files": kept,
-                    "splits": {b: s for b, s in layer.get("splits", {}).items()
-                               if b in kept},
-                    # ref provenance: _dehydrate reuses the layer's bm ref
-                    # (plus a drop list) instead of re-serializing it
-                    **({"_src": layer["_src"]} if "_src" in layer else {}),
-                })
-        manifest = {
-            "version": new_version,
-            "snapshot_id": snapshot_id,
-            "parent_snapshot_id": man["snapshot_id"],
-            "schema": evolved.json(),
-            "last_field_id": max(
-                int(man.get("last_field_id") or 0),
-                max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
-                     for f in evolved.fields), default=0),
-            ) or None,
-            "n_buckets": man["n_buckets"],
-            "files": files,
-            "_files_src": man.get("_files_src", {}),
-            "_file_stats": {
-                **(man.get("_file_stats") or {}),
-                **self._collect_file_stats(
-                    new_paths, self._stat_cols(evolved)),
-            },
-            **({"deltas": deltas} if deltas else {}),
-            **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
-            "checkpoints": checkpoints,
-            "lineage": lineage_rows,
-            "bucket_rows": bucket_rows,
-            "bucket_splits": bucket_splits,
-            **({"bucket_live_rows": live_rows} if live_rows is not None else {}),
-            "quarantine_dir": (
-                os.path.join(
-                    self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
+            for bk in touched:
+                bucket_rows[str(bk)] = sum(
+                    per_bucket.get((bk, o), 0)
+                    for o in ("create", "update", "delete", "noop")
                 )
-                if n_quarantined
-                else None
-            ),
-        }
-        self._commit(manifest, parent=man["version"])
+            # slot counts the files were actually written with — lookup's
+            # file pruning recomputes a key's slot from these (copy-on-write:
+            # a bucket's file list and its split count always commit together)
+            bucket_splits = {
+                b: s for b, s in base.get("bucket_splits", {}).items()
+                if int(b) not in touched
+            }
+            for bk in touched:
+                bucket_splits[str(bk)] = splits.get(bk, 1)
+            # live (non-tombstone) rows per bucket: untouched buckets carry
+            # the previous snapshot's numbers forward copy-on-write, touched
+            # buckets take this write's observed counts — count_rows() sums
+            # these. A parent manifest from before this field existed has
+            # untouched buckets with UNKNOWN live counts: emitting a partial
+            # dict would silently undercount forever, so only emit when every
+            # carried bucket's count is actually known (else count_rows falls
+            # back to one counting scan until all buckets have been rewritten)
+            parent_live = base.get("bucket_live_rows")
+            untouched_with_files = {
+                b for b in base["files"] if int(b) not in touched
+            }
+            if parent_live is None and untouched_with_files:
+                live_rows = None
+            else:
+                live_rows = {
+                    b: n for b, n in (parent_live or {}).items()
+                    if int(b) not in touched
+                }
+                if not untouched_with_files <= set(live_rows) | {
+                    str(t) for t in touched
+                }:
+                    live_rows = None  # a carried bucket has no known count
+                else:
+                    for bk in touched:
+                        live_rows[str(bk)] = per_bucket.get((bk, "__live"), 0)
+            # merge-on-read layers: a rewrite of a bucket (force merge /
+            # bootstrap) subsumes its delta layers — clear the touched
+            # buckets' entries, carry the rest forward, drop emptied layers
+            deltas = []
+            for layer in base.get("deltas") or []:
+                kept = {b: fl for b, fl in layer["files"].items()
+                        if int(b) not in touched}
+                if kept:
+                    deltas.append({
+                        "commit": layer["commit"],
+                        "files": kept,
+                        "splits": {b: s
+                                   for b, s in layer.get("splits", {}).items()
+                                   if b in kept},
+                        # ref provenance: _dehydrate reuses the layer's bm
+                        # ref (plus a drop list) instead of re-serializing it
+                        **({"_src": layer["_src"]} if "_src" in layer else {}),
+                    })
+            return {
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": base["snapshot_id"],
+                "schema": evolved.json(),
+                "last_field_id": max(
+                    int(base.get("last_field_id") or 0),
+                    max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                         for f in evolved.fields), default=0),
+                ) or None,
+                "n_buckets": base["n_buckets"],
+                "files": files,
+                "_files_src": base.get("_files_src", {}),
+                "_file_stats": {
+                    **(base.get("_file_stats") or {}),
+                    **new_stats,
+                },
+                **({"deltas": deltas} if deltas else {}),
+                **({"write_mode": base["write_mode"]}
+                   if "write_mode" in base else {}),
+                "checkpoints": checkpoints,
+                "lineage": lineage_rows,
+                "bucket_rows": bucket_rows,
+                "bucket_splits": bucket_splits,
+                **({"bucket_live_rows": live_rows}
+                   if live_rows is not None else {}),
+                "quarantine_dir": quarantine_dir,
+            }
+
+        manifest, n_rebases = self._commit_with_rebase(
+            build, man, new_version, touched, checkpoint_id, batch_id
+        )
         totals = {
             o: sum(r[f"n_{o}"] for r in lineage_rows)
             for o in ("create", "update", "delete", "noop", "quarantined")
@@ -1840,8 +1966,9 @@ class SnapshotTable:
         return {
             "skipped": False,
             "snapshot_id": snapshot_id,
-            "version": new_version,
+            "version": manifest["version"],
             "touched_buckets": touched,
+            "metadata_rebases": n_rebases,
             # valid batch rows that entered the MERGE (post-quarantine,
             # pre-LWW-dedup) — the denominator for pre-filter reduction
             "n_input": sum((batch_rows or {}).values()),
@@ -1906,12 +2033,6 @@ class SnapshotTable:
             for r in written.groupBy(BUCKET).agg(F.count("*").alias("n")).collect():
                 per_bucket[r[BUCKET]] = r["n"]
 
-        deltas = list(man.get("deltas") or [])
-        deltas.append({
-            "commit": new_version,
-            "files": layer_files,
-            "splits": {b: splits.get(int(b), 1) for b in layer_files},
-        })
         lineage_rows = [
             {
                 "checkpoint_id": checkpoint_id,
@@ -1937,64 +2058,88 @@ class SnapshotTable:
                 "n_quarantined": n_quarantined,
                 "n_append": 0,
             })
-        checkpoints = dict(man["checkpoints"])
-        if batch_id is not None:
-            checkpoints[checkpoint_id] = batch_id
-        bucket_rows = dict(man.get("bucket_rows", {}))
-        for bk in touched:
-            bucket_rows[str(bk)] = (
-                bucket_rows.get(str(bk), 0) + per_bucket.get(bk, 0)
+        new_stats = self._collect_file_stats(
+            [p for fl in layer_files.values() for p in fl],
+            self._stat_cols(evolved))
+        quarantine_dir = (
+            os.path.join(
+                self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
             )
-        manifest = {
-            "version": new_version,
-            "snapshot_id": snapshot_id,
-            "parent_snapshot_id": man["snapshot_id"],
-            "schema": evolved.json(),
-            "last_field_id": max(
-                int(man.get("last_field_id") or 0),
-                max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
-                     for f in evolved.fields), default=0),
-            ) or None,
-            "n_buckets": man["n_buckets"],
-            "files": man["files"],
-            "_files_src": man.get("_files_src", {}),
-            "_file_stats": {
-                **(man.get("_file_stats") or {}),
-                **self._collect_file_stats(
-                    [p for fl in layer_files.values() for p in fl],
-                    self._stat_cols(evolved)),
-            },
-            "deltas": deltas,
-            "write_mode": "mor",
-            "checkpoints": checkpoints,
-            "lineage": lineage_rows,
-            "bucket_rows": bucket_rows,
-            "bucket_splits": man.get("bucket_splits", {}),
-            # bucket_live_rows intentionally omitted once layers exist —
-            # see docstring; compact() re-establishes it
-            **(
-                {"bucket_live_rows": man["bucket_live_rows"]}
-                if not touched and man.get("bucket_live_rows") is not None
-                else {}
-            ),
-            "quarantine_dir": (
-                os.path.join(
-                    self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
+            if n_quarantined
+            else None
+        )
+
+        # manifest as a pure function of the base snapshot: a layer's
+        # CONTENT never depends on the snapshot it lands on, so after a
+        # lost race _commit_with_rebase re-invokes this against the
+        # winner's manifest (metadata-only rebase) when the winner left
+        # this layer's buckets alone. The layer record's "commit" takes
+        # the rebased version (when it became visible); the files'
+        # physical __commit column keeps the original attempt's number,
+        # which stays strictly largest within its buckets (every earlier
+        # layer there predates our base, every later one allocates past
+        # our manifest version), so the fold's total order is unchanged.
+        def build(base: dict, version: int) -> dict:
+            deltas = list(base.get("deltas") or [])
+            deltas.append({
+                "commit": version,
+                "files": layer_files,
+                "splits": {b: splits.get(int(b), 1) for b in layer_files},
+            })
+            checkpoints = dict(base["checkpoints"])
+            if batch_id is not None:
+                checkpoints[checkpoint_id] = batch_id
+            bucket_rows = dict(base.get("bucket_rows", {}))
+            for bk in touched:
+                bucket_rows[str(bk)] = (
+                    bucket_rows.get(str(bk), 0) + per_bucket.get(bk, 0)
                 )
-                if n_quarantined
-                else None
-            ),
-        }
-        self._commit(manifest, parent=man["version"])
+            return {
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": base["snapshot_id"],
+                "schema": evolved.json(),
+                "last_field_id": max(
+                    int(base.get("last_field_id") or 0),
+                    max(((f.metadata or {}).get(_FIELD_ID_KEY, 0)
+                         for f in evolved.fields), default=0),
+                ) or None,
+                "n_buckets": base["n_buckets"],
+                "files": base["files"],
+                "_files_src": base.get("_files_src", {}),
+                "_file_stats": {
+                    **(base.get("_file_stats") or {}),
+                    **new_stats,
+                },
+                "deltas": deltas,
+                "write_mode": "mor",
+                "checkpoints": checkpoints,
+                "lineage": lineage_rows,
+                "bucket_rows": bucket_rows,
+                "bucket_splits": base.get("bucket_splits", {}),
+                # bucket_live_rows intentionally omitted once layers exist —
+                # see docstring; compact() re-establishes it
+                **(
+                    {"bucket_live_rows": base["bucket_live_rows"]}
+                    if not touched and base.get("bucket_live_rows") is not None
+                    else {}
+                ),
+                "quarantine_dir": quarantine_dir,
+            }
+
+        manifest, n_rebases = self._commit_with_rebase(
+            build, man, new_version, touched, checkpoint_id, batch_id
+        )
         return {
             "skipped": False,
             "snapshot_id": snapshot_id,
-            "version": new_version,
+            "version": manifest["version"],
             "touched_buckets": touched,
+            "metadata_rebases": n_rebases,
             "n_input": sum((batch_rows or {}).values()),
             "n_append": sum(per_bucket.values()),
             "n_quarantined": n_quarantined,
-            "n_delta_layers": len(deltas),
+            "n_delta_layers": len(manifest["deltas"]),
         }
 
     def apply_diff(self, diff_df: DataFrame, checkpoint_id: str = "diff",
@@ -2424,92 +2569,107 @@ class SnapshotTable:
         out = self._tag_field_ids(
             out, T.StructType.fromJson(json.loads(man["schema"])))
         out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
-        # untouched buckets carry their existing file lists forward
-        files = {b: fl for b, fl in man["files"].items()
-                 if int(b) not in set(targets)}
-        bucket_splits = {
-            b: s for b, s in man.get("bucket_splits", {}).items()
-            if int(b) not in set(targets)
-        }
+        target_set = set(targets)
+        bucket_files: dict[str, list[str]] = {}
         new_paths: list[str] = []
         for bk in targets:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
-                files[str(bk)] = listed
-                bucket_splits[str(bk)] = splits.get(bk, 1)
+                bucket_files[str(bk)] = listed
                 new_paths.extend(listed)
+        new_stats = self._collect_file_stats(
+            new_paths,
+            self._stat_cols(T.StructType.fromJson(json.loads(man["schema"]))))
+        counts = obs.get if obs is not None else None
+
+        # manifest as a pure function of the base snapshot — after a lost
+        # commit race _commit_with_rebase re-invokes this against the
+        # winner's manifest when the winner left the compacted buckets
+        # alone (targeted compaction racing an ingest stream on OTHER
+        # buckets is the common case at scale), skipping a full re-fold.
+        def build(base: dict, version: int) -> dict:
+            # untouched buckets carry their existing file lists forward
+            files = {b: fl for b, fl in base["files"].items()
+                     if int(b) not in target_set}
+            bucket_splits = {
+                b: s for b, s in base.get("bucket_splits", {}).items()
+                if int(b) not in target_set
+            }
+            files.update(bucket_files)
+            for b in bucket_files:
+                bucket_splits[b] = splits.get(int(b), 1)
+            # folded buckets leave their delta layers behind
+            deltas = []
+            for layer in base.get("deltas") or []:
+                kept = {b: fl for b, fl in layer["files"].items()
+                        if int(b) not in target_set}
+                if kept:
+                    deltas.append({
+                        "commit": layer["commit"],
+                        "files": kept,
+                        "splits": {b: s
+                                   for b, s in layer.get("splits", {}).items()
+                                   if b in kept},
+                        # ref provenance: _dehydrate reuses the layer's bm
+                        # ref (plus a drop list) instead of re-serializing it
+                        **({"_src": layer["_src"]} if "_src" in layer else {}),
+                    })
+            manifest = {
+                **base,
+                "version": version,
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": base["snapshot_id"],
+                "files": files,
+                "_file_stats": {
+                    **(base.get("_file_stats") or {}),
+                    **new_stats,
+                },
+                "bucket_splits": bucket_splits,
+                "lineage": [],
+                "quarantine_dir": None,  # a compaction rejects nothing
+            }
+            if deltas:
+                manifest["deltas"] = deltas
             else:
-                files.pop(str(bk), None)
-                bucket_splits.pop(str(bk), None)
-        # folded buckets leave their delta layers behind
-        deltas = []
-        for layer in man.get("deltas") or []:
-            kept = {b: fl for b, fl in layer["files"].items()
-                    if int(b) not in set(targets)}
-            if kept:
-                deltas.append({
-                    "commit": layer["commit"],
-                    "files": kept,
-                    "splits": {b: s for b, s in layer.get("splits", {}).items()
-                               if b in kept},
-                    # ref provenance: _dehydrate reuses the layer's bm ref
-                    # (plus a drop list) instead of re-serializing it
-                    **({"_src": layer["_src"]} if "_src" in layer else {}),
-                })
-        manifest = {
-            **man,
-            "version": new_version,
-            "snapshot_id": snapshot_id,
-            "parent_snapshot_id": man["snapshot_id"],
-            "files": files,
-            "_file_stats": {
-                **(man.get("_file_stats") or {}),
-                **self._collect_file_stats(
-                    new_paths,
-                    self._stat_cols(
-                        T.StructType.fromJson(json.loads(man["schema"])))),
-            },
-            "bucket_splits": bucket_splits,
-            "lineage": [],
-            "quarantine_dir": None,  # a compaction rejects nothing
-        }
-        if deltas:
-            manifest["deltas"] = deltas
-        else:
-            manifest.pop("deltas", None)
-        if obs is not None:
-            counts = obs.get
-            bucket_rows = {
-                b: n for b, n in man.get("bucket_rows", {}).items()
-                if int(b) not in set(targets)
-            }
-            for bk in targets:
-                n = counts[f"b{bk}_rows"]
-                if n:
-                    bucket_rows[str(bk)] = n
-            manifest["bucket_rows"] = bucket_rows
-            # live counts follow the all-known-or-nothing rule (see
-            # _write_commit): only publish when every carried bucket —
-            # including ones still holding delta layers — has a known count
-            parent_live = man.get("bucket_live_rows")
-            carried = {b for b in files if int(b) not in set(targets)}
-            layered = {b for lay in deltas for b in lay["files"]}
-            live_rows = {
-                b: n for b, n in (parent_live or {}).items()
-                if int(b) not in set(targets)
-            }
-            if carried <= set(live_rows) and not layered:
+                manifest.pop("deltas", None)
+            if counts is not None:
+                bucket_rows = {
+                    b: n for b, n in base.get("bucket_rows", {}).items()
+                    if int(b) not in target_set
+                }
                 for bk in targets:
-                    live_rows[str(bk)] = counts[f"b{bk}_live"]
-                manifest["bucket_live_rows"] = live_rows
-            else:
-                manifest.pop("bucket_live_rows", None)
-        self._commit(manifest, parent=man["version"])
+                    n = counts[f"b{bk}_rows"]
+                    if n:
+                        bucket_rows[str(bk)] = n
+                manifest["bucket_rows"] = bucket_rows
+                # live counts follow the all-known-or-nothing rule (see
+                # _write_commit): only publish when every carried bucket —
+                # including ones still holding delta layers — has a known
+                # count
+                parent_live = base.get("bucket_live_rows")
+                carried = {b for b in files if int(b) not in target_set}
+                layered = {b for lay in deltas for b in lay["files"]}
+                live_rows = {
+                    b: n for b, n in (parent_live or {}).items()
+                    if int(b) not in target_set
+                }
+                if carried <= set(live_rows) and not layered:
+                    for bk in targets:
+                        live_rows[str(bk)] = counts[f"b{bk}_live"]
+                    manifest["bucket_live_rows"] = live_rows
+                else:
+                    manifest.pop("bucket_live_rows", None)
+            return manifest
+
+        manifest, n_rebases = self._commit_with_rebase(
+            build, man, new_version, targets
+        )
         return {
             "skipped": False,
-            "version": new_version,
+            "version": manifest["version"],
             "compacted_buckets": targets,
-            "n_files": sum(map(len, files.values())),
+            "metadata_rebases": n_rebases,
+            "n_files": sum(map(len, manifest["files"].values())),
         }
 
     # ---------------------------------------------------------- maintenance

@@ -309,7 +309,10 @@ def test_mor_racing_writers(spark, tmp_path, target_df):
         spark, path, TRANSCRIPT_MODEL, io=RacingCommitIO(interloper, races=1)
     )
     res_a = writer_a.merge(_batch("race_A"), checkpoint_id="wa", batch_id=1)
-    assert res_a["commit_retries"] == 1
+    # the loser resolved the race exactly once: metadata-only when the two
+    # convs hash to disjoint buckets (a layer's content is snapshot-
+    # independent), a full recompute when they collide
+    assert res_a["commit_retries"] + res_a["metadata_rebases"] == 1
     assert len(results_b) == 1 and not results_b[0]["skipped"]
     state = table.read()
     assert state.filter(F.col("conv_id") == "race_A").count() == 3

@@ -368,7 +368,19 @@ def test_concurrent_writers_both_land(spark, tmp_path, target_df):
 
     assert len(b_results) == 1 and not b_results[0]["skipped"]
     assert not res_a["skipped"]
-    assert res_a["commit_retries"] == 1          # lost once, rebased, won
+    # lost once, rebased, won — metadata-only when the writers' convs hash
+    # to different buckets (B provably never touched A's bucket), a full
+    # recompute when they collide
+    def _bucket(conv: str) -> int:
+        return spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(conv)), F.lit(8)).cast("int")
+        ).first()[0]
+
+    if _bucket("cw_A") != _bucket("cw_B"):
+        assert res_a["metadata_rebases"] == 1
+        assert res_a["commit_retries"] == 0
+    else:
+        assert res_a["commit_retries"] == 1
     assert res_a["n_create"] == 3
     # both batches landed exactly once
     state = table.read()
@@ -433,13 +445,26 @@ def test_commit_retries_exhausted(spark, tmp_path, target_df):
 
 
 def test_remove_orphans_after_lost_race(spark, tmp_path, target_df):
-    """A losing commit attempt leaves a whole unreferenced data dir; GC
-    removes exactly that, never a referenced version, and is idempotent."""
+    """A losing commit attempt that had to RECOMPUTE (the interloper wrote
+    the same conv → same bucket, so the metadata-only rebase correctly
+    refuses) leaves a whole unreferenced data dir; GC removes exactly that,
+    never a referenced version, and is idempotent."""
     from diffsync_spark.sinks.fsio import RacingCommitIO
 
     table = _bootstrap(spark, tmp_path, target_df)
     writer_b = SnapshotTable.load(spark, table.path, TRANSCRIPT_MODEL)
-    batch_b = _cw_batch(spark, "gc_B")
+    # same conversation, disjoint turn ranges: both batches route to the
+    # SAME bucket, forcing the full-recompute conflict path (and its orphan)
+    t0 = datetime.datetime(2031, 1, 1)
+    sch = _CDC_SCHEMA
+    batch_b = spark.createDataFrame(
+        [("gc_X", i, "user", f"B turn {i}", None,
+          t0 + datetime.timedelta(seconds=i), "insert", i)
+         for i in range(10, 13)], sch)
+    batch_a = spark.createDataFrame(
+        [("gc_X", i, "user", f"A turn {i}", None,
+          t0 + datetime.timedelta(seconds=i), "insert", i)
+         for i in range(3)], sch)
 
     writer_a = SnapshotTable.load(
         spark, table.path, TRANSCRIPT_MODEL,
@@ -448,7 +473,9 @@ def test_remove_orphans_after_lost_race(spark, tmp_path, target_df):
             races=1,
         ),
     )
-    writer_a.merge(_cw_batch(spark, "gc_A"), checkpoint_id="gca", batch_id=1)
+    res = writer_a.merge(batch_a, checkpoint_id="gca", batch_id=1)
+    assert res["commit_retries"] == 1 and res["metadata_rebases"] == 0
+    assert table.read().filter(F.col("conv_id") == "gc_X").count() == 6
     state_before = _state(table)
     res = table.remove_orphans()
     assert len(res["removed_dirs"]) == 1          # the loser's v3 attempt
