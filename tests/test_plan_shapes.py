@@ -64,7 +64,17 @@ def test_lww_then_join_shares_partitioning(spark):
     plan = _plan(deduped.join(cur, cond, "full_outer"))
     # one shuffle for the window input + one for the cur side — NOT three
     assert plan.count("Exchange hashpartitioning") == 2
-    assert "WindowGroupLimit" in plan or "Window" in plan
+    # the rank-limit pushdown is the merge path's hot-key defence: a PARTIAL
+    # WindowGroupLimit below the exchange pre-reduces each map partition to
+    # one candidate row per natural key, so 10^6 duplicate events for one hot
+    # conversation shuffle as ~n_map_partitions rows, not 10^6 — map-side
+    # combine for row_number()==1, without any aggregate fallback
+    assert plan.count("WindowGroupLimit") == 2  # Partial (map-side) + Final
+    # the Partial one is BELOW the window's exchange (prints after it in the
+    # tree string); the Final sits above it
+    assert plan.rindex("WindowGroupLimit") > plan.index(
+        "Exchange hashpartitioning"
+    )
 
 
 def test_cosine_topk_broadcasts_queries(spark):
