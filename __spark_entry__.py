@@ -1178,6 +1178,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["table_changes"] = table_changes
 
+    # --- Delta-CDF-shaped change feed: the same net changes flattened to
+    # full row images (insert / delete / update_preimage / update_postimage)
+    # — an update must emit BOTH images with the correct old/new payloads
+    def change_feed_cdf(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="change_feed_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        v1 = table.current_version()
+        table.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+        return table.change_feed(v1).select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"), "_change_type",
+        )
+
+    q["change_feed_cdf"] = change_feed_cdf
+
     # --- two-table cascade: downstream tails upstream's snapshot chain via
     # pipe_changes (bootstrap hop + incremental delta hop). The oracle is
     # the SAME three-way LWW algebra as merge_state: after both hops the
@@ -2015,6 +2041,7 @@ _DRIVER_FIRST = [
     "substring_dedup",
     "bpe_token_count",
     "stats_pruned_lookup",
+    "change_feed_cdf",
     # last driver-sampled in round 3
     "debezium_decode",
     "maxwell_decode",
@@ -2207,6 +2234,39 @@ classified AS (
   FROM new_state n FULL OUTER JOIN snap o
     ON n.user_id = o.user_id AND n.event_id = o.event_id)
 SELECT user_id, event_id, op FROM classified WHERE op <> 'noop'"""
+    # CDF flattening of the same classification: updates contribute BOTH a
+    # preimage (old payload) and a postimage (new payload) row; raw values
+    # compared, rounded only in the projection (like the Spark side)
+    o["change_feed_cdf"] = _patch_prefix + """,
+new_state AS (
+  SELECT coalesce(s_uid, c_uid) AS user_id,
+         coalesce(s_eid, c_eid) AS event_id,
+         CASE WHEN ev_wins THEN c_et ELSE s_et END AS event_type,
+         CASE WHEN ev_wins THEN c_val ELSE s_val END AS val
+  FROM j WHERE NOT (ev_wins AND c_op = 'delete')),
+classified AS (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id,
+         coalesce(n.event_id, o.event_id) AS event_id,
+         n.event_type AS n_et, n.val AS n_val,
+         o.event_type AS o_et, o.val AS o_val,
+         CASE WHEN o.event_id IS NULL THEN 'create'
+              WHEN n.event_id IS NULL THEN 'delete'
+              WHEN (n.event_type IS DISTINCT FROM o.event_type)
+                OR (n.val IS DISTINCT FROM o.val) THEN 'update'
+              ELSE 'noop' END AS op
+  FROM new_state n FULL OUTER JOIN snap o
+    ON n.user_id = o.user_id AND n.event_id = o.event_id)
+SELECT user_id, event_id, n_et AS event_type, round(n_val, 6) AS val,
+       'insert' AS _change_type FROM classified WHERE op = 'create'
+UNION ALL
+SELECT user_id, event_id, o_et, round(o_val, 6), 'delete'
+FROM classified WHERE op = 'delete'
+UNION ALL
+SELECT user_id, event_id, o_et, round(o_val, 6), 'update_preimage'
+FROM classified WHERE op = 'update'
+UNION ALL
+SELECT user_id, event_id, n_et, round(n_val, 6), 'update_postimage'
+FROM classified WHERE op = 'update'"""
     o["rollup_parent"] = f"""
 WITH d AS ({_SQL_DIFF}),
 c AS (

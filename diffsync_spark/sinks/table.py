@@ -2442,6 +2442,102 @@ class SnapshotTable:
         )
         return d.filter(F.col("op") != "noop")
 
+    def change_feed(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        per_commit: bool = False,
+    ) -> DataFrame:
+        """Delta-CDF-shaped change feed: one FLAT row per changed row image,
+        ready for downstream consumers that expect full rows rather than
+        ``changes()``'s nested before/after structs.
+
+        Columns: identifiers, the payload columns of the newer snapshot's
+        schema (a column added between the versions reads NULL in
+        pre-images), ``_change_type`` in {insert, delete, update_preimage,
+        update_postimage} (an update emits BOTH images), and
+        ``_commit_version`` — the snapshot whose commit produced the row.
+
+        ``per_commit=False`` (default) emits the NET feed ``from_version →
+        to_version`` in one keyed diff (a row updated five times appears
+        once); ``per_commit=True`` walks the snapshot chain and diffs each
+        consecutive pair, attributing every change to the commit that made
+        it — the full history, at one bucket-pruned diff per commit (plan
+        size grows with the commit count; tail in bounded windows at scale).
+        Raises if the ancestry between the versions has been expired.
+
+        Reference analog: consuming ``Diff.get_children()`` as a stream of
+        per-element changes (``/root/reference/diffsync/diff.py:130-147``) —
+        here the stream is a DataFrame any engine can subscribe to.
+        """
+        if to_version is None:
+            to_version = self.current_version()
+        if not per_commit:
+            return self._cdf_frame(from_version, to_version)
+        versions = sorted(self._chain(to_version, stop_after=from_version))
+        if not versions:
+            return self._cdf_frame(from_version, to_version)
+        lowest = versions[0]
+        low_parent = int(self._manifest(lowest).get("parent", lowest - 1))
+        if low_parent != from_version:
+            raise DiffSyncSparkError(
+                f"ancestry expired between v{from_version} and "
+                f"v{to_version} — per-commit feed cannot be reconstructed "
+                f"(walk stopped at v{lowest}, parent v{low_parent})"
+            )
+        out = None
+        prev = from_version
+        for v in versions:
+            step = self._cdf_frame(prev, v)
+            out = step if out is None else out.unionByName(step)
+            prev = v
+        return out
+
+    def _cdf_frame(self, v_from: int, v_to: int) -> DataFrame:
+        """One net change-feed hop: ``changes()`` flattened to CDF rows."""
+        d = self.changes(v_from, v_to)
+        ids = list(self.model.identifiers)
+        a_fields = list(d.schema["after"].dataType.fields)
+        b_fields = list(d.schema["before"].dataType.fields)
+        names = [f.name for f in a_fields]
+        names += [f.name for f in b_fields if f.name not in names]
+        types = {f.name: f.dataType for f in b_fields}
+        types.update({f.name: f.dataType for f in a_fields})
+
+        def img(side: str, present: set[str]):
+            return F.struct(*[
+                (F.col(f"{side}.{c}") if c in present
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in names
+            ])
+
+        a_present = {f.name for f in a_fields}
+        b_present = {f.name for f in b_fields}
+
+        if names:
+            def elem(image, tag: str):
+                return F.struct(image.alias("img"), F.lit(tag).alias("ct"))
+            after_img, before_img = img("after", a_present), img("before", b_present)
+        else:
+            def elem(image, tag: str):
+                return F.struct(F.lit(tag).alias("ct"))
+            after_img = before_img = None
+        rows = (
+            F.when(F.col("op") == "create", F.array(elem(after_img, "insert")))
+            .when(F.col("op") == "delete", F.array(elem(before_img, "delete")))
+            .otherwise(F.array(
+                elem(before_img, "update_preimage"),
+                elem(after_img, "update_postimage"),
+            ))
+        )
+        ex = d.select(*ids, F.explode(rows).alias("__c"))
+        return ex.select(
+            *ids,
+            *[F.col(f"__c.img.{c}").alias(c) for c in names],
+            F.col("__c.ct").alias("_change_type"),
+            F.lit(v_to).cast("long").alias("_commit_version"),
+        )
+
     def compact(
         self,
         max_commit_retries: int = 5,
