@@ -2346,6 +2346,121 @@ class SnapshotTable:
             "has_quarantine boolean, committed_at_us long, n_delta_layers int",
         )
 
+    def files(
+        self, version: int | None = None, with_row_counts: bool = False
+    ) -> DataFrame:
+        """Per-file inventory of a snapshot — the Iceberg ``files`` metadata
+        table. One row per live data file: bucket, writer slot, base-vs-delta
+        kind (delta = a merge-on-read layer, stamped with its commit), size,
+        and the manifest's per-file column (min, max) stats as JSON.
+
+        Driver-side metadata only: one manifest read plus a cheap size stat
+        per file. ``with_row_counts=True`` additionally opens each parquet
+        FOOTER for exact row counts — O(files) driver IO, an inspection
+        convenience, never a data path. Reference analog: enumerating the
+        store's backing keys (``/root/reference/diffsync/store/local.py:46``),
+        here at the physical-layout level a 100 TB operator actually needs."""
+        man = self._manifest(version)
+        stats = man.get("_file_stats") or {}
+
+        def _size(p: str) -> int | None:
+            try:
+                return os.path.getsize(p)
+            except OSError:
+                return None
+
+        def _nrows(p: str) -> int | None:
+            if not with_row_counts:
+                return None
+            try:
+                import pyarrow.parquet as pq
+                return pq.ParquetFile(p).metadata.num_rows
+            except Exception:
+                return None
+
+        def _slot(p: str) -> int | None:
+            m = re.search(r"__slot=(\d+)", p)
+            return int(m.group(1)) if m else None
+
+        def _row(b, p, kind, commit):
+            return {
+                "bucket": int(b), "slot": _slot(p), "path": p, "kind": kind,
+                "delta_commit": commit, "size_bytes": _size(p),
+                "n_rows": _nrows(p),
+                "stats_json": (json.dumps(stats[p], sort_keys=True, default=str)
+                               if p in stats else None),
+            }
+
+        rows = [
+            _row(b, p, "base", None)
+            for b, fl in man.get("files", {}).items() for p in fl
+        ] + [
+            _row(b, p, "delta", int(layer["commit"]))
+            for layer in man.get("deltas") or []
+            for b, fl in layer["files"].items() for p in fl
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, slot int, path string, kind string, "
+            "delta_commit long, size_bytes long, n_rows long, "
+            "stats_json string",
+        )
+
+    def partitions(self, version: int | None = None) -> DataFrame:
+        """Per-bucket layout summary — the Iceberg ``partitions`` metadata
+        table: file counts, pending delta layers, and the manifest's row
+        accounting (``n_live_rows`` is NULL while unknown, e.g. after a
+        merge-on-read append, until ``compact()`` re-observes it). Pure
+        manifest math, no file IO — the view that tells an operator which
+        buckets need compaction before any data is read."""
+        man = self._manifest(version)
+        base = man.get("files", {})
+        deltas = man.get("deltas") or []
+        bucket_rows = man.get("bucket_rows") or {}
+        live = man.get("bucket_live_rows")
+        buckets = set(base) | {b for l in deltas for b in l["files"]}
+        rows = []
+        for b in sorted(buckets, key=int):
+            layers = [l for l in deltas if b in l["files"]]
+            rows.append({
+                "bucket": int(b),
+                "n_base_files": len(base.get(b, [])),
+                "n_delta_layers": len(layers),
+                "n_delta_files": sum(len(l["files"][b]) for l in layers),
+                "n_rows": bucket_rows.get(b),
+                "n_live_rows": (live or {}).get(b) if live is not None else None,
+            })
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, n_base_files int, n_delta_layers int, "
+            "n_delta_files int, n_rows long, n_live_rows long",
+        )
+
+    def refs(self) -> DataFrame:
+        """Every named ref of the table — main, branches, tags — with the
+        version and snapshot id it points at (the Iceberg ``refs`` metadata
+        table). A ref whose manifest was expired still lists, with NULL
+        snapshot details."""
+        entries = [("main", "branch",
+                    int(self.io.read_text(
+                        os.path.join(self.path, "_current")).strip()))]
+        entries += [(n, "branch", v) for n, v in sorted(self.branches().items())]
+        entries += [(n, "tag", v) for n, v in sorted(self.tags().items())]
+        rows = []
+        for name, kind, v in entries:
+            try:
+                man = self._manifest(v)
+                sid, at = man["snapshot_id"], man.get("committed_at")
+            except FileNotFoundError:
+                sid, at = None, None
+            rows.append({"name": name, "type": kind, "version": v,
+                         "snapshot_id": sid, "committed_at_us": at})
+        return self.spark.createDataFrame(
+            rows,
+            "name string, type string, version int, snapshot_id string, "
+            "committed_at_us long",
+        )
+
     def quarantine_df(self, version: int | None = None) -> DataFrame | None:
         """Rejected rows of a commit, with per-record ``_status`` (the
         reference's ``DiffSyncStatus`` values, ``enum.py:90-96``) and
