@@ -1030,6 +1030,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_pruned_lookup"] = stats_scan
 
+    # --- Z-order clustering: compact(zorder=[...]) rewrites buckets on the
+    # Morton interleave of (event_id, val) and records per-file stats for
+    # BOTH; a 2-D box scan() then prunes files on either column. Pruning
+    # may only skip work — the oracle is the plain filtered snapshot, so
+    # an over-eager skip surfaces as missing rows
+    def zorder_scan(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+
+        tmp = tempfile.mkdtemp(prefix="zorder_scan_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        table.compact(zorder=["event_id", "val"], zorder_files_per_bucket=4)
+        return table.scan(
+            [("event_id", ">=", 100), ("val", "<", 0.5)]
+        ).select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["zorder_scan"] = zorder_scan
+
     # --- the WHOLE north-star path composed in one gate: raw Debezium
     # envelope JSON → from_debezium decode → LWW MERGE into the durable
     # table → final state read-back. Each stage is individually gated
@@ -2042,6 +2072,7 @@ _DRIVER_FIRST = [
     "bpe_token_count",
     "stats_pruned_lookup",
     "change_feed_cdf",
+    "zorder_scan",
     # last driver-sampled in round 3
     "debezium_decode",
     "maxwell_decode",
@@ -2126,6 +2157,13 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # skipping can only skip work, never rows
     o["stats_pruned_lookup"] = (
         f"SELECT * FROM ({_patch_core}) WHERE user_id = 7 AND event_id >= 100"
+    )
+    # Z-order rewrite is layout-only: the 2-D box scan over the clustered
+    # table must equal the plain filtered snapshot
+    o["zorder_scan"] = (
+        f"SELECT user_id, event_id, event_type, round(val, 6) AS val, "
+        f"epoch_us(ts) AS ts_us FROM ({_SQL_SRC}) "
+        "WHERE event_id >= 100 AND val < 0.5"
     )
     # expectations: only contract-passing upserts (deletes exempt) reach
     # the same patch algebra

@@ -1693,6 +1693,86 @@ class SnapshotTable:
             .sortWithinPartitions(*order)
         )
 
+    _ZORDER_BITS = 8  # 256 quantile bins per column
+
+    def _zorder_proxy(self, name: str, dt: T.DataType):
+        """Order-preserving numeric proxy for a Z-order column (the same
+        unit normalization ``_stat_scalar`` applies to the recorded file
+        stats, so binning and pruning agree)."""
+        import datetime as _dt
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(F.col(name).cast("timestamp")).cast("double")
+        if isinstance(dt, T.DateType):
+            return F.datediff(F.col(name), F.lit(_dt.date(1970, 1, 1))).cast(
+                "double")
+        return F.col(name).cast("double")
+
+    def _zorder_fanout(
+        self,
+        df: DataFrame,
+        targets: list[int],
+        splits: dict[int, int],
+        zcols: list[str],
+        public: T.StructType,
+    ) -> DataFrame:
+        """Morton-curve layout for a compaction rewrite: quantile-bin each
+        Z column to ``_ZORDER_BITS`` bits (one ``approx_percentile``
+        aggregate over the rewritten buckets), bit-interleave the bins into
+        one LONG, and RANGE-partition on (bucket, z) so each write task —
+        hence each file — covers a compact hyper-rectangle. Costs one extra
+        pass over the rewritten data (the range partitioner samples its
+        input) — a maintenance-path price, never paid by merges.
+
+        NULLs bin to 0 (cluster first); an all-NULL or constant column
+        degrades to bin 0 everywhere and simply stops contributing bits —
+        correctness never depends on the binning, only file locality does.
+        """
+        types = {f.name: f.dataType for f in public.fields}
+        orderable = self._STATS_TYPES
+        for c in zcols:
+            if c not in types:
+                raise DiffSyncSparkError(f"unknown zorder column {c!r}")
+            if not isinstance(types[c], orderable):
+                raise DiffSyncSparkError(
+                    f"zorder column {c!r} has type {types[c].simpleString()};"
+                    " only numeric/date/timestamp columns are Z-orderable"
+                )
+        if len(zcols) * self._ZORDER_BITS > 62:
+            raise DiffSyncSparkError(
+                f"too many zorder columns ({len(zcols)}); at most "
+                f"{62 // self._ZORDER_BITS} supported"
+            )
+        nbins = 1 << self._ZORDER_BITS
+        qs = [i / nbins for i in range(1, nbins)]
+        proxies = {c: self._zorder_proxy(c, types[c]) for c in zcols}
+        brow = df.agg(*[
+            F.percentile_approx(proxies[c], F.lit(qs), F.lit(10_000)).alias(c)
+            for c in zcols
+        ]).first()
+        n = len(zcols)
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(zcols):
+            bounds = [v for v in (brow[c] or []) if v is not None]
+            if not bounds:
+                continue  # all-NULL column: contributes nothing
+            barr = F.array(*[F.lit(float(v)) for v in bounds])
+            bin_j = F.size(
+                F.filter(barr, lambda x: proxies[c] >= x)  # noqa: B023
+            ).cast("long")
+            for i in range(self._ZORDER_BITS):
+                z = z + F.shiftleft(
+                    F.shiftright(bin_j, i).bitwiseAND(F.lit(1)), i * n + j
+                )
+        n_parts = max(sum(splits.get(b, 1) for b in targets), 1)
+        order = [BUCKET, "__z", *self.model.identifiers]
+        return (
+            df.withColumn("__z", z)
+            .withColumn(SLOT, F.lit(0).cast("int"))
+            .repartitionByRange(n_parts, F.col(BUCKET), F.col("__z"))
+            .sortWithinPartitions(*order)
+            .drop("__z")
+        )
+
     def _list_bucket_files(self, data_dir: str, bk: int) -> list[str]:
         """Parquet files of one bucket in a freshly-written data dir —
         both the slot layout (``_bucket=K/__slot=S/part-*``) and the legacy
@@ -2659,6 +2739,8 @@ class SnapshotTable:
         min_files: int | None = None,
         buckets: list[int] | None = None,
         purge_tombstones_older_than: Any | None = None,
+        zorder: Sequence[str] | None = None,
+        zorder_files_per_bucket: int | None = None,
     ) -> dict[str, Any]:
         """Rewrite buckets into fresh files (small-file maintenance, like
         Iceberg ``rewrite_data_files``). New snapshot; no logical change.
@@ -2688,6 +2770,26 @@ class SnapshotTable:
         ``changes()`` across it reports nothing, since purged rows were
         already invisible to ``read()``.
 
+        ``zorder=[c1, c2, ...]`` rewrites the selected buckets CLUSTERED on
+        the Morton (Z-order) interleaving of the named columns instead of
+        the natural key — Delta's ``OPTIMIZE ZORDER BY``. Each column is
+        quantile-binned to 8 bits (one ``approx_percentile`` pass, so skewed
+        distributions still fill the curve), the bins bit-interleave into a
+        64-bit Z value, and each bucket's rows are RANGE-split on it, so
+        every rewritten file covers a compact hyper-rectangle of the value
+        space. Per-file (min, max) stats are then recorded for the Z
+        columns too, and ``scan()`` predicates on ANY of them skip files —
+        multi-dimensional pruning a single sort column can't give. The
+        tradeoff is explicit: Z-clustered buckets write one slot (the
+        natural-key slot fan-out no longer holds), so point lookups fall
+        back to file stats, and later MERGEs restore key-sorted layout for
+        the buckets they rewrite (Z-clustering decays with writes —
+        re-run it as maintenance, as on any lakehouse).
+        ``zorder_files_per_bucket`` overrides the binpack sizing: pruning
+        granularity is per FILE, so more, smaller files trade open()
+        overhead for tighter hyper-rectangles (default: the same
+        row-count-targeted sizing every write uses).
+
         A no-op selection (nothing fragmented) commits NOTHING and returns
         ``{"skipped": True}``. Loses any commit race gracefully: rebase =
         re-read the (new) current snapshot and re-select, bounded by
@@ -2696,7 +2798,9 @@ class SnapshotTable:
         while True:
             try:
                 return self._compact_attempt(min_files, buckets,
-                                             purge_tombstones_older_than)
+                                             purge_tombstones_older_than,
+                                             zorder,
+                                             zorder_files_per_bucket)
             except CommitConflict:
                 attempt += 1
                 if attempt > max_commit_retries:
@@ -2707,6 +2811,8 @@ class SnapshotTable:
         min_files: int | None = None,
         buckets: list[int] | None = None,
         purge_tombstones_older_than: Any | None = None,
+        zorder: Sequence[str] | None = None,
+        zorder_files_per_bucket: int | None = None,
     ) -> dict[str, Any]:
         man = self._manifest()
         # per-bucket file counts across base + delta layers: on a
@@ -2762,7 +2868,18 @@ class SnapshotTable:
         # instead of collapsing into one oversized file
         cur_rows = {int(b): n for b, n in man.get("bucket_rows", {}).items()}
         splits = self._plan_splits({b: cur_rows.get(b, 0) for b in targets})
-        out = self._fanout_frame(raw, targets, splits)
+        if zorder:
+            if zorder_files_per_bucket:
+                splits = {b: zorder_files_per_bucket for b in targets}
+            out = self._zorder_fanout(
+                raw, targets, splits, list(zorder),
+                T.StructType.fromJson(json.loads(man["schema"])),
+            )
+            # one slot dir per bucket: lookups see splits=1 and read the
+            # bucket's (range-split, stats-pruned) files
+            splits = {b: 1 for b in targets}
+        else:
+            out = self._fanout_frame(raw, targets, splits)
         # re-observe row + live counts for the folded buckets — restores
         # the metadata-only count_rows() a MoR append had to give up
         obs = None
@@ -2788,9 +2905,14 @@ class SnapshotTable:
             if listed:
                 bucket_files[str(bk)] = listed
                 new_paths.extend(listed)
-        new_stats = self._collect_file_stats(
-            new_paths,
-            self._stat_cols(T.StructType.fromJson(json.loads(man["schema"]))))
+        stat_cols = self._stat_cols(
+            T.StructType.fromJson(json.loads(man["schema"])))
+        if zorder:
+            # Z columns earn per-file stats too — that's what makes the
+            # clustering prunable by scan(); numeric-only, same soundness
+            # rule as _stat_cols (string min/max may be truncated)
+            stat_cols += [c for c in zorder if c not in stat_cols]
+        new_stats = self._collect_file_stats(new_paths, stat_cols)
         counts = obs.get if obs is not None else None
 
         # manifest as a pure function of the base snapshot — after a lost
@@ -2875,13 +2997,16 @@ class SnapshotTable:
         manifest, n_rebases = self._commit_with_rebase(
             build, man, new_version, targets
         )
-        return {
+        res = {
             "skipped": False,
             "version": manifest["version"],
             "compacted_buckets": targets,
             "metadata_rebases": n_rebases,
             "n_files": sum(map(len, manifest["files"].values())),
         }
+        if zorder:
+            res["zorder"] = list(zorder)
+        return res
 
     # ---------------------------------------------------------- maintenance
     def rebucket(self, n_buckets: int,
