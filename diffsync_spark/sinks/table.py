@@ -372,6 +372,27 @@ class SnapshotTable:
             return (v - _dt.date(1970, 1, 1)).days
         return None
 
+    def _write_files(self, df: DataFrame, man: dict, data_dir: str) -> None:
+        """The one physical write: dynamic-partition parquet under
+        ``data_dir``. Tables created with ``bloom_cols`` get NATIVE parquet
+        bloom filters on those columns (Spark-first: the format's own
+        structure, which the parquet reader then uses to skip row groups on
+        pushed-down equality — the string-column complement to the numeric
+        (min, max) stats, whose truncation hazard blooms don't have). Sized
+        to the write target: ``expected.ndv`` tracks the binpack row target
+        so each row group's bitset stays ~tens of KB. parquet-mr writes the
+        bitset only when a chunk FALLS BACK from dictionary encoding — a
+        complete dictionary is already an exact filter — so low-cardinality
+        chunks pay nothing and high-cardinality ones (the 100 TB regime)
+        get the bloom."""
+        w = df.write.mode("overwrite")
+        for c in man.get("bloom_cols") or []:
+            w = (
+                w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+                .option(f"parquet.bloom.filter.expected.ndv#{c}", "25000")
+            )
+        w.partitionBy(BUCKET, SLOT).parquet(data_dir)
+
     def _collect_file_stats(
         self, paths: list[str], cols: list[str]
     ) -> dict[str, dict[str, list]]:
@@ -695,6 +716,7 @@ class SnapshotTable:
         n_buckets: int = 64,
         io: LocalCommitIO | None = None,
         write_mode: str = "cow",
+        bloom_cols: Sequence[str] | None = None,
     ) -> "SnapshotTable":
         """Initialize an empty table. ``schema`` is the PUBLIC schema (payload
         only); meta columns are managed internally.
@@ -713,11 +735,24 @@ class SnapshotTable:
           folds layers back into the base. Force-mode merges (``apply_diff``
           / ``delete_where``) still rewrite, clearing the touched buckets'
           layers.
+
+        ``bloom_cols`` turns on NATIVE parquet bloom filters for the named
+        columns on every data file the table ever writes (merge, delta
+        layer, compact, rebucket). The parquet reader then skips row groups
+        on pushed-down equality — the pruning story for STRING payload
+        columns, which the per-file (min, max) stats deliberately exclude
+        (writers may truncate string bounds). Costs ~tens of KB per row
+        group per column; pick the columns point queries actually filter
+        on (e.g. a session or speaker id), not everything.
         """
         if write_mode not in ("cow", "mor"):
             raise DiffSyncSparkError(
                 f"write_mode must be 'cow' or 'mor', got {write_mode!r}"
             )
+        known = {f.name for f in schema.fields}
+        for c in bloom_cols or []:
+            if c not in known:
+                raise DiffSyncSparkError(f"unknown bloom column {c!r}")
         table = cls(spark, path, model, io=io)
         table.io.makedirs(table._manifest_dir, exist_ok=False)
         table.io.makedirs(os.path.join(path, "data"), exist_ok=True)
@@ -734,6 +769,7 @@ class SnapshotTable:
             "checkpoints": {},
             "lineage": [],
             "write_mode": write_mode,
+            **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
             "last_field_id": len(schema.fields),
         }
         table._commit(manifest)
@@ -1860,7 +1896,7 @@ class SnapshotTable:
                 ]
             ))
         out = self._tag_field_ids(out, evolved)
-        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        self._write_files(out, man, data_dir)
         per_bucket: dict[tuple[int, str], int] = {}
         if obs is not None:
             m = obs.get
@@ -2027,6 +2063,8 @@ class SnapshotTable:
                 **({"deltas": deltas} if deltas else {}),
                 **({"write_mode": base["write_mode"]}
                    if "write_mode" in base else {}),
+                **({"bloom_cols": base["bloom_cols"]}
+                   if "bloom_cols" in base else {}),
                 "checkpoints": checkpoints,
                 "lineage": lineage_rows,
                 "bucket_rows": bucket_rows,
@@ -2098,7 +2136,7 @@ class SnapshotTable:
                 for b in touched
             ])
         out = self._tag_field_ids(out, evolved)
-        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        self._write_files(out, man, data_dir)
         layer_files: dict[str, list[str]] = {}
         for bk in touched:
             listed = self._list_bucket_files(data_dir, bk)
@@ -2193,6 +2231,8 @@ class SnapshotTable:
                 },
                 "deltas": deltas,
                 "write_mode": "mor",
+                **({"bloom_cols": base["bloom_cols"]}
+                   if "bloom_cols" in base else {}),
                 "checkpoints": checkpoints,
                 "lineage": lineage_rows,
                 "bucket_rows": bucket_rows,
@@ -2896,7 +2936,7 @@ class SnapshotTable:
             ))
         out = self._tag_field_ids(
             out, T.StructType.fromJson(json.loads(man["schema"])))
-        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        self._write_files(out, man, data_dir)
         target_set = set(targets)
         bucket_files: dict[str, list[str]] = {}
         new_paths: list[str] = []
@@ -3083,7 +3123,7 @@ class SnapshotTable:
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
         out = self._tag_field_ids(out, public)
-        out.write.mode("overwrite").partitionBy(BUCKET, SLOT).parquet(data_dir)
+        self._write_files(out, man, data_dir)
         files: dict[str, list[str]] = {}
         for bk in range(n_buckets):
             listed = self._list_bucket_files(data_dir, bk)
@@ -3098,6 +3138,7 @@ class SnapshotTable:
             "n_buckets": n_buckets,
             "files": files,
             **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
+            **({"bloom_cols": man["bloom_cols"]} if "bloom_cols" in man else {}),
             "checkpoints": man["checkpoints"],
             "lineage": [],
             "bucket_splits": {b: uniform for b in files},
