@@ -2297,16 +2297,33 @@ class SnapshotTable:
                 last_err = e
         raise last_err  # type: ignore[misc]
 
+    def _where_frame(self, predicate) -> DataFrame:
+        """The matched-rows read behind ``update_where``/``delete_where``.
+        A predicate given as a LIST of ``(column, op, value)`` conjuncts
+        routes through :meth:`scan` — manifest-level file skipping (bucket
+        routing + per-file stats) before Spark lists anything, the shape a
+        targeted correction on a 100 TB table needs. Any other predicate
+        (SQL string / Column) reads the table and filters: fully general,
+        but every file of every bucket is scanned."""
+        if (isinstance(predicate, (list, tuple)) and predicate
+                and all(isinstance(c, (list, tuple)) and len(c) == 3
+                        for c in predicate)):
+            return self.scan([tuple(c) for c in predicate])
+        return self.read().filter(predicate)
+
     def delete_where(self, predicate, checkpoint_id: str = "delete_where",
                      batch_id: int | None = None) -> dict[str, Any]:
         """Set-based cascade delete (reference ``store.remove`` with
         ``remove_children``, ``store/__init__.py:84-116`` / M10-M13):
-        tombstone every live row matching ``predicate``. Concurrent-writer
-        safe: a lost commit race re-evaluates the predicate against the
-        winner's snapshot (see :meth:`_apply_where`)."""
+        tombstone every live row matching ``predicate`` (a SQL string, a
+        Column, or a list of ``(column, op, value)`` conjuncts — the list
+        form prunes files at the manifest level, see :meth:`_where_frame`).
+        Concurrent-writer safe: a lost commit race re-evaluates the
+        predicate against the winner's snapshot (see :meth:`_apply_where`).
+        """
 
         def build_batch():
-            victims = self.read().filter(predicate)
+            victims = self._where_frame(predicate)
             return victims.select(
                 *self.model.identifiers,
                 F.lit("delete").alias("op"),
@@ -2328,7 +2345,9 @@ class SnapshotTable:
         Internally an authoritative force-merge of only the matched rows:
         unmatched buckets are never rewritten. Concurrent-writer safe: a
         lost commit race re-reads and re-evaluates the assignments against
-        the winner's snapshot (see :meth:`_apply_where`)."""
+        the winner's snapshot (see :meth:`_apply_where`). ``predicate``
+        accepts the same forms as ``delete_where``; the ``(column, op,
+        value)`` conjunct-list form prunes files at the manifest level."""
         bad = set.keys() & builtins.set(self.model.identifiers)
         if bad:
             raise DiffSyncSparkError(
@@ -2336,7 +2355,7 @@ class SnapshotTable:
                 "delete + re-create to change identity"
             )
         def build_batch():
-            rows = self.read().filter(predicate)
+            rows = self._where_frame(predicate)
             for col, expr in set.items():
                 rows = rows.withColumn(
                     col, F.expr(expr) if isinstance(expr, str) else expr

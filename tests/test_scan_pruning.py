@@ -116,3 +116,22 @@ def test_scan_without_stats_reads_everything_correctly(spark, tmp_path):
     cid = df.first()["conv_id"]
     got = t2.scan([("conv_id", "=", cid), ("turn_idx", "=", 0)])
     assert got.count() == 1
+
+
+def test_where_ops_accept_conjunct_lists(spark, tmp_path):
+    """update_where/delete_where given (col, op, value) conjuncts route
+    through scan() — same answers as the SQL-string form, pruned read."""
+    t, df = _table(spark, tmp_path)
+    conv = df.first()["conv_id"]
+    r1 = t.update_where([("conv_id", "=", conv), ("turn_idx", ">=", 2)],
+                        set={"role": "'patched'"})
+    assert r1["n_update"] > 0
+    got = t.read().filter("role = 'patched'")
+    assert got.count() == r1["n_update"]
+    assert got.filter(
+        f"conv_id <> '{conv}' OR turn_idx < 2").count() == 0
+
+    before = t.read().count()
+    r2 = t.delete_where([("conv_id", "=", conv), ("turn_idx", ">=", 2)])
+    assert r2["n_delete"] == r1["n_update"]
+    assert t.read().count() == before - r2["n_delete"]
