@@ -106,3 +106,39 @@ def test_evolution_preimage_reads_null(spark, tmp_path):
     rows = {r._change_type: r for r in t.change_feed(v1).collect()}
     assert rows["update_preimage"].tag is None
     assert rows["update_postimage"].tag == "new"
+
+
+def test_feed_replay_reconstructs_state(spark, tmp_path):
+    """The CDC-out contract: applying the net feed's row images onto the
+    FROM snapshot reproduces the TO snapshot exactly — inserts/postimages
+    as upserts, deletes as deletes, preimages ignored."""
+    t = _mk(spark, str(tmp_path / "src"))
+    v1 = t.current_version()
+    for i in range(3):
+        ti = T0 + datetime.timedelta(hours=i + 1)
+        t.merge(_chg(spark, [
+            (1, f"a{i}", ti, "update"),
+            (2 + i, None, ti, "delete"),
+            (100 + i, f"n{i}", ti, "update"),
+        ]), checkpoint_id="c", batch_id=1 + i)
+    v2 = t.current_version()
+
+    feed = t.change_feed(v1, v2)
+    # a consumer table bootstrapped from the v1 snapshot
+    mirror = SnapshotTable.create(
+        spark, str(tmp_path / "mirror"), MODEL,
+        schema=t.read(v1).schema, n_buckets=4,
+    )
+    mirror.merge(t.read(v1).withColumn("op", F.lit("insert")), mode="force",
+                 checkpoint_id="boot", batch_id=0)
+    apply_batch = (
+        feed.filter(F.col("_change_type") != "update_preimage")
+        .withColumn("op", F.when(F.col("_change_type") == "delete",
+                                 F.lit("delete")).otherwise(F.lit("upsert")))
+        .drop("_change_type", "_commit_version")
+    )
+    mirror.merge(apply_batch, mode="force", checkpoint_id="feed", batch_id=0)
+
+    want = sorted((r.k, r.v) for r in t.read(v2).collect())
+    got = sorted((r.k, r.v) for r in mirror.read().collect())
+    assert got == want
