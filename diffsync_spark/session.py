@@ -84,4 +84,10 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # make format("diffsync_table") work out of the box on our sessions
+        from diffsync_spark.sources.datasource import TableDataSource
+        spark.dataSource.register(TableDataSource)
+    except Exception:
+        pass  # an older session object without the Python DataSource API
     return spark

@@ -50,6 +50,7 @@ Design points for 100 TB:
 from __future__ import annotations
 
 import builtins
+import dataclasses
 import json
 import os
 import re
@@ -770,6 +771,9 @@ class SnapshotTable:
             "lineage": [],
             "write_mode": write_mode,
             **({"bloom_cols": list(bloom_cols)} if bloom_cols else {}),
+            # self-describing: external readers (the diffsync_table Python
+            # DataSource) reconstruct key/ordering semantics from here
+            "model": dataclasses.asdict(model),
             "last_field_id": len(schema.fields),
         }
         table._commit(manifest)
@@ -2065,6 +2069,7 @@ class SnapshotTable:
                    if "write_mode" in base else {}),
                 **({"bloom_cols": base["bloom_cols"]}
                    if "bloom_cols" in base else {}),
+                **({"model": base["model"]} if "model" in base else {}),
                 "checkpoints": checkpoints,
                 "lineage": lineage_rows,
                 "bucket_rows": bucket_rows,
@@ -2233,6 +2238,7 @@ class SnapshotTable:
                 "write_mode": "mor",
                 **({"bloom_cols": base["bloom_cols"]}
                    if "bloom_cols" in base else {}),
+                **({"model": base["model"]} if "model" in base else {}),
                 "checkpoints": checkpoints,
                 "lineage": lineage_rows,
                 "bucket_rows": bucket_rows,
@@ -3158,6 +3164,7 @@ class SnapshotTable:
             "files": files,
             **({"write_mode": man["write_mode"]} if "write_mode" in man else {}),
             **({"bloom_cols": man["bloom_cols"]} if "bloom_cols" in man else {}),
+            **({"model": man["model"]} if "model" in man else {}),
             "checkpoints": man["checkpoints"],
             "lineage": [],
             "bucket_splits": {b: uniform for b in files},

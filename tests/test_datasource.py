@@ -1,0 +1,179 @@
+"""The ``diffsync_table`` Python DataSource (Spark 4 DataSource API).
+
+Batch reads must equal ``SnapshotTable.read()`` on both write modes (the
+executor-side pandas fold vs the engine's Spark fold); the streaming
+changes feed must deliver exactly the layer commits after the offset,
+resume exactly-once from Spark's checkpoint, and refuse copy-on-write
+data commits loudly. ``load_manifest`` (the standalone hydration used in
+the driver's Python worker, where no SparkSession exists) is pinned
+against ``SnapshotTable._manifest`` to prevent drift.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from diffsync_spark.model import ModelSchema
+from diffsync_spark.sinks.table import SnapshotTable
+from diffsync_spark.sources.datasource import load_manifest
+
+MODEL = ModelSchema(
+    name="kv", identifiers=("k",), attributes=("v",), version_cols=("ts",)
+)
+T0 = datetime.datetime(2025, 1, 1)
+
+
+def _boot(spark, path, write_mode="cow", n=500):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", T0) for i in range(n)], "k int, v string, ts timestamp"
+    )
+    t = SnapshotTable.create(spark, path, MODEL, schema=df.schema,
+                             n_buckets=4, write_mode=write_mode)
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    return t
+
+
+def _chg(spark, rows):
+    return spark.createDataFrame(rows, "k int, v string, ts timestamp, op string")
+
+
+def _pairs(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+@pytest.mark.parametrize("write_mode", ["cow", "mor"])
+def test_batch_read_parity(spark, tmp_path, write_mode):
+    t = _boot(spark, str(tmp_path / "t"), write_mode)
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "v1x", t1, "update"), (2, None, t1, "delete"),
+                         (900, "new", t1, "update")]),
+            checkpoint_id="c", batch_id=1)
+    if write_mode == "mor":
+        assert t._manifest().get("deltas"), "setup: fold path must engage"
+    got = (spark.read.format("diffsync_table")
+           .option("path", str(tmp_path / "t")).load())
+    assert _pairs(got) == _pairs(t.read())
+
+
+def test_batch_time_travel(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"))
+    v1 = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "v1x", t1, "update")]), checkpoint_id="c",
+            batch_id=1)
+    old = (spark.read.format("diffsync_table")
+           .option("path", str(tmp_path / "t"))
+           .option("version", v1).load())
+    assert dict(_pairs(old))[1] == "v1"
+
+
+def test_batch_read_after_rename(spark, tmp_path):
+    """Field-id resolution: files written before a rename resolve under
+    the new name in the external reader too."""
+    t = _boot(spark, str(tmp_path / "t"))
+    t.rename_column("v", "text")
+    got = (spark.read.format("diffsync_table")
+           .option("path", str(tmp_path / "t")).load())
+    assert "text" in got.columns
+    assert dict((r.k, r.text) for r in got.collect())[1] == "v1"
+
+
+def test_stream_tails_layer_commits_and_resumes(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    v_boot = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "v1x", t1, "update"), (2, None, t1, "delete")]),
+            checkpoint_id="c", batch_id=1)
+
+    out = str(tmp_path / "out")
+
+    def run_stream():
+        # a DURABLE sink: the memory sink cannot recover from a checkpoint,
+        # and checkpoint recovery is exactly what this test pins
+        q = (spark.readStream.format("diffsync_table")
+             .option("path", str(tmp_path / "t"))
+             .option("feed", "changes")
+             .option("startingVersion", v_boot)
+             .load()
+             .writeStream.format("parquet")
+             .option("path", out)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .start())
+        q.awaitTermination(120)
+
+    run_stream()
+    rows = {(r.k, r._change_type, r._commit_version)
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {(1, "upsert", v_boot + 1), (2, "delete", v_boot + 1)}
+
+    # restart from the SAME checkpoint: only commits after the offset flow
+    t2 = T0 + datetime.timedelta(hours=2)
+    t.merge(_chg(spark, [(3, "v3x", t2, "update")]), checkpoint_id="c",
+            batch_id=2)
+    run_stream()
+    rows2 = {(r.k, r._change_type, r._commit_version)
+             for r in spark.read.parquet(out).collect()}
+    assert rows2 == rows | {(3, "upsert", v_boot + 2)}
+
+
+def test_stream_skips_maintenance_refuses_cow_rewrites(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    v0 = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "v1x", t1, "update")]), checkpoint_id="c",
+            batch_id=1)
+    t.compact()  # maintenance: logical no-op, must be skipped silently
+
+    def run(name, ckpt):
+        q = (spark.readStream.format("diffsync_table")
+             .option("path", str(tmp_path / "t"))
+             .option("feed", "changes")
+             .option("startingVersion", v0).load()
+             .writeStream.format("memory").queryName(name)
+             .trigger(availableNow=True)
+             .option("checkpointLocation", str(tmp_path / ckpt)).start())
+        q.awaitTermination(120)
+
+    run("feed3", "ck1")
+    assert {r.k for r in spark.sql("SELECT * FROM feed3").collect()} == {1}
+
+    # a copy-on-write data commit poisons the range: loud failure
+    t.update_where([("k", "=", 5)], set={"v": "'rewritten'"})
+    with pytest.raises(Exception, match="copy-on-write|StreamingQuery"):
+        run("feed4", "ck2")
+
+
+def test_stream_requires_feed_option_and_batch_rejects_it(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    q = (spark.readStream.format("diffsync_table")
+         .option("path", str(tmp_path / "t")).load()
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="feed"):
+        q.awaitTermination(120)  # the reader error surfaces in the query
+    with pytest.raises(Exception, match="streaming"):
+        (spark.read.format("diffsync_table")
+         .option("path", str(tmp_path / "t"))
+         .option("feed", "changes").load().count())
+
+
+def test_load_manifest_matches_engine_hydration(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "a", t1, "update")]), checkpoint_id="c",
+            batch_id=1)
+    t.compact(buckets=[0])  # partial clear -> layer ref + drop list
+    t.merge(_chg(spark, [(2, "b", t1, "update")]), checkpoint_id="c",
+            batch_id=2)
+    ours = load_manifest(str(tmp_path / "t"))
+    theirs = t._manifest()
+    assert ours["files"] == theirs["files"]
+    assert [l["files"] for l in ours.get("deltas") or []] == [
+        l["files"] for l in theirs.get("deltas") or []
+    ]
+    assert ours["model"]["identifiers"] == ["k"]
