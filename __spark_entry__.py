@@ -1060,6 +1060,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["zorder_scan"] = zorder_scan
 
+    # --- the diffsync_table Python DataSource: reading the merged state
+    # back through spark.read.format(...) must equal the patch algebra —
+    # this certifies the EXECUTOR-SIDE pandas LWW fold (a from-scratch
+    # second implementation of the fold rule) against the DuckDB oracle,
+    # on a merge-on-read table with live delta layers
+    def datasource_read(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.sources.datasource import register
+
+        register(spark)
+        tmp = tempfile.mkdtemp(prefix="datasource_read_")
+        snap = _src(spark, sf)
+        table = SnapshotTable.create(
+            spark, f"{tmp}/tbl", EVENT_MODEL, schema=snap.schema,
+            n_buckets=8, write_mode="mor",
+        )
+        table.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        for i, part in enumerate([0, 1, 2]):
+            table.merge(
+                _changelog(spark, sf).filter(F.col("seq") % 3 == part),
+                checkpoint_id="chg", batch_id=1 + i,
+            )
+        assert table._manifest().get("deltas"), "fold path must engage"
+        return (
+            spark.read.format("diffsync_table")
+            .option("path", f"{tmp}/tbl").load()
+            .select(
+                "user_id", "event_id", "event_type",
+                F.round("val", 6).alias("val"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            )
+        )
+
+    q["datasource_read_state"] = datasource_read
+
     # --- the WHOLE north-star path composed in one gate: raw Debezium
     # envelope JSON → from_debezium decode → LWW MERGE into the durable
     # table → final state read-back. Each stage is individually gated
@@ -2073,6 +2113,7 @@ _DRIVER_FIRST = [
     "stats_pruned_lookup",
     "change_feed_cdf",
     "zorder_scan",
+    "datasource_read_state",
     # last driver-sampled in round 3
     "debezium_decode",
     "maxwell_decode",
@@ -2153,6 +2194,9 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # sequential patch algebra computes
     o["mor_merge_state"] = _patch_core
     o["wap_publish_state"] = _patch_core
+    # the external DataSource's executor-side pandas fold must land the
+    # same final state (3 interleaved layer commits left unfolded)
+    o["datasource_read_state"] = _patch_core
     # the pruned scan must be the plain filtered final state — file
     # skipping can only skip work, never rows
     o["stats_pruned_lookup"] = (
