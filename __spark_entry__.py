@@ -629,6 +629,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cosine_topk"] = topk
 
+    # --- int8-quantized cosine: the 4x-smaller-corpus scale lever. The
+    # gate quantizes BOTH sides and scores on the integer arrays (scales
+    # cancel out of cosine); the twin replays the exact same per-vector
+    # quantization, so the comparison is bit-deterministic, not a recall
+    # bound
+    def q_topk(spark, sf):
+        from diffsync_spark.functions.similarity import quantized_cosine_topk
+
+        emb = _emb(spark, sf)
+        queries_df = emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = quantized_cosine_topk(emb, queries_df, k=5)
+        return out.select(
+            "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank"
+        )
+
+    q["quantized_cosine_topk"] = q_topk
+
     def ann_topk(spark, sf):
         # through the PERSISTED index path (the 100 TB shape): bucket the
         # corpus once with build_ann_index, then probe via partition-pruned
@@ -2114,6 +2133,7 @@ _DRIVER_FIRST = [
     "change_feed_cdf",
     "zorder_scan",
     "datasource_read_state",
+    "quantized_cosine_topk",
     # last driver-sampled in round 3
     "debezium_decode",
     "maxwell_decode",
@@ -2418,6 +2438,32 @@ WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 3
 scored AS (
   SELECT b.query_id, a.vec_id, {_SQL_COSINE6} AS cosine
   FROM embeddings a CROSS JOIN q b),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5"""
+    # int8 quantization twin: scale = 127/max|x| computed FIRST, then
+    # x * scale (matching Spark's operation order bit-for-bit — x*127/amax
+    # associates differently in IEEE), round half-away-from-zero in both
+    o["quantized_cosine_topk"] = f"""
+WITH raw AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS amax
+  FROM embeddings),
+cq AS (
+  SELECT vec_id,
+         CASE WHEN amax > 0
+              THEN list_transform(embedding,
+                     x -> round(CAST(x AS DOUBLE) * (127.0 / amax)))
+              ELSE list_transform(embedding, x -> 0.0) END AS embedding
+  FROM raw),
+q AS (SELECT vec_id AS query_id, embedding FROM cq WHERE vec_id < 3),
+scored AS (
+  SELECT b.query_id, a.vec_id, {_SQL_COSINE6} AS cosine
+  FROM cq a CROSS JOIN q b),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY cosine DESC, vec_id ASC) AS rank

@@ -40,6 +40,9 @@ from diffsync_spark.functions.similarity import (
     ivf_cosine_topk,
     refine_ivf_centroids,
     lsh_cosine_topk,
+    quantize_embeddings,
+    dequantize_embeddings,
+    quantized_cosine_topk,
 )
 from diffsync_spark.functions.sampling import (
     filter_top_fraction,
@@ -112,4 +115,7 @@ __all__ = [
     "ivf_cosine_topk",
     "refine_ivf_centroids",
     "lsh_cosine_topk",
+    "quantize_embeddings",
+    "dequantize_embeddings",
+    "quantized_cosine_topk",
 ]

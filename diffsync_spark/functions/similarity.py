@@ -55,6 +55,102 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = 127 / max|x|``,
+    ``q_i = round(x_i * scale)`` as ``array<tinyint>`` plus one float
+    scale — a 4x smaller embedding column (the standard storage/IO lever
+    for a 100 TB vector corpus; parquet stores the bytes bit-packed).
+    Worst-case per-element error is ``max|x| / 254``.
+
+    COSINE IS SCALE-INVARIANT: per-vector scales cancel in
+    dot/(|a||b|), so similarity over the int8 arrays needs no
+    dequantization at all (``quantized_cosine_topk``). An all-zero or
+    all-NULL vector gets scale 0 and a zero q-vector.
+
+    The scale lands in its own column FIRST and the transform references
+    it — embedding the array_max inside the per-element lambda would
+    make Catalyst recompute it per element (no CSE across higher-order
+    functions; the round-3 minhash lesson)."""
+    amax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    out = df.withColumn(
+        scale_col,
+        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
+        .cast("double"),
+    ).withColumn(
+        out_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") * F.col(scale_col))
+            .cast("tinyint"),
+        ),
+    )
+    return out if keep_vec else out.drop(vec_col)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``x ~ q / scale`` as
+    ``array<float>`` (scale 0 -> zero vector)."""
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.col(scale_col) > 0,
+            F.transform(F.col(q_col),
+                        lambda v: (v.cast("double") / F.col(scale_col))
+                        .cast("float")),
+        ).otherwise(
+            F.transform(F.col(q_col), lambda v: F.lit(0.0).cast("float"))
+        ),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """``cosine_topk`` over int8-quantized vectors: both sides quantize
+    (one projection each), scoring runs on the integer arrays directly —
+    scales cancel out of cosine, so the ONLY approximation is the int8
+    rounding itself. Same plan shape as the exact operator: queries
+    broadcast, zero corpus shuffle, per-query top-k window."""
+    c = quantize_embeddings(
+        corpus.select(F.col(id_col).alias("vec_id"), vec_col),
+        vec_col, "cq", "__cs",
+    ).select("vec_id", "cq")
+    q = quantize_embeddings(
+        queries.select(F.col(query_id_col).alias("query_id"), vec_col),
+        vec_col, "qq", "__qs",
+    ).select("query_id", "qq")
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id",
+        cosine_col(F.col("cq"), F.col("qq")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def _directed_flips(qbucket, marginal, n_probe: int):
     """Probe buckets from the ``n_probe`` most-marginal planes: xor the
     query bucket with each plane's bit. shiftleft, NOT pow(2.0, p): the

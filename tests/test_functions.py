@@ -955,3 +955,41 @@ def test_bpe_merge_order_is_rank_greedy():
     assert bpe_encode_py("abc", ranks) == ["abc"]  # a+bc after b+c
     ranks2 = {("a", "b"): 0, ("b", "c"): 1}
     assert bpe_encode_py("abc", ranks2) == ["ab", "c"]
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from diffsync_spark.functions.similarity import (
+        dequantize_embeddings, quantize_embeddings)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb, keep_vec=True)
+    back = dequantize_embeddings(q, out_col="rebuilt")
+    err = back.select(
+        F.array_max(F.zip_with(
+            "embedding", "rebuilt",
+            lambda a, b: F.abs(a.cast("double") - b.cast("double")))
+        ).alias("max_err"),
+        F.array_max(F.transform(
+            "embedding", lambda x: F.abs(x.cast("double")))).alias("amax"),
+    )
+    # symmetric int8: worst-case per-element error is amax/254
+    assert err.filter(
+        F.col("max_err") > F.col("amax") / 254 + 1e-9).count() == 0
+    # storage really is tinyint
+    assert dict(q.dtypes)["q_embedding"] == "array<tinyint>"
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    from diffsync_spark.functions.similarity import (
+        cosine_topk, quantized_cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    quant = {(r.query_id, r.vec_id)
+             for r in quantized_cosine_topk(emb, queries, k=5).collect()}
+    recall = len(exact & quant) / len(exact)
+    # int8 rounding barely moves 64-dim cosines; near-perfect on fixtures
+    assert recall >= 0.95, recall
