@@ -3212,6 +3212,124 @@ class SnapshotTable:
         return self.compact(buckets=over,
                             max_commit_retries=max_commit_retries)
 
+    def verify_table(
+        self, version: int | None = None, check_counts: bool = False
+    ) -> dict[str, Any]:
+        """Integrity audit (fsck) of a snapshot — the check an operator
+        runs before trusting a 100 TB table after an incident. Metadata
+        checks are driver-side O(files-in-manifest):
+
+        - every referenced data file (base and delta layer) EXISTS;
+        - no file is claimed by two buckets or two layers;
+        - the schema parses and its field ids are unique and within the
+          manifest's ``last_field_id`` watermark;
+        - delta-layer commit numbers do not exceed the snapshot version;
+        - per-file stats entries only describe referenced files;
+        - the parent chain walks back to retention (gaps past an expired
+          manifest are reported as info, not failure).
+
+        ``check_counts=True`` additionally SCANS the table and compares
+        per-bucket row counts against the manifest's ``bucket_rows`` —
+        one Spark aggregate over the data, the only non-metadata check.
+
+        Returns ``{"ok": bool, "issues": [{severity, code, detail}, ...],
+        "n_files": int, "version": int}`` — never raises on findings, so
+        it can run inside monitoring."""
+        man = self._manifest(version)
+        v = man["version"]
+        issues: list[dict[str, str]] = []
+
+        def issue(sev: str, code: str, detail: str) -> None:
+            issues.append({"severity": sev, "code": code, "detail": detail})
+
+        owner: dict[str, str] = {}
+        n_files = 0
+        groups = [(f"bucket {b} (base)", fl)
+                  for b, fl in man.get("files", {}).items()]
+        for layer in man.get("deltas") or []:
+            c = int(layer["commit"])
+            if c > v:
+                issue("error", "layer_commit_future",
+                      f"delta layer commit v{c} exceeds snapshot v{v}")
+            groups += [(f"bucket {b} (layer v{c})", fl)
+                       for b, fl in layer["files"].items()]
+        for where, fl in groups:
+            for p in fl:
+                n_files += 1
+                if p in owner:
+                    issue("error", "file_double_referenced",
+                          f"{p} claimed by {owner[p]} and {where}")
+                owner[p] = where
+                if not os.path.exists(p):
+                    issue("error", "file_missing", f"{where}: {p}")
+        try:
+            schema = T.StructType.fromJson(json.loads(man["schema"]))
+            ids_seen: dict[int, str] = {}
+            last = int(man.get("last_field_id") or 0)
+            for f in schema.fields:
+                fid = (f.metadata or {}).get(_FIELD_ID_KEY)
+                if fid is None:
+                    continue
+                if fid in ids_seen:
+                    issue("error", "field_id_duplicate",
+                          f"id {fid} on both {ids_seen[fid]!r} and "
+                          f"{f.name!r}")
+                ids_seen[fid] = f.name
+                if last and fid > last:
+                    issue("error", "field_id_past_watermark",
+                          f"{f.name!r} has id {fid} > last_field_id {last}"
+                          " — a future evolution could collide")
+        except Exception as e:  # malformed schema JSON
+            issue("error", "schema_unparsable", str(e))
+        # NOTE: _file_stats may describe files this snapshot no longer
+        # references — a shared bm segment carries stats for every file it
+        # listed when written, and other buckets still ref that segment.
+        # scan() keys pruning off the manifest's file lists, so stale
+        # entries are inert; they are NOT an integrity finding.
+        qdir = man.get("quarantine_dir")
+        if qdir and not os.path.exists(qdir):
+            issue("warn", "quarantine_missing", qdir)
+        chain = self._chain(v)
+        if chain and chain[-1] != 1:
+            # the walk appends a version BEFORE discovering its manifest
+            # is gone, so the gap may sit at chain[-1] itself
+            tail = chain[-1]
+            try:
+                parent = int(self._manifest(tail).get("parent", tail - 1))
+                detail = (f"ancestry walk stops at v{tail} (parent "
+                          f"v{parent} expired)")
+            except FileNotFoundError:
+                reach = chain[-2] if len(chain) > 1 else v
+                detail = (f"v{tail} already expired; chain readable down "
+                          f"to v{reach}")
+            issue("info", "chain_gap",
+                  detail + " — history/per-commit feeds reach this far")
+        if check_counts and man.get("bucket_rows"):
+            # layered buckets are excluded: their manifest counts track
+            # raw appended rows while any scan folds to winners — only
+            # compact() re-establishes a comparable number
+            layered = {int(b) for lay in man.get("deltas") or []
+                       for b in lay["files"]}
+            plain = [int(b) for b in man.get("files", {})
+                     if int(b) not in layered]
+            public = T.StructType.fromJson(json.loads(man["schema"]))
+            got = {
+                r[BUCKET]: r["n"]
+                for r in self._stored_frame(man, plain, public)
+                .withColumn(BUCKET, self._bucket_col())
+                .groupBy(BUCKET).agg(F.count("*").alias("n")).collect()
+            }
+            for b, want in man["bucket_rows"].items():
+                if int(b) in layered:
+                    continue
+                if got.get(int(b), 0) != want:
+                    issue("error", "bucket_rows_mismatch",
+                          f"bucket {b}: manifest says {want}, "
+                          f"scan found {got.get(int(b), 0)}")
+        ok = not any(i["severity"] == "error" for i in issues)
+        return {"ok": ok, "version": v, "n_files": n_files,
+                "issues": issues}
+
     def remove_orphans(self, min_versions_old: int = 1,
                        dry_run: bool = False) -> dict[str, Any]:
         """Delete data/quarantine dirs referenced by NO retained manifest —
