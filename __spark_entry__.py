@@ -1184,6 +1184,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_cdc_ingest"] = pipeline_cdc
 
+    # --- the full Spark-NATIVE streaming path, composed: changelog → LWW
+    # MERGE into a merge-on-read table → Structured Streaming tail via the
+    # diffsync_table DataSource (real readStream/writeStream with a
+    # checkpoint, availableNow) → downstream LWW apply. The downstream
+    # state must equal the same patch algebra as a direct merge — this
+    # certifies offsets, the layer tail, the _seq tiebreak riding the
+    # feed, and the apply, end to end
+    def pipeline_stream_ds(spark, sf):
+        import tempfile
+
+        from diffsync_spark.sinks.table import SnapshotTable
+        from diffsync_spark.sources.datasource import register
+
+        register(spark)
+        tmp = tempfile.mkdtemp(prefix="pipeline_stream_ds_")
+        snap = _src(spark, sf)
+        up = SnapshotTable.create(
+            spark, f"{tmp}/up", EVENT_MODEL, schema=snap.schema,
+            n_buckets=8, write_mode="mor",
+        )
+        up.merge(
+            snap.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        v_boot = up.current_version()
+        up.merge(_changelog(spark, sf), checkpoint_id="chg", batch_id=1)
+
+        stream = (
+            spark.readStream.format("diffsync_table")
+            .option("path", f"{tmp}/up").option("feed", "changes")
+            .option("startingVersion", v_boot).load()
+        )
+        qr = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{tmp}/events")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{tmp}/ckpt").start()
+        )
+        qr.awaitTermination(300)
+
+        down = SnapshotTable.create(
+            spark, f"{tmp}/down", EVENT_MODEL, schema=snap.schema, n_buckets=8
+        )
+        down.merge(
+            up.read(v_boot).withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0,
+        )
+        ev = spark.read.parquet(f"{tmp}/events")
+        batch = (
+            ev.withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete"))
+                .otherwise(F.lit("upsert")),
+            )
+            .withColumnRenamed("_seq", "seq")
+            .drop("_change_type", "_commit_version")
+        )
+        down.merge(batch, checkpoint_id="stream", batch_id=0)
+        return down.read().select(
+            "user_id", "event_id", "event_type",
+            F.round("val", 6).alias("val"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+
+    q["pipeline_stream_datasource"] = pipeline_stream_ds
+
     # --- metadata-only row counts (Iceberg snapshot-summary parity): live
     # counts ride each merge's write job as observed metrics, so count()
     # is a manifest sum — no scan. Gated at BOTH versions: the boot count
@@ -2134,6 +2200,7 @@ _DRIVER_FIRST = [
     "zorder_scan",
     "datasource_read_state",
     "quantized_cosine_topk",
+    "pipeline_stream_datasource",
     # last driver-sampled in round 3
     "debezium_decode",
     "maxwell_decode",
@@ -2217,6 +2284,8 @@ FROM j WHERE NOT (ev_wins AND c_op = 'delete')"""
     # the external DataSource's executor-side pandas fold must land the
     # same final state (3 interleaved layer commits left unfolded)
     o["datasource_read_state"] = _patch_core
+    # streamed-tail apply must land the identical patched state
+    o["pipeline_stream_datasource"] = _patch_core
     # the pruned scan must be the plain filtered final state — file
     # skipping can only skip work, never rows
     o["stats_pruned_lookup"] = (

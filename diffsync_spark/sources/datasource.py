@@ -99,6 +99,7 @@ def _public_schema(man: dict) -> T.StructType:
 
 
 _CHANGE_COLS = [
+    T.StructField("_seq", T.LongType(), True),
     T.StructField("_change_type", T.StringType(), False),
     T.StructField("_commit_version", T.LongType(), False),
 ]
@@ -260,10 +261,13 @@ class _ChangesReader(DataSourceStreamReader):
         import pyarrow as pa
 
         public = T.StructType([f for f in self.schema.fields
-                               if f.name not in ("_change_type",
+                               if f.name not in ("_seq", "_change_type",
                                                  "_commit_version")])
         for path, commit in partition.files:
-            t = _read_file(path, public, ["_deleted"])
+            # _seq rides along: it is the writer's monotone tiebreak, and
+            # a downstream LWW apply needs it to break exact version ties
+            # the same way the engine itself does
+            t = _read_file(path, public, ["_seq", "_deleted"])
             deleted = t.column("_deleted").to_pylist()
             t = t.drop_columns(["_deleted"])
             t = t.append_column(
