@@ -120,6 +120,54 @@ def _scan_case(s):
                    ("turn_idx", "<", 3)])
 
 
+def _zorder_scan_case(s):
+    """2-D box scan over a Z-order-clustered table."""
+    import tempfile
+
+    from diffsync_spark.model import ModelSchema
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    m = ModelSchema(name="pt", identifiers=("k",), attributes=("x", "y"),
+                    version_cols=("ts",))
+    tmp = tempfile.mkdtemp(prefix="plans_zorder_")
+    df = s.range(5000).select(
+        F.col("id").cast("int").alias("k"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("int").alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).cast("int").alias("y"),
+        F.current_timestamp().alias("ts"),
+    )
+    t = SnapshotTable.create(s, f"{tmp}/t", m, schema=df.schema, n_buckets=2)
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="b", batch_id=0)
+    t.compact(zorder=["x", "y"], zorder_files_per_bucket=4)
+    return t.scan([("x", "<", 100), ("y", "<", 100)])
+
+
+def _change_feed_case(s):
+    """Delta-CDF flatten over the two-exchange diff."""
+    import datetime
+    import tempfile
+
+    from diffsync_spark.model import TRANSCRIPT_MODEL
+    from diffsync_spark.fixtures import gen_source
+    from diffsync_spark.sinks.table import SnapshotTable
+
+    tmp = tempfile.mkdtemp(prefix="plans_cdf_")
+    df = s.createDataFrame(gen_source(n_convs=40, seed=5))
+    t = SnapshotTable.create(s, f"{tmp}/t", TRANSCRIPT_MODEL,
+                             schema=df.schema, n_buckets=4)
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="b", batch_id=0)
+    v1 = t.current_version()
+    chg = s.createDataFrame(
+        [("c0", 0, "user", "edited", None,
+          datetime.datetime(2030, 1, 1), "update")],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp, op string")
+    t.merge(chg, checkpoint_id="c", batch_id=1)
+    return t.change_feed(v1)
+
+
 CASES = [
     (
         "diff (keyed full-outer classify)",
@@ -294,6 +342,36 @@ CASES = [
         "the residual conjuncts remain as ordinary PushedFilters on the "
         "surviving files.",
         lambda s: _scan_case(s),
+    ),
+    (
+        "zorder box scan (Morton-clustered 2-D pruning)",
+        "The scan reads only the files whose recorded (min,max) intersect "
+        "the box on EITHER clustered column; inside, parquet pushes both "
+        "conjuncts (PushedFilters) and projects narrowly (ReadSchema).",
+        _zorder_scan_case,
+    ),
+    (
+        "change_feed (Delta-CDF flatten)",
+        "One Generate (explode of the 1-or-2 image array) over the "
+        "existing two-exchange diff — the flatten adds ZERO shuffles; "
+        "bucket pruning keeps both sides to the changed buckets' files.",
+        _change_feed_case,
+    ),
+    (
+        "quantized_cosine_topk (int8 scoring)",
+        "Identical shape to the exact operator: BroadcastExchange of the "
+        "queries, zero corpus shuffle, per-query WindowGroupLimit top-k; "
+        "the quantization is two extra projections, no new exchange.",
+        lambda s: __import__(
+            "diffsync_spark.functions.similarity",
+            fromlist=["quantized_cosine_topk"],
+        ).quantized_cosine_topk(
+            s.read.parquet(f"{SF}/embeddings.parquet"),
+            s.read.parquet(f"{SF}/embeddings.parquet")
+            .filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"),
+            k=5,
+        ),
     ),
 ]
 
