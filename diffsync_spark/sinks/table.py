@@ -2753,6 +2753,44 @@ class SnapshotTable:
             prev = v
         return out
 
+    def apply_change_feed(
+        self,
+        feed: DataFrame,
+        checkpoint_id: str = "change_feed",
+        batch_id: int | None = None,
+        **merge_kwargs: Any,
+    ) -> dict[str, Any]:
+        """Apply another table's change feed to THIS table — the consumer
+        half of the CDC-hub loop. Accepts the flat row-image shape both
+        producers emit (``change_feed()`` and the ``diffsync_table``
+        streaming source): pre-images are dropped, deletes map to delete
+        ops, inserts/post-images to upserts, a ``_seq`` column (the
+        producer's monotone tiebreak) rides along so in-batch dedup of a
+        multi-commit feed orders identically to the producer. Applies in
+        FORCE mode by default — the feed IS the authoritative truth about
+        those keys, and a net feed's delete rows carry the pre-image
+        version, which a versioned LWW merge would tie-lose (pass
+        ``mode="lww"`` only when the consumer holds independent newer
+        writes that must win). One plain ``merge()`` underneath —
+        exactly-once, quarantine, expectations, retries all unchanged."""
+        cols = set(feed.columns)
+        if "_change_type" not in cols:
+            raise DiffSyncSparkError(
+                "apply_change_feed expects a _change_type column "
+                "(change_feed() / diffsync_table 'changes' output)"
+            )
+        batch = feed.filter(F.col("_change_type") != "update_preimage")
+        batch = batch.withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", F.lit("delete"))
+            .otherwise(F.lit("upsert")),
+        ).drop("_change_type", "_commit_version")
+        if "_seq" in cols and "seq" not in cols:
+            batch = batch.withColumnRenamed("_seq", "seq")
+        merge_kwargs.setdefault("mode", "force")
+        return self.merge(batch, checkpoint_id=checkpoint_id,
+                          batch_id=batch_id, **merge_kwargs)
+
     def _cdf_frame(self, v_from: int, v_to: int) -> DataFrame:
         """One net change-feed hop: ``changes()`` flattened to CDF rows."""
         d = self.changes(v_from, v_to)

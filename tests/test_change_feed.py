@@ -142,3 +142,26 @@ def test_feed_replay_reconstructs_state(spark, tmp_path):
     want = sorted((r.k, r.v) for r in t.read(v2).collect())
     got = sorted((r.k, r.v) for r in mirror.read().collect())
     assert got == want
+
+
+def test_apply_change_feed_mirrors_state(spark, tmp_path):
+    """apply_change_feed: the packaged consumer — same invariant as the
+    manual replay, including deletes whose images carry the OLD version
+    (force mode makes them land)."""
+    t = _mk(spark, str(tmp_path / "src"))
+    v1 = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "a", t1, "update"), (2, None, t1, "delete")]),
+            checkpoint_id="c", batch_id=1)
+    mirror = SnapshotTable.create(
+        spark, str(tmp_path / "mirror"), MODEL,
+        schema=t.read(v1).schema, n_buckets=4)
+    mirror.merge(t.read(v1).withColumn("op", F.lit("insert")), mode="force",
+                 checkpoint_id="boot", batch_id=0)
+    res = mirror.apply_change_feed(t.change_feed(v1), batch_id=0)
+    assert res["n_delete"] == 1
+    assert sorted((r.k, r.v) for r in mirror.read().collect()) == sorted(
+        (r.k, r.v) for r in t.read().collect())
+    # idempotent: the same (checkpoint, batch) replays as a no-op
+    res2 = mirror.apply_change_feed(t.change_feed(v1), batch_id=0)
+    assert res2.get("skipped") or res2.get("n_update", 0) == 0
