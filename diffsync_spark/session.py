@@ -88,6 +88,8 @@ def build_session(
         # make format("diffsync_table") work out of the box on our sessions
         from diffsync_spark.sources.datasource import TableDataSource
         spark.dataSource.register(TableDataSource)
-    except Exception:
-        pass  # an older session object without the Python DataSource API
+    except (ImportError, AttributeError):
+        pass  # a pyspark without the Python DataSource API — narrow catch:
+        # any OTHER registration failure should surface, not turn into a
+        # mystery DATA_SOURCE_NOT_FOUND later
     return spark

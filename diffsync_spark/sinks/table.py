@@ -2738,7 +2738,17 @@ class SnapshotTable:
         if not versions:
             return self._cdf_frame(from_version, to_version)
         lowest = versions[0]
-        low_parent = int(self._manifest(lowest).get("parent", lowest - 1))
+        try:
+            low_parent = int(self._manifest(lowest).get(
+                "parent", lowest - 1))
+        except FileNotFoundError:
+            # _chain appends a version BEFORE discovering its manifest is
+            # gone, so the gap can sit at versions[0] itself
+            raise DiffSyncSparkError(
+                f"ancestry expired between v{from_version} and "
+                f"v{to_version} — per-commit feed cannot be reconstructed "
+                f"(v{lowest} already expired)"
+            ) from None
         if low_parent != from_version:
             raise DiffSyncSparkError(
                 f"ancestry expired between v{from_version} and "
@@ -2749,7 +2759,11 @@ class SnapshotTable:
         prev = from_version
         for v in versions:
             step = self._cdf_frame(prev, v)
-            out = step if out is None else out.unionByName(step)
+            # allowMissingColumns: a column added mid-range is absent from
+            # earlier hops' frames and reads NULL there — the same
+            # newer-schema rule the net feed documents
+            out = (step if out is None
+                   else out.unionByName(step, allowMissingColumns=True))
             prev = v
         return out
 
@@ -3351,10 +3365,15 @@ class SnapshotTable:
             plain = [int(b) for b in man.get("files", {})
                      if int(b) not in layered]
             public = T.StructType.fromJson(json.loads(man["schema"]))
+            # bucket with THIS manifest's n_buckets — the current layout
+            # may have been rebucketed since the audited snapshot
+            bucket_src = list(self.model.parent_key or self.model.identifiers)
+            bcol = F.pmod(F.xxhash64(*bucket_src),
+                          F.lit(man["n_buckets"])).cast("int")
             got = {
                 r[BUCKET]: r["n"]
                 for r in self._stored_frame(man, plain, public)
-                .withColumn(BUCKET, self._bucket_col())
+                .withColumn(BUCKET, bcol)
                 .groupBy(BUCKET).agg(F.count("*").alias("n")).collect()
             }
             for b, want in man["bucket_rows"].items():

@@ -25,8 +25,11 @@ Scope and honesty:
   range raises: a rewritten bucket holds state, not events — use
   ``SnapshotTable.change_feed``/``stream_changes`` (which diff
   snapshots) for those, or keep streaming tables in ``write_mode=mor``.
-  Maintenance commits (compact / rebucket / publish / DDL) are logical
-  no-ops and are skipped.
+  Maintenance commits (compact / rebucket / DDL) are logical no-ops and
+  are skipped. A ``publish()`` fast-forward raises: it splices a branch's
+  whole history onto main in one commit — restart the stream from the
+  published version (or bootstrap the consumer again); branch commits
+  themselves never appear, the reader walks MAIN's parent chain.
 - Planning runs in the driver's Python worker with NO SparkSession, so
   this module reads manifests standalone; ``tests/test_datasource.py``
   pins its hydration against ``SnapshotTable._manifest`` to prevent
@@ -148,12 +151,12 @@ def _read_file(path: str, want: T.StructType, extra: Sequence[str]):
     return pa.table(dict(zip(names, cols)))
 
 
-def _to_batches(pdf, schema: T.StructType):
+def _cast_batches(tbl, schema: T.StructType):
+    """Column-wise cast an arrow table to the Spark schema's arrow form."""
     import pyarrow as pa
     from pyspark.sql.pandas.types import to_arrow_schema
 
     arrow_schema = to_arrow_schema(schema)
-    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
     out = []
     for f in arrow_schema:
         col = tbl.column(f.name) if f.name in tbl.schema.names else None
@@ -162,6 +165,13 @@ def _to_batches(pdf, schema: T.StructType):
         out.append(col.cast(f.type))
     yield from pa.table(dict(zip(arrow_schema.names, out))).cast(
         arrow_schema).to_batches(max_chunksize=1 << 16)
+
+
+def _to_batches(pdf, schema: T.StructType):
+    import pyarrow as pa
+
+    yield from _cast_batches(pa.Table.from_pandas(pdf, preserve_index=False),
+                             schema)
 
 
 # ----------------------------------------------------------------- readers
@@ -208,10 +218,14 @@ class _SnapshotReader(DataSourceReader):
             return
         pdf = pa.concat_tables(pieces).to_pandas()
         if has_layers:
-            # the committed LWW fold rule: version DESC NULLS FIRST,
-            # _seq DESC, __commit ASC — one winner per natural key
-            order = vcols + ["_seq", "__commit"]
-            asc = [False] * (len(order) - 1) + [True]
+            # the committed LWW fold rule, EXACTLY as table.py _fold:
+            # version_cols[0] DESC NULLS FIRST, _seq DESC (nulls LAST —
+            # Spark desc sorts nulls last; pandas na_position is global,
+            # so nulls are pre-filled with -inf), __commit ASC
+            pdf["_seq"] = pdf["_seq"].astype("float64").fillna(
+                float("-inf"))
+            order = vcols[:1] + ["_seq", "__commit"]
+            asc = [False] * len(vcols[:1]) + [False, True]
             pdf = pdf.sort_values(order, ascending=asc, na_position="first",
                                   kind="mergesort")
             pdf = pdf.drop_duplicates(subset=ids, keep="first")
@@ -237,9 +251,30 @@ class _ChangesReader(DataSourceStreamReader):
         return {"version": load_manifest(self.path)["version"]}
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # Walk MAIN's parent chain, not the raw number range: version
+        # numbers are ONE space shared with branches, so a raw range would
+        # emit unpublished branch layers into main's stream (breaking
+        # write-audit-publish isolation) or trip over branch rewrites.
+        lo, hi = int(start["version"]), int(end["version"])
+        chain: list[tuple[int, dict]] = []
+        v = hi
+        while v > lo:
+            try:
+                man = load_manifest(self.path, v)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot v{v} in the streamed range was expired — "
+                    "restart the stream from a retained version"
+                ) from None
+            chain.append((v, man))
+            v = int(man.get("parent", v - 1))
+        if v != lo:
+            raise ValueError(
+                f"offset v{lo} is not an ancestor of v{hi} on this ref — "
+                "was the stream started from a branch version?"
+            )
         parts: list[InputPartition] = []
-        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
-            man = load_manifest(self.path, v)
+        for v, man in reversed(chain):
             layer = next((l for l in man.get("deltas") or []
                           if int(l["commit"]) == v), None)
             if layer is not None:
@@ -247,6 +282,14 @@ class _ChangesReader(DataSourceStreamReader):
                 if files:
                     parts.append(_Part(files, "changes", commit=v))
                 continue
+            if man.get("published_from"):
+                raise ValueError(
+                    f"commit v{v} is a publish() fast-forward — it splices "
+                    "a branch's history onto main in one commit, which this "
+                    "feed cannot attribute; restart the stream from "
+                    f"startingVersion={v} (re-bootstrapping the consumer) "
+                    "or consume the jump via SnapshotTable.change_feed()"
+                )
             if man.get("lineage"):
                 raise ValueError(
                     f"commit v{v} rewrote data copy-on-write; the changes "
@@ -266,7 +309,9 @@ class _ChangesReader(DataSourceStreamReader):
         for path, commit in partition.files:
             # _seq rides along: it is the writer's monotone tiebreak, and
             # a downstream LWW apply needs it to break exact version ties
-            # the same way the engine itself does
+            # the same way the engine itself does. Arrow end to end — a
+            # pandas round-trip would turn a NULL _seq into NaN and fail
+            # the int64 cast back.
             t = _read_file(path, public, ["_seq", "_deleted"])
             deleted = t.column("_deleted").to_pylist()
             t = t.drop_columns(["_deleted"])
@@ -276,8 +321,7 @@ class _ChangesReader(DataSourceStreamReader):
             t = t.append_column(
                 "_commit_version",
                 pa.array([commit] * t.num_rows, type=pa.int64()))
-            pdf = t.to_pandas()
-            yield from _to_batches(pdf, self.schema)
+            yield from _cast_batches(t, self.schema)
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log is the source of truth

@@ -89,8 +89,8 @@ def test_per_commit_expired_ancestry_raises(spark, tmp_path):
                               "update")]),
                 checkpoint_id="c", batch_id=1 + i)
     t.expire_snapshots(keep_last=1)
-    with pytest.raises((DiffSyncSparkError, FileNotFoundError)):
-        t.change_feed(v1, per_commit=True).collect()
+    with pytest.raises(DiffSyncSparkError, match="ancestry expired"):
+        t.change_feed(v1, per_commit=True)
 
 
 def test_evolution_preimage_reads_null(spark, tmp_path):
@@ -165,3 +165,20 @@ def test_apply_change_feed_mirrors_state(spark, tmp_path):
     # idempotent: the same (checkpoint, batch) replays as a no-op
     res2 = mirror.apply_change_feed(t.change_feed(v1), batch_id=0)
     assert res2.get("skipped") or res2.get("n_update", 0) == 0
+
+
+def test_per_commit_feed_across_schema_evolution(spark, tmp_path):
+    """A column added mid-range reads NULL in earlier hops' rows instead
+    of breaking the per-commit union."""
+    t = _mk(spark, str(tmp_path / "t"))
+    v1 = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(_chg(spark, [(1, "a", t1, "update")]), checkpoint_id="c",
+            batch_id=1)
+    evolved = _chg(spark, [(2, "b", t1 + datetime.timedelta(hours=1),
+                            "update")]).withColumn("tag", F.lit("new"))
+    t.merge(evolved, checkpoint_id="c", batch_id=2)
+    rows = t.change_feed(v1, per_commit=True).collect()
+    by_key = {(r.k, r._change_type): r for r in rows}
+    assert by_key[(1, "update_postimage")].tag is None
+    assert by_key[(2, "update_postimage")].tag == "new"

@@ -177,3 +177,94 @@ def test_load_manifest_matches_engine_hydration(spark, tmp_path):
         l["files"] for l in theirs.get("deltas") or []
     ]
     assert ours["model"]["identifiers"] == ["k"]
+
+
+def test_stream_ignores_branch_commits(spark, tmp_path):
+    """Version numbers are one space shared with branches: the stream
+    walks MAIN's parent chain, so unpublished branch layers never leak
+    into main's feed (write-audit-publish isolation)."""
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    v0 = t.current_version()
+    t.create_branch("audit")
+    b = t.branch("audit")
+    t1 = T0 + datetime.timedelta(hours=1)
+    b.merge(_chg(spark, [(999, "BRANCH-ONLY", t1, "update")]),
+            checkpoint_id="bc", batch_id=0)
+    t.merge(_chg(spark, [(1, "main-edit", t1, "update")]),
+            checkpoint_id="c", batch_id=1)
+    q = (spark.readStream.format("diffsync_table")
+         .option("path", str(tmp_path / "t"))
+         .option("feed", "changes")
+         .option("startingVersion", v0).load()
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert {r.k for r in rows} == {1}
+    assert all(r.v != "BRANCH-ONLY" for r in rows)
+
+
+def test_stream_publish_in_range_raises_informatively(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    v0 = t.current_version()
+    t.create_branch("audit")
+    b = t.branch("audit")
+    t1 = T0 + datetime.timedelta(hours=1)
+    b.merge(_chg(spark, [(7, "via-branch", t1, "update")]),
+            checkpoint_id="bc", batch_id=0)
+    t.publish("audit")
+    q = (spark.readStream.format("diffsync_table")
+         .option("path", str(tmp_path / "t"))
+         .option("feed", "changes")
+         .option("startingVersion", v0).load()
+         .writeStream.format("noop")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    with pytest.raises(Exception, match="publish"):
+        q.awaitTermination(120)
+
+
+def test_fold_null_seq_tie_matches_engine(spark, tmp_path):
+    """On a full version tie, a NULL _seq loses to any non-null one in
+    the engine's fold (_seq desc = nulls last); the external pandas fold
+    must pick the same winner."""
+    df = spark.createDataFrame([(1, "base", T0)],
+                               "k int, v string, ts timestamp")
+    t = SnapshotTable.create(spark, str(tmp_path / "t"), MODEL,
+                             schema=df.schema, n_buckets=2, write_mode="mor")
+    t.merge(df.withColumn("op", F.lit("insert"))
+            .withColumn("seq", F.lit(5).cast("long")),
+            mode="force", checkpoint_id="b", batch_id=0)
+    # same key, SAME ts, NULL seq -> ties on version, loses on _seq
+    late = spark.createDataFrame([(1, "null-seq", T0, "update", None)],
+                                 "k int, v string, ts timestamp, op string, "
+                                 "seq long")
+    t.merge(late, checkpoint_id="c", batch_id=1)
+    assert t._manifest().get("deltas")
+    engine = {r.k: r.v for r in t.read().collect()}
+    external = {r.k: r.v for r in
+                (spark.read.format("diffsync_table")
+                 .option("path", str(tmp_path / "t")).load().collect())}
+    assert external == engine
+
+
+def test_stream_null_seq_row_survives(spark, tmp_path):
+    t = _boot(spark, str(tmp_path / "t"), write_mode="mor")
+    v0 = t.current_version()
+    t1 = T0 + datetime.timedelta(hours=1)
+    late = spark.createDataFrame(
+        [(1, "nullseq", t1, "update", None)],
+        "k int, v string, ts timestamp, op string, seq long")
+    t.merge(late, checkpoint_id="c", batch_id=1)
+    q = (spark.readStream.format("diffsync_table")
+         .option("path", str(tmp_path / "t"))
+         .option("feed", "changes")
+         .option("startingVersion", v0).load()
+         .writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 1 and rows[0]._seq is None

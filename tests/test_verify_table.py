@@ -93,3 +93,14 @@ def test_mor_layers_audit_clean(spark, tmp_path):
     assert t._manifest().get("deltas")
     res = t.verify_table(check_counts=True)
     assert res["ok"], res["issues"]
+
+
+def test_pre_rebucket_snapshot_audits_clean(spark, tmp_path):
+    """check_counts must bucket with the AUDITED manifest's n_buckets —
+    a later rebucket changed the current layout."""
+    t = _boot(spark, str(tmp_path / "t"))
+    v_old = t.current_version()
+    t.rebucket(16)
+    res = t.verify_table(version=v_old, check_counts=True)
+    assert res["ok"], res["issues"]
+    assert res["version"] == v_old
