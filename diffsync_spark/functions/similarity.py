@@ -177,6 +177,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     io: LocalCommitIO | None = None,
+    quantize: bool = False,
 ) -> dict:
     """Persist the LSH-bucketed corpus ONCE — the compute-once/look-up-many
     contract of the reference's durable store
@@ -191,7 +192,14 @@ def build_ann_index(
     expected rows-per-bucket (N / 2^n_planes) fills healthy parquet files
     (e.g. 10^10 vectors at n_planes=16 → ~150k rows/bucket). The plane
     matrix is derived from ``(seed, dim)`` and recorded in a sidecar
-    ``_ann_meta.json`` so probes rebuild bit-identical planes."""
+    ``_ann_meta.json`` so probes rebuild bit-identical planes.
+
+    ``quantize=True`` stores the vectors int8 (symmetric per-vector, see
+    :func:`quantize_embeddings`) — a 4x smaller index on disk and 4x less
+    scan IO per probe. Bucketing still happens on the FLOAT vectors (sign
+    bits must match the probes' float-side signatures exactly); cosine is
+    scale-invariant, so probes rerank on the integer arrays directly and
+    the only approximation is the corpus-side rounding."""
     dim = corpus.select(F.size(vec_col).alias("d")).first().d
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
@@ -200,8 +208,11 @@ def build_ann_index(
         F.col(vec_col).alias("cv"),
         _plane_signature(F.col(vec_col), planes).alias("bucket"),
     )
+    if quantize:
+        c = quantize_embeddings(c, "cv", "cv", "__s", keep_vec=True).drop("__s")
     c.write.mode("overwrite").partitionBy("bucket").parquet(path)
     meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
+            "quantized": bool(quantize),
             "format": "diffsync_spark/ann-v1"}
     # sidecar goes through the CommitIO seam (same reason as the table's
     # manifests, sinks/fsio.py): swap it for an object-store backend and
@@ -247,6 +258,10 @@ def extend_ann_index(
         F.col(vec_col).alias("cv"),
         _plane_signature(F.col(vec_col), planes).alias("bucket"),
     )
+    if meta.get("quantized"):
+        # layout contract comes from the sidecar, never the caller: an
+        # extension of a quantized index quantizes the same way
+        c = quantize_embeddings(c, "cv", "cv", "__s", keep_vec=True).drop("__s")
     c.write.mode("append").partitionBy("bucket").parquet(path)
     return meta
 
