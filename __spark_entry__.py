@@ -2214,6 +2214,37 @@ _DRIVER_FIRST = [
     "session_change_stats",
     "profile",
     "repeat_dataset",
+    # the sink's state gates: every one rides table.py, which round 5
+    # touched heavily (CDF, scan pruning, zorder, blooms, model manifest,
+    # fsck) — they need FRESH driver rows more than the untouched r3/r4
+    # text/dedup/sampling ops that rotate out of the 50-sample window
+    "merge_state",
+    "mor_merge_state",
+    "wap_publish_state",
+    "merge_expectations_state",
+    "rename_evolution_state",
+    "rebucket_state",
+    "pipe_state",
+    "pipe_silver_state",
+    "pipe_rollup_state",
+    "bulk_lookup",
+    "pipeline_cdc_ingest",
+    "table_stats",
+    "merge_evolved_state",
+    "table_changes",
+    "hierarchy_sync_state",
+    # the diff/LWW core (cheap, and the exchange-sharing plan is the
+    # engine's spine)
+    "diff_classify",
+    "diff_summary",
+    "lww_dedup",
+    "patch_snapshot",
+    "point_lookup",
+    "count_all",
+    # similarity family heads (quantized + persisted-index paths changed)
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
 ]
 
 
