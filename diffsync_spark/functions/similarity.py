@@ -73,6 +73,13 @@ def quantize_embeddings(
     dequantization at all (``quantized_cosine_topk``). An all-zero or
     all-NULL vector gets scale 0 and a zero q-vector.
 
+    Dirty data stays inert instead of fatal: a NaN/Inf element (or an
+    all-NaN vector, whose amax is NaN) would make the tinyint cast THROW
+    under Spark 4.1's default ANSI mode, aborting an O(corpus) index
+    build on one bad row — so the scale zeroes out for non-finite amax
+    and each element goes through try_cast + coalesce(0); a dirty vector
+    quantizes to zeros, which never rank.
+
     The scale lands in its own column FIRST and the transform references
     it — embedding the array_max inside the per-element lambda would
     make Catalyst recompute it per element (no CSE across higher-order
@@ -80,19 +87,25 @@ def quantize_embeddings(
     amax = F.array_max(
         F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
     )
+    finite = (~F.isnan(amax)) & (amax < F.lit(float("inf")))
     out = df.withColumn(
         scale_col,
-        F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-        .cast("double"),
+        F.when((amax > 0) & finite, F.lit(127.0) / amax)
+        .otherwise(F.lit(0.0)).cast("double"),
     ).withColumn(
         out_col,
         F.transform(
             F.col(vec_col),
-            lambda x: F.round(x.cast("double") * F.col(scale_col))
-            .cast("tinyint"),
+            lambda x: F.coalesce(
+                F.round(x.cast("double") * F.col(scale_col))
+                .try_cast("tinyint"),
+                F.lit(0).cast("tinyint"),
+            ),
         ),
     )
-    return out if keep_vec else out.drop(vec_col)
+    if keep_vec or out_col == vec_col:
+        return out  # in-place quantization: the output IS the vec column
+    return out.drop(vec_col)
 
 
 def dequantize_embeddings(
@@ -209,11 +222,15 @@ def build_ann_index(
         _plane_signature(F.col(vec_col), planes).alias("bucket"),
     )
     if quantize:
-        c = quantize_embeddings(c, "cv", "cv", "__s", keep_vec=True).drop("__s")
+        c = quantize_embeddings(c, "cv", "cv", "__s").drop("__s")
     c.write.mode("overwrite").partitionBy("bucket").parquet(path)
     meta = {"n_planes": n_planes, "seed": seed, "dim": dim,
             "quantized": bool(quantize),
-            "format": "diffsync_spark/ann-v1"}
+            # int8 layout gets its own format string so a reader/extender
+            # that predates quantization refuses instead of appending
+            # float files into tinyint partitions (silent wrong neighbors)
+            "format": ("diffsync_spark/ann-v2-int8" if quantize
+                       else "diffsync_spark/ann-v1")}
     # sidecar goes through the CommitIO seam (same reason as the table's
     # manifests, sinks/fsio.py): swap it for an object-store backend and
     # no raw local-fs open() is left in the index layer
@@ -243,6 +260,10 @@ def extend_ann_index(
     meta = json.loads(
         (io or LocalCommitIO()).read_text(os.path.join(path, ANN_META_FILE))
     )
+    fmt = meta.get("format")
+    if fmt not in ("diffsync_spark/ann-v1", "diffsync_spark/ann-v2-int8"):
+        raise ValueError(f"unknown ANN index format {fmt!r} — refusing to "
+                         "append an incompatible layout")
     new_dim = new_vectors.select(F.size(vec_col).alias("d")).first().d
     if new_dim != meta["dim"]:
         # zip_with would NULL-pad a mismatched vector into a plausible but
@@ -261,7 +282,7 @@ def extend_ann_index(
     if meta.get("quantized"):
         # layout contract comes from the sidecar, never the caller: an
         # extension of a quantized index quantizes the same way
-        c = quantize_embeddings(c, "cv", "cv", "__s", keep_vec=True).drop("__s")
+        c = quantize_embeddings(c, "cv", "cv", "__s").drop("__s")
     c.write.mode("append").partitionBy("bucket").parquet(path)
     return meta
 

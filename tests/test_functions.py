@@ -1033,3 +1033,38 @@ def test_quantized_ann_index_probe(spark, tmp_path):
              for r in lsh_cosine_topk(None, queries, k=5,
                                       probes=4, index_path=qp).collect()}
     assert len(full & quant) / len(full) >= 0.9
+
+
+def test_quantize_dirty_vectors_inert_not_fatal(spark):
+    """NaN/Inf elements must not abort an index build under ANSI mode —
+    dirty vectors quantize to zeros (inert) instead."""
+    from diffsync_spark.functions.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]),
+         (2, [float("nan"), 1.0, 2.0]),
+         (3, [float("inf"), 1.0, 2.0]),
+         (4, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = {r.vec_id: r.q_embedding
+         for r in quantize_embeddings(df).collect()}
+    assert q[1] == [42, 85, 127]
+    assert q[2] == [0, 0, 0] and q[3] == [0, 0, 0] and q[4] == [0, 0, 0]
+
+
+def test_extend_refuses_unknown_index_format(spark, tmp_path):
+    import json
+    import os
+
+    from diffsync_spark.functions.similarity import (
+        ANN_META_FILE, build_ann_index, extend_ann_index)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "idx")
+    build_ann_index(emb, path, n_planes=4, quantize=True)
+    meta = json.load(open(os.path.join(path, ANN_META_FILE)))
+    assert meta["format"] == "diffsync_spark/ann-v2-int8"
+    meta["format"] = "somebody-elses/ann-v9"
+    json.dump(meta, open(os.path.join(path, ANN_META_FILE), "w"))
+    with pytest.raises(ValueError, match="unknown ANN index format"):
+        extend_ann_index(emb, path)
