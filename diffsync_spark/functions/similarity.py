@@ -610,6 +610,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     io: LocalCommitIO | None = None,
     refine_iters: int = 0,
+    quantize: bool = False,
 ) -> dict:
     """Persist the IVF-partitioned corpus ONCE — the same
     compute-once/look-up-many contract as :func:`build_ann_index` (reference
@@ -638,7 +639,14 @@ def build_ivf_index(
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
-    _ivf_assign(c, cent).write.mode("overwrite").partitionBy("cid").parquet(path)
+    assigned = _ivf_assign(c, cent)
+    if quantize:
+        # same int8 contract as build_ann_index(quantize=True): the CELL
+        # choice stays on the float vectors (must match the probes'
+        # centroid cosines exactly); only the stored payload shrinks, and
+        # probes rerank the integer arrays (cosine is scale-invariant)
+        assigned = quantize_embeddings(assigned, "cv", "cv", "__s").drop("__s")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     # centroid frame AFTER the data (overwrite above would wipe it);
     # coalesce(1): one tiny file, read whole by every probe
     cent.coalesce(1).write.mode("overwrite").parquet(
@@ -646,7 +654,9 @@ def build_ivf_index(
     )
     dim = cent.select(F.size("centv").alias("d")).first().d
     meta = {"n_centroids": n_centroids, "salt": salt, "dim": dim,
-            "format": "diffsync_spark/ivf-v1"}
+            "quantized": bool(quantize),
+            "format": ("diffsync_spark/ivf-v2-int8" if quantize
+                       else "diffsync_spark/ivf-v1")}
     (io or LocalCommitIO()).write_atomic(
         os.path.join(path, IVF_META_FILE), json.dumps(meta)
     )
@@ -669,6 +679,10 @@ def extend_ivf_index(
     meta = json.loads(
         (io or LocalCommitIO()).read_text(os.path.join(path, IVF_META_FILE))
     )
+    fmt = meta.get("format")
+    if fmt not in ("diffsync_spark/ivf-v1", "diffsync_spark/ivf-v2-int8"):
+        raise ValueError(f"unknown IVF index format {fmt!r} — refusing to "
+                         "append an incompatible layout")
     new_dim = new_vectors.select(F.size(vec_col).alias("d")).first().d
     if new_dim != meta["dim"]:
         # zip_with would NULL-pad a mismatched vector into a plausible but
@@ -683,7 +697,10 @@ def extend_ivf_index(
     c = new_vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
-    _ivf_assign(c, cent).write.mode("append").partitionBy("cid").parquet(path)
+    assigned = _ivf_assign(c, cent)
+    if meta.get("quantized"):
+        assigned = quantize_embeddings(assigned, "cv", "cv", "__s").drop("__s")
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
     return meta
 
 

@@ -1068,3 +1068,27 @@ def test_extend_refuses_unknown_index_format(spark, tmp_path):
     json.dump(meta, open(os.path.join(path, ANN_META_FILE), "w"))
     with pytest.raises(ValueError, match="unknown ANN index format"):
         extend_ann_index(emb, path)
+
+
+def test_quantized_ivf_index_probe(spark, tmp_path):
+    from diffsync_spark.functions.similarity import (
+        build_ivf_index, extend_ivf_index, ivf_cosine_topk)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    fp, qp = str(tmp_path / "f"), str(tmp_path / "q")
+    build_ivf_index(half, fp, n_centroids=16)
+    meta = build_ivf_index(half, qp, n_centroids=16, quantize=True)
+    assert meta["format"] == "diffsync_spark/ivf-v2-int8"
+    extend_ivf_index(rest, qp)
+    extend_ivf_index(rest, fp)
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    full = {(r.query_id, r.vec_id)
+            for r in ivf_cosine_topk(None, queries, k=5, n_probe=4,
+                                     index_path=fp).collect()}
+    quant = {(r.query_id, r.vec_id)
+             for r in ivf_cosine_topk(None, queries, k=5, n_probe=4,
+                                      index_path=qp).collect()}
+    assert len(full & quant) / len(full) >= 0.9
