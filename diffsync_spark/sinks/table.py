@@ -65,6 +65,18 @@ from diffsync_spark.model import ModelSchema
 from diffsync_spark.operators.lww import lww_dedup
 from diffsync_spark.sinks.fsio import LocalCommitIO
 
+def _prof(label: str, t0: float) -> None:
+    """Opt-in phase timing for the merge/commit path (guide §1: measure
+    first). Zero-cost unless DIFFSYNC_PROFILE_MERGE is set; prints one
+    line per phase to stderr so a profiling run can attribute wall time
+    to driver-side phases (stats pass, write job, footer stats, commit)."""
+    if os.environ.get("DIFFSYNC_PROFILE_MERGE"):
+        import sys as _sys
+
+        print(f"[merge-prof] {label}: {time.perf_counter() - t0:.3f}s",
+              file=_sys.stderr, flush=True)
+
+
 META_SEQ = "_seq"
 META_DELETED = "_deleted"
 META_COMMIT = "__commit"
@@ -1328,8 +1340,10 @@ class SnapshotTable:
                     "snapshot_id": man["snapshot_id"],
                 }
             try:
+                _t0 = time.perf_counter()
                 result = self._merge_attempt(batch, checkpoint_id, batch_id,
                                              mode, man, expectations)
+                _prof("merge_total", _t0)
                 result["commit_retries"] = attempt
                 return result
             except CommitConflict:
@@ -1349,6 +1363,7 @@ class SnapshotTable:
         """One optimistic merge attempt against the snapshot in ``man``.
         Raises :class:`CommitConflict` if a concurrent writer commits the
         next version first; ``merge()`` owns the retry/rebase loop."""
+        _t_att0 = time.perf_counter()
         ids = list(self.model.identifiers)
         version_col = self.model.version_cols[0] if self.model.version_cols else None
         new_version = self._next_version(man)
@@ -1426,7 +1441,11 @@ class SnapshotTable:
         batch = batch.withColumn("__valid", valid).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
+        _prof("pre_stats", _t_att0)
+        _t0 = time.perf_counter()
         stats = batch.groupBy(BUCKET).agg(*aggs).collect()
+        _prof("stats_pass", _t0)
+        _t_mid0 = time.perf_counter()
         n_quarantined = sum(r.n_bad for r in stats)
         n_expectation_failed = (
             sum(r.n_exp for r in stats) if expectations else 0
@@ -1664,6 +1683,7 @@ class SnapshotTable:
         merged = joined.select(*out_cols).withColumn(
             BUCKET, F.pmod(F.xxhash64(*bucket_src), F.lit(n_buckets)).cast("int")
         )
+        _prof("mid_to_write_commit", _t_mid0)
         res = self._write_commit(
             merged, man, new_version, touched, n_quarantined, checkpoint_id,
             batch_id, evolved, batch_rows, snapshot_id=snapshot_id,
@@ -1813,6 +1833,41 @@ class SnapshotTable:
             .drop("__z")
         )
 
+    def _observe_bucket_counts(
+        self,
+        out: DataFrame,
+        name: str,
+        buckets: list[int],
+        conds: "dict[str, str]",
+    ):
+        """Attach per-bucket count metrics to a write job as ONE
+        array-of-aggregates ``expr()`` per condition instead of
+        ``len(buckets) * len(conds)`` individual ``count_if`` Columns.
+
+        Why: each python Column op is a py4j round trip; at 64 buckets x 5
+        conditions the old form built ~2,000 round trips — measured 2.0-2.8s
+        of pure DRIVER wall per merge (40-50%% of the whole commit) while the
+        cluster sat idle. The array form is a handful of SQL parses;
+        executor-side the aggregate buffers are identical.
+
+        ``conds`` maps metric key -> SQL predicate template with ``{b}`` as
+        the bucket id. Returns ``(out, observation)``; the observation's
+        ``get[key][i]`` is the count for ``buckets[i]``. Caller is
+        responsible for any bucket-count cap (the per-ROW evaluation cost is
+        O(buckets x conds), unchanged from the old form)."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        exprs = [
+            F.expr(
+                "array(" + ",".join(
+                    f"count_if({cond.format(b=b)})" for b in buckets
+                ) + ")"
+            ).alias(key)
+            for key, cond in conds.items()
+        ]
+        return out.observe(obs, *exprs), obs
+
     def _list_bucket_files(self, data_dir: str, bk: int) -> list[str]:
         """Parquet files of one bucket in a freshly-written data dir —
         both the slot layout (``_bucket=K/__slot=S/part-*``) and the legacy
@@ -1860,6 +1915,7 @@ class SnapshotTable:
         stored per-bucket sizes (``bucket_rows``); the chosen counts are
         committed as ``bucket_splits`` so readers can recompute a key's
         slot and prune a lookup to one file."""
+        _t_wc0 = time.perf_counter()
         snapshot_id = snapshot_id or uuid.uuid4().hex
         # per-attempt unique dir: a concurrent writer racing on the same
         # new_version writes elsewhere; only the manifest commit decides
@@ -1871,44 +1927,55 @@ class SnapshotTable:
             b: (batch_rows or {}).get(b, 0) + cur_rows.get(b, 0) for b in touched
         }
         splits = self._plan_splits(est)
+        _prof("pre_fanout", _t_wc0)
+        _t0 = time.perf_counter()
         out = self._fanout_frame(merged, touched, splits)
+        _prof("fanout_build", _t0)
         # per-bucket lineage counts ride the WRITE job as observed metrics
         # (conditional count_ifs are branch-cheap inside codegen) — this
         # replaces a whole post-write job that re-read the written files.
         # Very wide tables (>512 metric exprs) fall back to the re-read.
         _OPS = ("create", "update", "delete", "noop")
-        _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
         obs = None
+        _t0 = time.perf_counter()
         if touched and len(touched) * (len(_OPS) + 1) <= 512:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"merge_v{new_version}")
-            out = out.observe(obs, *(
-                [
-                    F.count_if(
-                        (F.col(BUCKET) == b) & (F.col("__op_class") == oc)
-                    ).alias(f"b{b}_{oc}")
-                    for b in touched for oc in _OPS
-                ]
-                # live rows (non-tombstone) per touched bucket ride the same
-                # write job — the table-level row count becomes manifest
-                # metadata (Iceberg snapshot-summary parity): count() never
-                # scans data
-                + [
-                    F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
-                    for b in touched
-                ]
-            ))
+            # live rows (non-tombstone) per touched bucket ride the same
+            # write job — the table-level row count becomes manifest
+            # metadata (Iceberg snapshot-summary parity): count() never
+            # scans data
+            out, obs = self._observe_bucket_counts(
+                out, f"merge_v{new_version}", touched,
+                {
+                    **{
+                        f"arr_{oc}":
+                        f"`{BUCKET}` = {{b}} AND `__op_class` = '{oc}'"
+                        for oc in _OPS
+                    },
+                    "arr_live": (
+                        f"`{BUCKET}` = {{b}} "
+                        f"AND NOT coalesce(`{META_DELETED}`, false)"
+                    ),
+                },
+            )
+        _prof("observe_build", _t0)
+        _t0 = time.perf_counter()
         out = self._tag_field_ids(out, evolved)
+        _prof("tag_field_ids", _t0)
+        _t0 = time.perf_counter()
         self._write_files(out, man, data_dir)
+        _prof("write_job", _t0)
         per_bucket: dict[tuple[int, str], int] = {}
         if obs is not None:
+            _t0 = time.perf_counter()
             m = obs.get
+            _prof("obs_get", _t0)
             per_bucket = {
-                (b, oc): m[f"b{b}_{oc}"] for b in touched for oc in _OPS
+                (b, oc): m[f"arr_{oc}"][i]
+                for i, b in enumerate(touched) for oc in _OPS
             }
             per_bucket.update(
-                {(b, "__live"): m[f"b{b}_live"] for b in touched}
+                {(b, "__live"): m["arr_live"][i]
+                 for i, b in enumerate(touched)}
             )
         elif touched:
             written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
@@ -1929,12 +1996,16 @@ class SnapshotTable:
         # rebase — the data files above are written once).
         bucket_files: dict[str, list[str]] = {}
         new_paths: list[str] = []
+        _t0 = time.perf_counter()
         for bk in touched:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
                 bucket_files[str(bk)] = listed
                 new_paths.extend(listed)
+        _prof("list_files", _t0)
+        _t0 = time.perf_counter()
         new_stats = self._collect_file_stats(new_paths, self._stat_cols(evolved))
+        _prof("file_stats", _t0)
         lineage_rows = []
         for bk in touched:
             counts = {
@@ -2079,9 +2150,11 @@ class SnapshotTable:
                 "quarantine_dir": quarantine_dir,
             }
 
+        _t0 = time.perf_counter()
         manifest, n_rebases = self._commit_with_rebase(
             build, man, new_version, touched, checkpoint_id, batch_id
         )
+        _prof("commit", _t0)
         totals = {
             o: sum(r[f"n_{o}"] for r in lineage_rows)
             for o in ("create", "update", "delete", "noop", "quarantined")
@@ -2133,24 +2206,25 @@ class SnapshotTable:
         out = self._fanout_frame(delta, touched, splits)
         obs = None
         if touched and len(touched) <= 512:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"append_v{new_version}")
-            out = out.observe(obs, *[
-                F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
-                for b in touched
-            ])
+            out, obs = self._observe_bucket_counts(
+                out, f"append_v{new_version}", touched,
+                {"arr_rows": f"`{BUCKET}` = {{b}}"},
+            )
         out = self._tag_field_ids(out, evolved)
+        _t0 = time.perf_counter()
         self._write_files(out, man, data_dir)
+        _prof("append_write_job", _t0)
         layer_files: dict[str, list[str]] = {}
+        _t0 = time.perf_counter()
         for bk in touched:
             listed = self._list_bucket_files(data_dir, bk)
             if listed:
                 layer_files[str(bk)] = listed
+        _prof("append_list_files", _t0)
         per_bucket: dict[int, int] = {}
         if obs is not None:
             m = obs.get
-            per_bucket = {b: m[f"b{b}_rows"] for b in touched}
+            per_bucket = {b: m["arr_rows"][i] for i, b in enumerate(touched)}
         elif touched:
             written = self.spark.read.option("basePath", data_dir).parquet(data_dir)
             for r in written.groupBy(BUCKET).agg(F.count("*").alias("n")).collect():
@@ -2181,9 +2255,11 @@ class SnapshotTable:
                 "n_quarantined": n_quarantined,
                 "n_append": 0,
             })
+        _t0 = time.perf_counter()
         new_stats = self._collect_file_stats(
             [p for fl in layer_files.values() for p in fl],
             self._stat_cols(evolved))
+        _prof("append_file_stats", _t0)
         quarantine_dir = (
             os.path.join(
                 self.path, "quarantine", f"v{new_version}-{snapshot_id[:12]}"
@@ -3000,17 +3076,17 @@ class SnapshotTable:
         # re-observe row + live counts for the folded buckets — restores
         # the metadata-only count_rows() a MoR append had to give up
         obs = None
-        if len(targets) * 2 <= 512:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"compact_v{new_version}")
-            _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
-            out = out.observe(obs, *(
-                [F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
-                 for b in targets]
-                + [F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
-                   for b in targets]
-            ))
+        if targets and len(targets) * 2 <= 512:
+            out, obs = self._observe_bucket_counts(
+                out, f"compact_v{new_version}", targets,
+                {
+                    "arr_rows": f"`{BUCKET}` = {{b}}",
+                    "arr_live": (
+                        f"`{BUCKET}` = {{b}} "
+                        f"AND NOT coalesce(`{META_DELETED}`, false)"
+                    ),
+                },
+            )
         out = self._tag_field_ids(
             out, T.StructType.fromJson(json.loads(man["schema"])))
         self._write_files(out, man, data_dir)
@@ -3030,7 +3106,13 @@ class SnapshotTable:
             # rule as _stat_cols (string min/max may be truncated)
             stat_cols += [c for c in zorder if c not in stat_cols]
         new_stats = self._collect_file_stats(new_paths, stat_cols)
-        counts = obs.get if obs is not None else None
+        counts = None
+        if obs is not None:
+            _m = obs.get
+            counts = {}
+            for i, bk in enumerate(targets):
+                counts[f"b{bk}_rows"] = _m["arr_rows"][i]
+                counts[f"b{bk}_live"] = _m["arr_live"][i]
 
         # manifest as a pure function of the base snapshot — after a lost
         # commit race _commit_with_rebase re-invokes this against the
@@ -3186,16 +3268,16 @@ class SnapshotTable:
         )
         obs = None
         if n_buckets * 2 <= 512:
-            from pyspark.sql import Observation
-
-            obs = Observation(f"rebucket_v{new_version}")
-            _live = ~F.coalesce(F.col(META_DELETED), F.lit(False))
-            out = out.observe(obs, *(
-                [F.count_if(F.col(BUCKET) == b).alias(f"b{b}_rows")
-                 for b in range(n_buckets)]
-                + [F.count_if((F.col(BUCKET) == b) & _live).alias(f"b{b}_live")
-                   for b in range(n_buckets)]
-            ))
+            out, obs = self._observe_bucket_counts(
+                out, f"rebucket_v{new_version}", list(range(n_buckets)),
+                {
+                    "arr_rows": f"`{BUCKET}` = {{b}}",
+                    "arr_live": (
+                        f"`{BUCKET}` = {{b}} "
+                        f"AND NOT coalesce(`{META_DELETED}`, false)"
+                    ),
+                },
+            )
         data_dir = os.path.join(
             self.path, "data", f"v{new_version}-{snapshot_id[:12]}"
         )
@@ -3223,13 +3305,13 @@ class SnapshotTable:
             "quarantine_dir": None,
         }
         if obs is not None:
-            counts = obs.get
+            _m = obs.get
+            rows_arr, live_arr = _m["arr_rows"], _m["arr_live"]
             manifest["bucket_rows"] = {
-                str(b): counts[f"b{b}_rows"]
-                for b in range(n_buckets) if counts[f"b{b}_rows"]
+                str(b): rows_arr[b] for b in range(n_buckets) if rows_arr[b]
             }
             manifest["bucket_live_rows"] = {
-                str(b): counts[f"b{b}_live"] for b in files
+                str(b): live_arr[int(b)] for b in files
             }
         self._commit(manifest, parent=man["version"])
         return {
