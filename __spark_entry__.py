@@ -91,16 +91,35 @@ LWW_MODEL = ModelSchema(
 
 
 # ---------------------------------------------------------------- derivations
+# documents/embeddings are spread across the cluster when the scan would
+# otherwise under-parallelize (guide §2.5 input skew: the sf1.0 tables are
+# single parquet files, so maxPartitionBytes-based splitting yields 2-4 scan
+# partitions on a 32-core host and every downstream expression-heavy pass —
+# tokenize/shingle, cosine folds — ran on those few tasks; measured
+# 1.5-1.8s single-stage walls that drop to ~0.2s spread). At real corpus
+# scale the scan already yields >= cores partitions and _spread_small_input
+# passes the frame through untouched. `events` is NOT spread: its queries
+# (diff/window/join) all lead with their own exchange, so an up-front
+# round-robin shuffle is pure overhead (measured: diff_classify 1.2s ->
+# 1.9s with the spread — reverted).
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from diffsync_spark.functions.dedup import _spread_small_input
+
+    return _spread_small_input(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from diffsync_spark.functions.dedup import _spread_small_input
+
+    return _spread_small_input(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
 
 
 def _src(spark, sf_dir) -> DataFrame:

@@ -63,6 +63,11 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
+        # idempotence: a frame that already went through a repartition (this
+        # helper upstream, or a caller's own) is spread — a second
+        # round-robin would only add a shuffle of the same bytes
+        if "Repartition" in df._jdf.queryExecution().logical().toString():
+            return df
         files = df.inputFiles()
     except Exception:
         return df
@@ -145,7 +150,18 @@ def _verify_jaccard(
     ~90s for 1.1M candidates at sf0.1, vs one 5k-doc pass). Jaccard over
     hashed distinct shingles equals Jaccard over the strings barring an
     in-pair xxhash64 collision (~1e-16 for 100-shingle unions); arrays of
-    longs also shuffle ~20× smaller than the text."""
+    longs also shuffle ~20× smaller than the text.
+
+    Measured and rejected (r6): restricting the shingle pass to documents
+    appearing in a candidate pair (semi-join on the candidate id set) —
+    asymptotically attractive, but the candidate subtree gains a second
+    consumer and Catalyst plans the whole banding pipeline twice (no
+    exchange reuse, 3.0s -> 4.3s at sf1.0); pinning it with
+    ``localCheckpoint`` recovers minhash (~-0.2s) but costs neardup_dedup
+    ~+0.6s in extra eager-job barriers. The corpus-wide pass below is one
+    spread, embarrassingly-parallel projection — cheaper than the extra
+    barriers until the corpus dwarfs the candidate set by far more than
+    the bench scale."""
     sh = texts.select(
         F.col("id"),
         F.transform(
@@ -273,7 +289,14 @@ def minhash_lsh_pairs(
     (P(candidate) = 1-(1-s^r)^b)."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    # spread the verify side too: _verify_jaccard re-tokenizes every doc to
+    # build its shingle array, and an unspread small-file scan ran that pass
+    # on 2 tasks (measured 7.7s executor over 2 tasks at sf1.0 — a ~4s
+    # single-task straggler on a 32-core host, the slowest stage of the
+    # whole pipeline)
+    texts = _spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__text")
+    )
     # signatures via the explode-once aggregation (tokenize each doc ONCE;
     # the expression form recomputed the shingle chain per hash — 385s vs
     # ~8s for 5k docs, measured)
@@ -418,7 +441,7 @@ def simhash_neardup_pairs(
     """
     if wide:
         udf = pandas_udf(_simhash128_batch, "hi long, lo long")
-        s = df.select(
+        s = _spread_small_input(df).select(
             F.col(id_col).alias("id"), udf(F.col(text_col)).alias("sh")
         ).select("id", F.col("sh.hi").alias("sh_hi"), F.col("sh.lo").alias("sh_lo"))
         # 4 chunks of 32 bits: two per 64-bit half
@@ -500,8 +523,9 @@ def embedding_neardup_pairs(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     sig = _plane_signature(F.col(vec_col), planes)
-    s = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                  sig.alias("bucket"))
+    s = _spread_small_input(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        sig.alias("bucket"))
     if max_bucket_size is not None:
         wb = Window.partitionBy("bucket")
         s = s.withColumn("__bsz", F.count("*").over(wb)).filter(
