@@ -733,20 +733,67 @@ def cosine_col(a: Column, b: Column) -> Column:
 # training-data toolbox alongside exact/minhash/simhash dedup.
 
 
-def _window_hashes(toks: Column, min_tokens: int, hash_mode: str) -> Column:
-    """Array of hashes of every ``min_tokens``-wide token window (1-based
-    window starts). ``hash_mode``: 'xx64' (8-byte shuffle keys — the scale
-    default) or 'md5' (bit-portable to the DuckDB twin)."""
-    starts = F.sequence(F.lit(1), F.size(toks) - F.lit(min_tokens - 1))
-    if hash_mode == "xx64":
-        def h(s):
-            return F.xxhash64(F.array_join(F.slice(toks, s, min_tokens), " "))
-    elif hash_mode == "md5":
-        def h(s):
-            return F.md5(F.array_join(F.slice(toks, s, min_tokens), " "))
-    else:
-        raise ValueError(f"unknown hash_mode {hash_mode!r}")
-    return F.transform(starts, h)
+# odd 64-bit multiplier (invertible mod 2^64) for the rolling window hash
+_ROLL_P = 0x9E3779B97F4A7C15
+_ROLL_P_INV = pow(_ROLL_P, -1, 1 << 64)
+
+
+def _rolling_window_hashes(min_tokens: int):
+    """Arrow-batched pandas UDF: per-token 64-bit hashes (array<long>,
+    prehashed JVM-side with xxhash64) -> the polynomial hash of every
+    ``min_tokens``-wide window, O(tokens) total.
+
+    The old expression form re-sliced and re-joined the full window's
+    STRINGS per position and hashed the joined bytes — O(tokens x
+    min_tokens) work and a ~50x CPU multiplier on the corpus-wide pass
+    (round-5 verdict finding #1b). Here every window hash is derived from
+    prefix sums in wrap-around uint64 arithmetic:
+
+        W(s) = P^(s+n-1) * (S[s+n-1] - S[s-1]),  S[k] = sum v[i] * P^(-i)
+
+    with P odd (so P is invertible mod 2^64) — three vectorized numpy
+    passes per document, zero Python-per-token work (token hashing stays
+    in the JVM). Window equality classes are exactly those of hashing the
+    window contents directly, bar negligible 64-bit collisions — and the
+    span OUTPUT depends only on those equality classes, so results are
+    unchanged."""
+    import numpy as np
+
+    n = min_tokens
+
+    @pandas_udf("array<bigint>")
+    def roll(tok_hashes: pd.Series) -> pd.Series:
+        P = np.uint64(_ROLL_P)
+        inv = np.uint64(_ROLL_P_INV)
+        one = np.uint64(1)
+        zero = np.uint64(0)
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in tok_hashes:
+                v = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                L = len(v)
+                if L < n:
+                    out.append([])
+                    continue
+                # inv^0..inv^{L-1} and P^0..P^{L-1} (wrap-around products)
+                invp = np.empty(L, dtype=np.uint64)
+                invp[0] = one
+                if L > 1:
+                    invp[1:] = np.multiply.accumulate(
+                        np.full(L - 1, inv, dtype=np.uint64))
+                pp = np.empty(L, dtype=np.uint64)
+                pp[0] = one
+                if L > 1:
+                    pp[1:] = np.multiply.accumulate(
+                        np.full(L - 1, P, dtype=np.uint64))
+                s_pref = np.cumsum(v * invp, dtype=np.uint64)
+                hi = s_pref[n - 1:]
+                lo = np.concatenate(([zero], s_pref[:L - n]))
+                w = pp[n - 1:] * (hi - lo)
+                out.append(w.view(np.int64))
+        return pd.Series(out)
+
+    return roll
 
 
 def substring_spans(
@@ -760,26 +807,41 @@ def substring_spans(
     n_tokens)`` with 0-based token offsets, ``span_end`` exclusive. A span
     appears once per OCCURRENCE (including repeats within one document),
     matching the remove-every-occurrence contract of
-    :func:`dedup_substrings`."""
+    :func:`dedup_substrings`.
+
+    ``hash_mode`` is retained for API compatibility; both modes now run
+    the same O(tokens) rolling window hash (the md5/xx64 split only ever
+    mattered when the per-window hash VALUES were compared to the DuckDB
+    twin — the twin computes its own spans independently, and spans
+    depend only on window-equality classes, which every collision-free
+    hash yields identically).
+
+    Skew safety (round-5 verdict finding #1a): duplicated hashes are
+    found with a map-side-combinable ``groupBy(h).count()`` — a
+    boilerplate span repeated 10^8 times corpus-wide collapses to one row
+    per map partition before the exchange — and joined back, which AQE
+    can skew-split; the old ``count() OVER (PARTITION BY h)`` window sent
+    every occurrence of a hot hash to one task with no escape hatch."""
+    if hash_mode not in ("xx64", "md5"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     toks = tokens_col(F.col(text_col))
     base = (
         df.select(F.col(id_col), toks.alias("__toks"))
         .filter(F.size("__toks") >= min_tokens)
     )
+    roll = _rolling_window_hashes(min_tokens)
     pos_h = base.select(
         id_col,
-        F.posexplode(_window_hashes(F.col("__toks"), min_tokens, hash_mode))
-        .alias("__pos", "__h"),
+        F.posexplode(
+            roll(F.transform("__toks", lambda t: F.xxhash64(t)))
+        ).alias("__pos", "__h"),
     )
-    # duplicated window starts: ONE exchange on the hash (window count
-    # instead of groupBy+join — same shuffle, no second pass)
-    dup = (
-        pos_h.withColumn(
-            "__n", F.count("*").over(Window.partitionBy("__h"))
-        )
-        .filter(F.col("__n") > 1)
-        .select(id_col, "__pos")
+    dup_h = (
+        pos_h.groupBy("__h").count()
+        .filter(F.col("count") > 1)
+        .select("__h")
     )
+    dup = pos_h.join(dup_h, "__h").select(id_col, "__pos")
     # merge adjacent duplicated starts into maximal spans: second exchange,
     # on the doc id
     w = Window.partitionBy(id_col).orderBy("__pos")
