@@ -268,3 +268,55 @@ def test_stream_null_seq_row_survives(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 1 and rows[0]._seq is None
+
+
+def test_fold_streams_bounded_chunks(spark, tmp_path):
+    """r6 optimization pin (round-5 verdict finding #2): a layered bucket
+    is folded by the bounded k-way streaming merge, not a whole-bucket
+    pandas concat. foldBatchRows=16 forces many chunks per file over a
+    1,500-row bucket load — any boundary/hot-key bug in the chunked merge
+    diverges from the engine fold immediately."""
+    path = str(tmp_path / "t")
+    t = _boot(spark, path, write_mode="mor", n=1500)
+    t1 = T0 + datetime.timedelta(hours=1)
+    # layers touching many keys, incl. deletes + a hot key updated in
+    # every layer (its occurrences span chunk boundaries)
+    for b in range(1, 4):
+        tb = T0 + datetime.timedelta(hours=b)
+        rows = [(k, f"u{b}-{k}", tb, "update") for k in range(0, 1500, 7)]
+        rows += [(k, None, tb, "delete") for k in range(3, 1500, 97)]
+        rows += [(42, f"hot{b}", tb, "update")]
+        t.merge(_chg(spark, rows), checkpoint_id="c", batch_id=b)
+    assert t._manifest().get("deltas"), "setup: layers must exist"
+    got = (spark.read.format("diffsync_table")
+           .option("path", path)
+           .option("foldBatchRows", "16").load())
+    assert _pairs(got) == _pairs(t.read())
+
+
+def test_fold_falls_back_when_base_not_id_ordered(spark, tmp_path):
+    """A Z-order-compacted base is sorted by the Morton key, not the
+    natural key; the streaming merge's sortedness pre-check must detect
+    that and fall back to the in-memory fold rather than merge wrongly."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}", i % 13, T0) for i in range(800)],
+        "k int, v string, z int, ts timestamp",
+    )
+    model = ModelSchema(name="kvz", identifiers=("k",),
+                        attributes=("v", "z"), version_cols=("ts",))
+    t = SnapshotTable.create(spark, path, model, schema=df.schema,
+                             n_buckets=2, write_mode="mor")
+    t.merge(df.withColumn("op", F.lit("insert")), mode="force",
+            checkpoint_id="boot", batch_id=0)
+    t.compact(zorder=["z"])  # base files now z-ordered, layers gone
+    t1 = T0 + datetime.timedelta(hours=1)
+    t.merge(spark.createDataFrame(
+        [(k, f"zz{k}", 0, t1, "update") for k in range(0, 800, 11)],
+        "k int, v string, z int, ts timestamp, op string"),
+        checkpoint_id="c", batch_id=1)
+    assert t._manifest().get("deltas"), "setup: layered z-ordered base"
+    got = (spark.read.format("diffsync_table")
+           .option("path", path)
+           .option("foldBatchRows", "64").load())
+    assert _pairs(got) == _pairs(t.read())
