@@ -39,16 +39,21 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # let AQE rewrite sort-merge joins to shuffled-hash at RUNTIME when
-        # every post-shuffle partition's build side is small (guide §3.1):
-        # skips both sides' sorts on the diff/patch/merge joins (measured
-        # -15..25% on the keyed-join queries at sf1.0). Scale-adaptive by
-        # construction — the decision uses ACTUAL partition sizes, so big
-        # joins keep sort-merge and its graceful spill; default 0 disables
-        # it, hence the explicit value (env-overridable for other hosts).
+        # AQE SMJ->shuffled-hash conversion: measured -15..25% on the
+        # small keyed-join queries at threshold 64m, then measured and
+        # REJECTED as a default (r6): the threshold compares COMPRESSED
+        # post-shuffle bytes while every concurrent task builds an
+        # UNCOMPRESSED UnsafeHashedRelation — a 10^8-event replay batch
+        # crashed with cannotAcquireMemoryToBuildUnsafeHashedRelation
+        # (32 tasks x a 4-8x expanded 64 MB build side exceeds the
+        # execution pool). A threshold below the 64 MB coalescing
+        # advisory never fires at all (AQE coalesces partitions up to
+        # the advisory first), so there is no value that is both safe
+        # and effective here. Default stays off; the env knob remains
+        # for hosts with per-task memory to spare.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "0"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
