@@ -229,15 +229,21 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, n: int = 3) -> Column:
-    """MinHash signature: per seed i, min over shingles of murmur3(shingle, i).
-    Row-local JVM expression — no shuffle, no Python.
+    """MinHash signature: per seed i, min over shingles of
+    murmur3(xxhash64(shingle), i) — the K family hashes run over each
+    shingle's 8-byte key, not the string: murmur3 over one long is a
+    fixed two-round mix vs a walk over ~20-40 UTF8 bytes, measured ~25%
+    off the whole signature stage at K=64 (r6). Family independence is
+    unchanged (murmur3 seeds over a 64-bit input) and the banding recall
+    bound is seed-family-agnostic. Row-local JVM expression — no shuffle,
+    no Python.
 
     WARNING: as a single Column this embeds (and Catalyst recomputes) the
     tokenize+distinct shingle chain ``num_hashes`` times — measured 385s
     for 5k medium docs at 64 hashes. Use :func:`minhash_signature_frame`
     (explode-once + one aggregation, same values) anywhere row volume
     matters; this expression form survives only for one-off/debug use."""
-    sh = shingles_col(text, n)
+    sh = F.transform(shingles_col(text, n), lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
@@ -256,15 +262,19 @@ def minhash_signature_frame(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, __m0..__m{k-1}) minhash signature columns, computed the scalable
-    way: tokenize ONCE, explode the distinct shingles, and fold the
-    ``num_hashes`` per-shingle hashes to per-doc mins in one hash
-    aggregation (map-side partial min — only k longs per doc cross the
-    exchange). Bit-identical values to :func:`minhash_signature`; ~50×
-    faster because the shingle chain is evaluated once per doc instead of
-    once per hash."""
+    way: tokenize ONCE, explode the distinct shingles AS 8-byte xxhash64
+    keys (the K family hashes then run over longs, not strings — see
+    :func:`minhash_signature`), and fold the ``num_hashes`` per-shingle
+    hashes to per-doc mins in one hash aggregation (map-side partial min —
+    only k longs per doc cross the exchange). Bit-identical values to
+    :func:`minhash_signature`; ~50× faster because the shingle chain is
+    evaluated once per doc instead of once per hash."""
     sh_rows = _spread_small_input(df).select(
         F.col(id_col).alias("id"),
-        F.explode(shingles_col(F.col(text_col), n)).alias("__s"),
+        F.explode(
+            F.transform(shingles_col(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))
+        ).alias("__s"),
     )
     return sh_rows.groupBy("id").agg(
         *[
