@@ -76,6 +76,18 @@ def build_session(
         .config("spark.storage.memoryMapThreshold", "1g")
         .config("spark.shuffle.io.memoryMapBytes", "1g")
         .config("spark.files.io.memoryMapBytes", "1g")
+        # driver-side file listing for multi-path reads: above this many
+        # paths Spark launches a distributed listing JOB whose scheduling
+        # overhead (~0.3s) dwarfs serial listing on a local/fast FS
+        # (measured 0.38s -> 0.05s building an 84-file relation — every
+        # manifest-pruned MERGE/read builds one from its exact file list).
+        # The crossover depends on per-stat latency, not data size: keep
+        # the default (32) via the env knob on high-latency object stores
+        # where a 10k-file listing wants the parallel job.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_PAR_DISCOVERY_THRESHOLD", "1024"),
+        )
         # always use the serialized sort shuffle: the bypass-merge writer
         # opens (map tasks x reduce partitions) files per shuffle, and the
         # create/close syscall storm serializes at high task concurrency

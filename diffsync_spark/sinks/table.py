@@ -836,14 +836,24 @@ class SnapshotTable:
         file columns, so they stay untagged."""
         if not _schema_has_ids(schema):
             return df
+        # the aliased-Column list depends only on (schema, column order) —
+        # cache it on the handle so a replay's micro-batches reuse it
+        # (~40 py4j alias round trips per merge otherwise; measured
+        # 0.085s -> 0.012s per call)
+        _tkey = ("tag_ids", schema.json(), tuple(df.columns))
+        if _tkey in self._expr_cache:
+            (cols,) = self._expr_cache[_tkey]
+            return df.select(*cols)
         ids = {f.name: dict(f.metadata) for f in schema.fields
                if _FIELD_ID_KEY in (f.metadata or {})}
         for m, i in _META_FIELD_IDS.items():
             ids[m] = {_FIELD_ID_KEY: i}
-        return df.select(*[
+        cols = [
             F.col(c).alias(c, metadata=ids[c]) if c in ids else F.col(c)
             for c in df.columns
-        ])
+        ]
+        self._expr_cache[_tkey] = (cols,)
+        return df.select(*cols)
 
     @staticmethod
     def _delta_buckets(man: dict, buckets: list[int] | None = None) -> set[int]:
@@ -1785,8 +1795,12 @@ class SnapshotTable:
                 .repartition(1, BUCKET)
                 .sortWithinPartitions(*order)
             )
-        split_map = F.create_map(
-            *[x for b in touched for x in (F.lit(b), F.lit(splits[b]))]
+        # literal maps as ONE parsed expr, not create_map over 2x|touched|
+        # F.lit Columns: each Column op is a py4j round trip — at 64 buckets
+        # the old form was ~0.14s of driver wall per merge vs ~0.016s
+        # (measured, same class of fix as _observe_bucket_counts)
+        split_map = F.expr(
+            "map(" + ",".join(f"{b},{splits[b]}" for b in touched) + ")"
         )
         slot = F.pmod(
             F.xxhash64(*self.model.identifiers), split_map[F.col(BUCKET)]
@@ -1796,8 +1810,8 @@ class SnapshotTable:
             for b in touched:
                 offsets[b] = acc
                 acc += splits[b]
-            off_map = F.create_map(
-                *[x for b in touched for x in (F.lit(b), F.lit(offsets[b]))]
+            off_map = F.expr(
+                "map(" + ",".join(f"{b},{offsets[b]}" for b in touched) + ")"
             )
             gslot = (off_map[F.col(BUCKET)] + F.col(SLOT)).cast("int")
             return (
@@ -1916,14 +1930,22 @@ class SnapshotTable:
         from pyspark.sql import Observation
 
         obs = Observation(name)
-        exprs = [
-            F.expr(
-                "array(" + ",".join(
-                    f"count_if({cond.format(b=b)})" for b in buckets
-                ) + ")"
-            ).alias(key)
-            for key, cond in conds.items()
-        ]
+        # the expr Columns depend only on (buckets, conds) — a replay's
+        # micro-batches touch the same buckets, so cache the parsed
+        # Columns on the handle (the Observation itself is per-merge)
+        _okey = ("observe", tuple(buckets), tuple(sorted(conds.items())))
+        if _okey in self._expr_cache:
+            (exprs,) = self._expr_cache[_okey]
+        else:
+            exprs = [
+                F.expr(
+                    "array(" + ",".join(
+                        f"count_if({cond.format(b=b)})" for b in buckets
+                    ) + ")"
+                ).alias(key)
+                for key, cond in conds.items()
+            ]
+            self._expr_cache[_okey] = (exprs,)
         return out.observe(obs, *exprs), obs
 
     def _list_bucket_files(self, data_dir: str, bk: int) -> list[str]:

@@ -24,6 +24,53 @@ from diffsync_spark.model import ModelSchema
 from diffsync_spark.sinks.table import SnapshotTable
 
 
+def _seq_bounds_from_footers(changelog: DataFrame) -> "tuple[int, int] | None":
+    """(min, max) of ``seq`` read from parquet ROW-GROUP FOOTER STATISTICS
+    instead of a cluster scan — the Iceberg/Delta metadata-only min/max.
+    Sound only for a BARE file scan (any Filter/Project above the relation
+    changes the row set, so the guard below bails to the exact aggregate),
+    an INT64 physical column (parquet int64 stats are exact, never
+    truncated like string stats), and footers that all carry min/max
+    (a stats-less or all-NULL row group returns None → fallback). Both
+    paths ignore NULL seq values — parquet min/max exclude nulls exactly
+    as ``F.min``/``F.max`` do. Returns None on ANY doubt."""
+    try:
+        plan = changelog._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        files = changelog.inputFiles()
+        if not files:
+            return None
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for f in files:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return None  # remote FS: the distributed agg is the tool
+            md = pq.ParquetFile(unquote(u.path)).metadata
+            idx = next(
+                (i for i in range(md.num_columns)
+                 if md.schema.column(i).name == "seq"), None,
+            )
+            if idx is None or md.schema.column(idx).physical_type != "INT64":
+                return None
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                if grp.num_rows == 0:
+                    continue
+                st = grp.column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (int(lo), int(hi))
+    except Exception:
+        return None
+
+
 def replay_batches(
     table: SnapshotTable,
     changelog: DataFrame,
@@ -37,12 +84,16 @@ def replay_batches(
     batching-invariance (any split converges to the same state) and by the
     bench harness. ``start_batch`` > 0 resumes mid-replay (the table skips
     already-committed batches anyway — belt and braces)."""
-    bounds = changelog.agg(
-        F.min("seq").alias("lo"), F.max("seq").alias("hi")
-    ).first()
-    if bounds.lo is None:
-        return []
-    lo, hi = bounds.lo, bounds.hi
+    fast = _seq_bounds_from_footers(changelog)
+    if fast is not None:
+        lo, hi = fast
+    else:
+        bounds = changelog.agg(
+            F.min("seq").alias("lo"), F.max("seq").alias("hi")
+        ).first()
+        if bounds.lo is None:
+            return []
+        lo, hi = bounds.lo, bounds.hi
     span = (hi - lo + 1 + n_batches - 1) // n_batches
     results = []
     for i in range(start_batch, n_batches):

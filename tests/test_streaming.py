@@ -553,3 +553,35 @@ def test_stream_changes_respects_until_version(spark, tmp_path, target_df,
     pd.testing.assert_frame_equal(
         got[["conv_id", "turn_idx", "op"]], direct[["conv_id", "turn_idx", "op"]]
     )
+
+
+def test_seq_bounds_footer_fast_path(spark, tmp_path):
+    """The replay's seq-bounds read comes from parquet footer statistics
+    when (and only when) the input is a bare file scan; every guarded
+    case falls back to None (→ the exact aggregate), and the fast value
+    equals the aggregate exactly — including NULL seq rows, which both
+    parquet min/max stats and F.min/F.max ignore."""
+    from diffsync_spark.streaming.replay import _seq_bounds_from_footers
+
+    d = str(tmp_path / "chg")
+    df = spark.range(0, 10_000).select(
+        F.when(F.col("id") % 97 == 0, None).otherwise(F.col("id"))
+        .cast("long").alias("seq"),
+        (F.col("id") % 7).alias("x"),
+    )
+    df.repartition(5).write.mode("overwrite").parquet(d)
+    scan = spark.read.parquet(d)
+    fast = _seq_bounds_from_footers(scan)
+    agg = scan.agg(F.min("seq"), F.max("seq")).first()
+    assert fast == (agg[0], agg[1])
+    # any plan above the bare relation disables the fast path
+    assert _seq_bounds_from_footers(scan.filter("seq > 5")) is None
+    assert _seq_bounds_from_footers(scan.select("seq")) is None
+    # an in-memory frame has no files to read footers from
+    assert _seq_bounds_from_footers(
+        spark.createDataFrame([(1,)], "seq long")) is None
+    # a scan whose files lack the seq column bails (schema evolution)
+    d2 = str(tmp_path / "noseq")
+    spark.range(3).select(F.col("id").alias("x")).write.parquet(d2)
+    assert _seq_bounds_from_footers(
+        spark.read.schema("x long, seq long").parquet(d2)) is None
