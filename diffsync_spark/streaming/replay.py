@@ -51,9 +51,12 @@ def _seq_bounds_from_footers(changelog: DataFrame) -> "tuple[int, int] | None":
             if u.scheme not in ("file", ""):
                 return None  # remote FS: the distributed agg is the tool
             md = pq.ParquetFile(unquote(u.path)).metadata
+            # match the full dotted path, not .name: a NESTED field called
+            # seq (e.g. meta.seq) also has .name == "seq" and can precede
+            # the top-level column in footer order
             idx = next(
                 (i for i in range(md.num_columns)
-                 if md.schema.column(i).name == "seq"), None,
+                 if md.schema.column(i).path == "seq"), None,
             )
             if idx is None or md.schema.column(idx).physical_type != "INT64":
                 return None

@@ -585,3 +585,13 @@ def test_seq_bounds_footer_fast_path(spark, tmp_path):
     spark.range(3).select(F.col("id").alias("x")).write.parquet(d2)
     assert _seq_bounds_from_footers(
         spark.read.schema("x long, seq long").parquet(d2)) is None
+    # a NESTED field named seq (footer leaf .name == "seq", path
+    # "meta.seq", and it precedes the top-level column) must not be
+    # mistaken for the top-level seq
+    d3 = str(tmp_path / "nested")
+    spark.range(0, 100).select(
+        F.struct((F.col("id") + 1_000_000).alias("seq")).alias("meta"),
+        F.col("id").alias("seq"),
+    ).write.parquet(d3)
+    scan3 = spark.read.parquet(d3)
+    assert _seq_bounds_from_footers(scan3) == (0, 99)
