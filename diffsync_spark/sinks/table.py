@@ -1932,11 +1932,17 @@ class SnapshotTable:
         obs = Observation(name)
         # the expr Columns depend only on (buckets, conds) — a replay's
         # micro-batches touch the same buckets, so cache the parsed
-        # Columns on the handle (the Observation itself is per-merge)
+        # Columns on the handle (the Observation itself is per-merge).
+        # Unlike the schema-keyed entries, the bucket-tuple key space is
+        # unbounded on a long-lived handle whose batches touch varying
+        # subsets (each cached Column pins a JVM tree via py4j) — cap the
+        # whole cache and let a miss rebuild cheaply.
         _okey = ("observe", tuple(buckets), tuple(sorted(conds.items())))
         if _okey in self._expr_cache:
             (exprs,) = self._expr_cache[_okey]
         else:
+            if len(self._expr_cache) > 256:
+                self._expr_cache.clear()
             exprs = [
                 F.expr(
                     "array(" + ",".join(
